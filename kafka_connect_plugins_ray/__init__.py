@@ -1,0 +1,21 @@
+"""kafka_connect_plugins_ray — a Ray-Data-native CDC / incremental-ingest engine.
+
+Re-realizes the operator semantics of ``cultureamp/kafka-connect-plugins``
+(reference: /root/reference, Kotlin Kafka Connect SMTs) as vectorized Arrow
+``map_batches`` stages over ``ray.data.Dataset``, plus the surrounding runtime
+the reference delegates to Kafka Connect: partition-parallel changelog tail,
+per-key (commit, lsn) ordering, last-writer-wins merge, tombstone-driven
+deletes, and an exactly-once copy-on-write Parquet lake sink with atomic
+manifest commits.
+
+Layout:
+- ``functions/``  scalar/vector kernels (crc32 partitioner, hex, canonical
+  JSON, dot-path access, hashing)
+- ``stages/``     the 7 SMT operators as batch transforms + chain composition
+- ``sources/``    parquet readers and the deterministic synthetic binlog
+- ``state/``      manifest / checkpoint handling
+- ``pipelines/``  end-to-end pipelines (CDC ingest, dedup, similarity, text
+  analysis, multimodal plumbing, analytics demos)
+"""
+
+__version__ = "0.1.0"

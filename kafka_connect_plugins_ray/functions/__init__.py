@@ -1,0 +1,15 @@
+from .partitioner import CRC32Digest, Partitioner, crc32_partition_array
+from .hexenc import hex_encode_array
+from .dotpath import struct_field_path, path_exists
+from .jsonenc import canonical_json_dumps, column_to_canonical_json
+
+__all__ = [
+    "CRC32Digest",
+    "Partitioner",
+    "crc32_partition_array",
+    "hex_encode_array",
+    "struct_field_path",
+    "path_exists",
+    "canonical_json_dumps",
+    "column_to_canonical_json",
+]

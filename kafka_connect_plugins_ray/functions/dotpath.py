@@ -1,0 +1,36 @@
+"""Dot-notation path resolution through nested struct columns.
+
+Re-realizes ``SoftDeleteToTombstoneTransformer.resolveFieldValue``
+(SoftDeleteToTombstoneTransformer.kt:49-55): walk intermediate structs,
+a null intermediate resolves to null (pass-through semantics).
+
+Arrow's ``pc.struct_field`` already propagates null parents to null children,
+which matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def path_exists(typ: pa.DataType, path: list[str]) -> bool:
+    """Whether ``path`` names a field chain in struct type ``typ``."""
+    cur = typ
+    for name in path:
+        if not pa.types.is_struct(cur):
+            return False
+        idx = cur.get_field_index(name)
+        if idx < 0:
+            return False
+        cur = cur.field(idx).type
+    return True
+
+
+def struct_field_path(col: "pa.Array | pa.ChunkedArray", path: list[str]):
+    """``pc.struct_field`` along a multi-step path; raises KeyError if the
+    path is absent from the schema (the reference's ``Struct.get`` throws a
+    DataException for unknown fields)."""
+    if not path_exists(col.type, path):
+        raise KeyError(f"path {'.'.join(path)} not in struct type")
+    return pc.struct_field(col, path)

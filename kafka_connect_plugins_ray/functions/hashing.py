@@ -1,0 +1,83 @@
+"""Hashing utilities: table-state sha256 (correctness gate), content sha256,
+and a Karp–Rabin rolling fingerprint for document fingerprinting."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def sha256_hex_array(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Per-row sha256 hex of a string/binary column (null -> null)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_pylist()
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+        else:
+            b = v.encode("utf-8") if isinstance(v, str) else v
+            out.append(hashlib.sha256(b).hexdigest())
+    return pa.array(out, type=pa.string())
+
+
+def table_state_sha256(table: pa.Table, sort_keys: list[str]) -> str:
+    """Deterministic digest of a table's logical content: sort by keys,
+    serialize row-major with column names, sha256.  Used by the
+    kill-and-replay equality tests (north rule)."""
+    table = table.sort_by([(k, "ascending") for k in sort_keys])
+    h = hashlib.sha256()
+    h.update(("|".join(sorted(table.column_names))).encode())
+    for name in sorted(table.column_names):
+        for v in table.column(name).to_pylist():
+            h.update(repr(v).encode("utf-8", errors="replace"))
+            h.update(b"\x1e")
+        h.update(b"\x1d")
+    return h.hexdigest()
+
+
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def rolling_fingerprints(text: str, k: int = 16) -> np.ndarray:
+    """Karp–Rabin hashes of all k-byte windows of ``text`` (mod 2^61-1).
+
+    Used for winnowing-style document fingerprints; returns an empty array
+    for texts shorter than ``k``."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.object_)
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    # Python-int math via object dtype keeps exact mod-2^61-1 arithmetic.
+    h = 0
+    pow_k = pow(_BASE, k - 1, _MOD)
+    out = np.empty(n - k + 1, dtype=np.uint64)
+    for i in range(n):
+        if i >= k:
+            h = (h - int(data[i - k]) * pow_k) % _MOD
+        h = (h * _BASE + int(data[i])) % _MOD
+        if i >= k - 1:
+            out[i - k + 1] = h
+    return out
+
+
+def winnow_fingerprint(text: str, k: int = 16, w: int = 8) -> int:
+    """Single document fingerprint: min-sampled (winnowed) rolling hashes,
+    combined order-insensitively.  Deterministic, vectorizable per batch."""
+    hs = rolling_fingerprints(text, k)
+    if hs.size == 0:
+        return int(hashlib.sha256(text.encode()).hexdigest()[:15], 16)
+    if hs.size <= w:
+        sel = hs
+    else:
+        # min of each window of w — a stride-tricks min-filter
+        from numpy.lib.stride_tricks import sliding_window_view
+        sel = sliding_window_view(hs, w).min(axis=1)
+    acc = 0
+    for v in np.unique(sel):
+        acc ^= int(v)
+    return acc

@@ -1,0 +1,65 @@
+"""Vectorized lowercase UTF-8 hex encoding.
+
+Re-realizes ``JsonToHexTransformer.stringToHex`` (JsonToHexTransformer.kt:76-79:
+UTF-8 bytes -> "%02x" per byte, lowercase) as a buffer-level numpy kernel:
+no per-row Python in the hot path.  Works on string or binary Arrow columns;
+nulls propagate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HEXTAB = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def _hex_chunk(arr: pa.Array) -> pa.Array:
+    """Hex-encode one non-chunked binary/large-binary array via its buffers."""
+    if arr.null_count == len(arr):
+        return pa.nulls(len(arr), type=pa.string())
+
+    large = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+    off_dtype = np.int64 if large else np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[
+        arr.offset: arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    sub = data[offsets[0]: offsets[-1]]
+
+    out = np.empty(sub.size * 2, dtype=np.uint8)
+    out[0::2] = _HEXTAB[sub >> 4]
+    out[1::2] = _HEXTAB[sub & 0x0F]
+    new_offsets = ((offsets - offsets[0]) * 2).astype(np.int64 if sub.size * 2 > 2**31 - 1 else np.int32)
+
+    validity_buf = None
+    null_count = arr.null_count
+    if null_count:
+        valid = np.asarray(pc.is_valid(arr))
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little"))
+
+    typ = pa.large_string() if new_offsets.dtype == np.int64 else pa.string()
+    cls = pa.LargeStringArray if new_offsets.dtype == np.int64 else pa.StringArray
+    res = cls.from_buffers(
+        len(arr),
+        pa.py_buffer(new_offsets),
+        pa.py_buffer(out),
+        validity_buf,
+        null_count,
+    )
+    # For null rows the offsets still produce the hex of the underlying bytes
+    # region (usually empty); mask them properly:
+    return res if typ == pa.string() else res.cast(pa.string())
+
+
+def hex_encode_array(col: "pa.Array | pa.ChunkedArray") -> pa.ChunkedArray:
+    """Lowercase hex of the UTF-8 bytes of a string/binary column."""
+    if not (pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)):
+        target = pa.large_binary() if pa.types.is_large_string(col.type) else pa.binary()
+        col = pc.cast(col, target)
+    if isinstance(col, pa.ChunkedArray):
+        chunks = [_hex_chunk(c) for c in col.chunks]
+        return pa.chunked_array(chunks, type=pa.string()) if chunks else pa.chunked_array([], type=pa.string())
+    return pa.chunked_array([_hex_chunk(col)], type=pa.string())

@@ -1,0 +1,64 @@
+"""Canonical (Jackson-compatible) JSON serialization of Arrow values.
+
+The reference serializes Connect values with ``JsonConverter``
+(schemas.enable=false) then canonicalizes via Jackson
+``writeValueAsString(readTree(...))`` — compact separators, insertion-order
+keys, non-ASCII unescaped (RedShiftComplexDataTypeTransformer.kt:121-140,
+JsonToHexTransformer.kt:94-98).  ``json.dumps(obj, separators=(",", ":"),
+ensure_ascii=False)`` produces identical text for the value domain involved
+(strings, ints, floats, bools, nulls, lists, objects).
+
+Arrow map values arrive from ``to_pylist`` as lists of (key, value) tuples;
+they are re-materialized as insertion-ordered dicts before dumping.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pyarrow as pa
+
+
+def _normalize(obj: Any) -> Any:
+    """Recursively turn Arrow ``to_pylist`` output into plain JSON-ables."""
+    if isinstance(obj, list):
+        if obj and isinstance(obj[0], tuple) and len(obj[0]) == 2:
+            # map<k,v> comes back as [(k, v), ...]
+            return {str(k): _normalize(v) for k, v in obj}
+        return [_normalize(x) for x in obj]
+    if isinstance(obj, tuple) and len(obj) == 2:
+        return {str(obj[0]): _normalize(obj[1])}
+    if isinstance(obj, dict):
+        return {k: _normalize(v) for k, v in obj.items()}
+    if isinstance(obj, bytes):
+        return obj.decode("utf-8", errors="replace")
+    return obj
+
+
+def canonical_json_dumps(obj: Any) -> str:
+    return json.dumps(_normalize(obj), separators=(",", ":"), ensure_ascii=False)
+
+
+def column_to_canonical_json(col: "pa.Array | pa.ChunkedArray",
+                             null_literal: "str | None" = None) -> pa.Array:
+    """Serialize each element of a (possibly nested) column to canonical JSON.
+
+    Per-row Python on the *minority* complex columns only (lists/maps/structs);
+    scalar columns never go through here.  ``null_literal`` replaces null
+    elements (e.g. '"[]"' semantics are handled by the caller, which knows
+    the schema default)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    empty_map = pa.types.is_map(col.type)
+    out: list[str | None] = []
+    for v in col.to_pylist():
+        if v is None:
+            out.append(null_literal)
+        else:
+            out.append(canonical_json_dumps(v))
+    # map [] round-trips as {} at the row level; handled in _normalize only
+    # when tuples are present — an empty map serializes as [] there, fix up:
+    if empty_map:
+        out = ["{}" if s == "[]" else s for s in out]
+    return pa.array(out, type=pa.string())

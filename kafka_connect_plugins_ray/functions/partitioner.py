@@ -1,0 +1,80 @@
+"""CRC32 hash partitioner.
+
+Re-realizes ``Partitioner.kt:5-48`` (``Digest`` interface, CRC32 digest over
+UTF-8 bytes, ``partitionNumberFor(value) = crc32(value) floormod count``).
+Pinned goldens (PartitionerTest.kt:11-19):
+
+    crc32("04a96f30-3dfa-11ec-9bbc-0242ac130002") % 10 == 7
+    crc32("my-string") % 10 == 0
+
+Python's ``zlib.crc32`` uses the same polynomial as ``java.util.zip.CRC32``
+and returns a non-negative value; floor-mod is still applied for safety
+(mirrors ``Long.fmod`` at Partitioner.kt:48).
+
+Note: the reference's ``CRC32`` class accumulates across ``encode`` calls
+(never reset, Partitioner.kt:19-22) but ``ModifyPartition`` constructs a
+fresh instance per record (ModifyPartition.kt:39), so observable semantics
+are single-shot CRC32 per value — which is what the vectorized form computes.
+"""
+
+from __future__ import annotations
+
+import uuid
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class CRC32Digest:
+    """Single-shot-per-call digest matching the reference's observable use.
+
+    (The reference object technically accumulates state across calls; no
+    caller depends on that — see module docstring.)
+    """
+
+    def encode(self, value: str) -> int:
+        return zlib.crc32(value.encode("utf-8")) & 0xFFFFFFFF
+
+
+class Partitioner:
+    """``partitionNumberFor`` — Partitioner.kt:31-45."""
+
+    def __init__(self, digest: CRC32Digest, partition_count: int):
+        if partition_count == 0:
+            raise ValueError("Partition count should be greater than 0")
+        self.digest = digest
+        self.partition_count = partition_count
+
+    def partition_number_for(self, value: "str | uuid.UUID") -> int:
+        if isinstance(value, uuid.UUID):
+            value = str(value)
+        h = self.digest.encode(value)
+        p = self.partition_count
+        return ((h % p) + p) % p
+
+
+def crc32_partition_array(strings: "pa.Array | pa.ChunkedArray",
+                          partition_count: int) -> pa.Int32Array:
+    """Vectorized ``crc32(s) % partition_count`` over a string column.
+
+    Null inputs produce null outputs.  The per-element crc32 call is C-level
+    (zlib); the loop is over Python bytes objects from a zero-copy binary
+    cast of the Arrow column.
+    """
+    if partition_count <= 0:
+        raise ValueError("Partition count should be greater than 0")
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    data = pc.cast(strings, pa.binary()).to_pylist()
+    crc = zlib.crc32
+    p = partition_count
+    out = np.empty(len(data), dtype=np.int32)
+    mask = np.zeros(len(data), dtype=bool)
+    for i, b in enumerate(data):
+        if b is None:
+            mask[i] = True
+        else:
+            out[i] = crc(b) % p
+    return pa.array(out, type=pa.int32(), mask=mask)

@@ -1,0 +1,105 @@
+"""Record-envelope model and schema helpers.
+
+The reference's unit of work is a ``ConnectRecord`` envelope
+(topic/partition/offset/timestamp/key/headers/value — see
+/root/reference/src/main/kotlin/com/cultureamp/kafka/connect/plugins/
+transforms/RedShiftComplexDataTypeTransformer.kt:57-67).  Here a stream of
+records is one ``ray.data.Dataset`` whose blocks are ``pyarrow.Table``s with
+these envelope columns plus a nullable ``value`` struct column (a null value
+row == Kafka tombstone).
+
+Kafka Connect schemas carry per-field default values; Arrow fields do not.
+We carry defaults in Arrow field *metadata* under ``DEFAULT_META_KEY`` as a
+JSON-encoded value, mirroring the reference's ``Schema.defaultValue()``
+(used by e.g. RedShiftComplexDataTypeTransformer.kt:91-98,155-157).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pyarrow as pa
+
+# Envelope column names (FIXTURES.md preamble).
+TOPIC = "topic"
+PARTITION = "partition"
+OFFSET = "offset"
+TS = "ts"
+KEY = "key"
+OP = "op"  # "upsert" | "delete"; delete <=> reference tombstone
+VALUE = "value"
+
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+
+DEFAULT_META_KEY = b"connect.default"
+
+
+def ts_to_epoch_ms(col):
+    """Convert a timestamp (any unit) or integer column to int64 epoch-millis.
+
+    A plain ``cast(ts, timestamp("ms"))`` raises on sub-millisecond values
+    ("would lose data"); CDC timestamps are epoch-millis in the reference
+    envelope, so truncate explicitly.
+    """
+    import pyarrow.compute as pc
+
+    if pa.types.is_timestamp(col.type):
+        divisor = {"s": None, "ms": 1, "us": 1000, "ns": 1_000_000}[col.type.unit]
+        as_int = pc.cast(col, pa.int64())
+        if divisor is None:
+            return pc.multiply(as_int, 1000)
+        if divisor == 1:
+            return as_int
+        return pc.divide(as_int, divisor)
+    return pc.cast(col, pa.int64())
+
+
+def field_with_default(name: str, typ: pa.DataType, default: Any = None,
+                       nullable: bool = True) -> pa.Field:
+    """Build a pa.Field carrying a Connect-style default in metadata."""
+    meta = None
+    if default is not None:
+        meta = {DEFAULT_META_KEY: json.dumps(default).encode()}
+    return pa.field(name, typ, nullable=nullable, metadata=meta)
+
+
+def field_default(field: pa.Field) -> Any:
+    """Read the Connect-style default off a field's metadata (None if absent)."""
+    meta = field.metadata
+    if meta and DEFAULT_META_KEY in meta:
+        return json.loads(meta[DEFAULT_META_KEY].decode())
+    return None
+
+
+def schema_fingerprint(typ: pa.DataType | pa.Schema) -> str:
+    """Stable key for per-schema plan caches (the reference's LRU schema cache,
+    RedShiftComplexDataTypeTransformer.kt:35, keyed by Schema identity)."""
+    return str(typ)
+
+
+def align_to_schema(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project ``table`` onto ``schema``: reorder columns, null-fill missing
+    ones, cast where safely possible.  Used for additive schema evolution in
+    the lake merge (``pa.unify_schemas`` + null-fill)."""
+    n = table.num_rows
+    cols = []
+    for field in schema:
+        if field.name in table.column_names:
+            col = table.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+        else:
+            col = pa.nulls(n, type=field.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def unify_tables(tables: list[pa.Table]) -> list[pa.Table]:
+    """Unify the schemas of several tables additively (new nullable columns
+    appear, old rows null-filled).  Non-additive (type-conflicting) changes
+    raise, loudly, as required by the north rule."""
+    schemas = [t.schema for t in tables]
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    return [align_to_schema(t, unified) for t in tables]

@@ -1,0 +1,21 @@
+from .base import Transform, Chain, apply_chain
+from .unquote_key import UnquoteRecordKey
+from .soft_delete import SoftDeleteToTombstone
+from .json_to_hex import JsonToHex
+from .modify_partition import ModifyPartition, AssignPartition
+from .slack_reshape import SlackIntegrationPayload
+from .flatten import RedshiftFlatten, ClickHouseFlatten
+
+__all__ = [
+    "Transform",
+    "Chain",
+    "apply_chain",
+    "UnquoteRecordKey",
+    "SoftDeleteToTombstone",
+    "JsonToHex",
+    "ModifyPartition",
+    "AssignPartition",
+    "SlackIntegrationPayload",
+    "RedshiftFlatten",
+    "ClickHouseFlatten",
+]

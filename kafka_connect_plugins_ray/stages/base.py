@@ -1,0 +1,73 @@
+"""Transform protocol + chain composition.
+
+The reference's extension surface is the Kafka Connect
+``Transformation<R>`` contract — ``configure(Map)`` / ``apply(record)`` /
+``close()`` — chained in config order (/root/reference/README.md:27-31).
+Here a Transform is a callable class: config in ``__init__`` (once per
+actor/task, like ``configure``), batch work in ``__call__`` (a whole
+``pyarrow.Table`` instead of one record).  Returning a table with fewer rows
+drops records (the reference drops by returning null from ``apply``).
+
+A ``Chain`` composes several transforms into ONE ``map_batches`` stage so
+a multi-SMT pipeline stays a single pass over each block (the streaming
+executor would fuse consecutive map stages anyway, but one callable also
+shares a single actor's state/caches).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Protocol, Sequence, runtime_checkable
+
+import pyarrow as pa
+
+
+@runtime_checkable
+class Transform(Protocol):
+    def __call__(self, batch: pa.Table) -> pa.Table: ...
+
+
+class Chain:
+    """Apply transforms in order within one batch pass."""
+
+    def __init__(self, *transforms_or_factories: "Transform | Callable[[], Transform]"):
+        # Accept factories so a Chain can be shipped to actors cheaply and
+        # build per-actor state (schema-plan caches) in __init__ there.
+        self.transforms = [
+            t() if isinstance(t, type) else t for t in transforms_or_factories
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for t in self.transforms:
+            batch = t(batch)
+            if batch.num_rows == 0:
+                # keep schema; nothing more to do for this block
+                return batch
+        return batch
+
+
+def apply_chain(ds, transforms: Sequence[Any], *, batch_size: "int | None" = None,
+                concurrency: "int | tuple[int, int] | None" = None,
+                stateful: bool = False, num_cpus: float = 1):
+    """Compile a transform chain onto a Dataset as one map_batches stage.
+
+    ``stateful=True`` runs the chain as an actor pool (callable class), which
+    is the right shape when any member memoizes per-schema plans (the
+    flatteners).  Stateless chains run as plain tasks.
+    """
+    kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    if stateful:
+        ts = tuple(transforms)
+
+        class _ChainActor(Chain):
+            def __init__(self):
+                super().__init__(*ts)
+
+        kwargs["concurrency"] = concurrency or (1, 8)
+        kwargs["num_cpus"] = num_cpus
+        return ds.map_batches(_ChainActor, **kwargs)
+    chain = Chain(*transforms)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(chain, **kwargs)

@@ -1,0 +1,345 @@
+"""Struct flattening — Redshift and ClickHouse emitters.
+
+Re-realizes the reference's two flatten SMTs as vectorized Arrow projections:
+
+- ``RedshiftFlatten``: RedShiftComplexDataTypeTransformer.kt:32-221 —
+  recursively flattens nested STRUCTs into ``parent_child`` columns joined by
+  '_'; ARRAY and MAP values become canonical JSON strings; a null array/map
+  under a non-null record serializes its schema default (a string, so it is
+  JSON-string-encoded — the pinned '"{}"' / '"[]"' artifacts,
+  RedShiftComplexDataTypeTransformerTest.kt:227-243); appends
+  ``topic_key:string`` (default ""), ``tombstone:bool`` (true iff value null
+  OR ``body`` null, kt:209-215), and string-typed
+  ``_kafka_metadata_{partition,offset,timestamp}`` (timestamp null ->
+  literal "null", kt:200-204 via Kotlin ``null.toString()``).
+
+- ``ClickHouseFlatten``: ClickHouseFlattenTransformer.kt:36-245 — same
+  flattening but ARRAY/MAP keep native types; appends ``topic_key``,
+  ``is_deleted:int8`` (1 iff value null OR body null OR body.deleted_at
+  non-null, kt:238-242), string partition/offset metadata and *int64*
+  timestamp; drops tombstones entirely when ``skip_tombstones`` (default
+  true, kt:58-71,198-201).
+
+Default-value semantics (both): a flattened field's effective default is its
+own declared default, else the parent struct's declared default value for it
+(kt:91-98 / kt:137-144); Kafka's ``Struct.get`` materializes schema defaults
+for unset fields, so defaults apply to null values unconditionally —
+including tombstone rows.  Arrow has no field defaults, so they ride on
+field metadata (schema.field_with_default).
+
+The flatten *plan* (leaf paths, output names, effective defaults) is computed
+once per distinct input schema and memoized on the instance — the
+re-realization of the reference's per-instance LRU schema cache (kt:35,
+kt:182-198).  Use these as callable classes in an actor-pool ``map_batches``
+so the cache lives once per actor.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.jsonenc import canonical_json_dumps, column_to_canonical_json
+from ..schema import (
+    KEY,
+    OFFSET,
+    PARTITION,
+    TS,
+    VALUE,
+    field_default,
+    schema_fingerprint,
+    ts_to_epoch_ms,
+)
+
+
+@dataclass
+class LeafSpec:
+    out_name: str
+    path: list[str]
+    typ: pa.DataType
+    default: Any  # effective default (own ?? parent-struct default)
+    kind: str  # "scalar" | "array" | "map"
+
+
+_SCALARS = (
+    pa.types.is_integer,
+    pa.types.is_floating,
+    pa.types.is_boolean,
+    pa.types.is_string,
+    pa.types.is_large_string,
+    pa.types.is_binary,
+    pa.types.is_large_binary,
+    pa.types.is_timestamp,
+)
+
+
+def _is_scalar(t: pa.DataType) -> bool:
+    return any(p(t) for p in _SCALARS)
+
+
+def build_flatten_plan(struct_type: pa.StructType) -> list[LeafSpec]:
+    """Walk the value struct type depth-first, '_'-joining names
+    (fieldName(), RedShiftComplexDataTypeTransformer.kt:69-75)."""
+    leaves_paths: list[LeafSpec] = []
+
+    def walk(t: pa.StructType, prefix_path: list[str], prefix: str,
+             parent_default: "dict | None"):
+        for i in range(t.num_fields):
+            f = t.field(i)
+            name = f"{prefix}_{f.name}" if prefix else f.name
+            path = prefix_path + [f.name]
+            own = field_default(f)
+            eff = own if own is not None else (
+                parent_default.get(f.name) if parent_default else None
+            )
+            ft = f.type
+            if pa.types.is_struct(ft):
+                # children inherit the struct's OWN declared default dict
+                walk(ft, path, name, own if isinstance(own, dict) else None)
+            elif pa.types.is_list(ft) or pa.types.is_large_list(ft):
+                leaves_paths.append(LeafSpec(name, path, ft, own, "array"))
+            elif pa.types.is_map(ft):
+                leaves_paths.append(LeafSpec(name, path, ft, own, "map"))
+            elif _is_scalar(ft):
+                leaves_paths.append(LeafSpec(name, path, ft, eff, "scalar"))
+            else:
+                raise TypeError(
+                    f"Flatten transformation does not support {ft} (for field {name})."
+                )
+
+    walk(struct_type, [], "", None)
+    return leaves_paths
+
+
+def _fill_null_any(arr: pa.Array, default: Any) -> pa.Array:
+    if default is None or arr.null_count == 0:
+        return arr
+    try:
+        return pc.fill_null(arr, pa.scalar(default, type=arr.type))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        vals = [default if v is None else v for v in arr.to_pylist()]
+        return pa.array(vals, type=arr.type)
+
+
+def _key_to_string(key_col) -> pa.Array:
+    """``record.key().toString()`` with schema-default "" for null keys
+    (RedShiftComplexDataTypeTransformer.kt:191,206-208)."""
+    if pa.types.is_struct(key_col.type):
+        # struct keys stringify; rare path, per-row
+        vals = [None if v is None else canonical_json_dumps(v) for v in
+                (key_col.combine_chunks() if isinstance(key_col, pa.ChunkedArray)
+                 else key_col).to_pylist()]
+        key_str = pa.array(vals, type=pa.string())
+    else:
+        key_str = pc.cast(key_col, pa.string())
+    return pc.fill_null(key_str, "")
+
+
+class _FlattenBase:
+    def __init__(self, value_col: str = VALUE, body_field: "str | None" = "body",
+                 keep_envelope: bool = True, sink_records: bool = True):
+        self.value_col = value_col
+        self.body_field = body_field
+        self.keep_envelope = keep_envelope
+        self.sink_records = sink_records
+        self._plan_cache: dict[str, list[LeafSpec]] = {}
+
+    def _plan(self, struct_type: pa.StructType) -> list[LeafSpec]:
+        fp = schema_fingerprint(struct_type)
+        plan = self._plan_cache.get(fp)
+        if plan is None:
+            plan = build_flatten_plan(struct_type)
+            self._plan_cache[fp] = plan
+        return plan
+
+    def _envelope_columns(self, batch: pa.Table) -> tuple[list[pa.Field], list]:
+        fields, cols = [], []
+        if self.keep_envelope:
+            for i, name in enumerate(batch.column_names):
+                if name == self.value_col:
+                    continue
+                fields.append(batch.field(i))
+                cols.append(batch.column(i))
+        return fields, cols
+
+    def _metadata_ts_string(self, batch: pa.Table):
+        """Redshift string timestamp; null -> literal "null" (kt:200-204)."""
+        ts = self._ts_int64(batch)
+        return pc.fill_null(pc.cast(ts, pa.string()), "null")
+
+    def _ts_int64(self, batch: pa.Table):
+        if TS not in batch.column_names:
+            return pa.nulls(batch.num_rows, type=pa.int64())
+        return ts_to_epoch_ms(batch.column(TS))
+
+    def _body_null_mask(self, batch: pa.Table, value):
+        """null-body detection shared by tombstone / is_deleted logic."""
+        if self.body_field is None:
+            return pa.array([False] * batch.num_rows, type=pa.bool_())
+        if not pa.types.is_struct(value.type):
+            return pa.array([True] * batch.num_rows, type=pa.bool_())
+        idx = value.type.get_field_index(self.body_field)
+        if idx < 0:
+            raise KeyError(
+                f"value schema has no '{self.body_field}' field; the reference "
+                "throws here (Struct.get on unknown field). Pass body_field=None "
+                "to disable body-based tombstone detection."
+            )
+        body = pc.struct_field(value, [self.body_field])
+        # body null where value-row non-null, OR propagated null from value row
+        return pc.is_null(body)
+
+
+class RedshiftFlatten(_FlattenBase):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fields, cols = self._envelope_columns(batch)
+
+        has_value = self.value_col in batch.column_names
+        value = batch.column(self.value_col) if has_value else None
+        value_null = (
+            pc.is_null(value) if has_value
+            else pa.array([True] * n, type=pa.bool_())
+        )
+
+        if has_value and pa.types.is_struct(value.type):
+            for leaf in self._plan(value.type):
+                raw = pc.struct_field(value, leaf.path)
+                if leaf.kind == "scalar":
+                    out = _fill_null_any(
+                        raw if not isinstance(raw, pa.ChunkedArray) else raw.combine_chunks(),
+                        leaf.default,
+                    )
+                    fields.append(pa.field(leaf.out_name, out.type))
+                    cols.append(out)
+                else:
+                    # ARRAY/MAP -> canonical JSON string.  Null element under a
+                    # non-null record serializes the schema default (a string,
+                    # so JSON-string-encoded: '"[]"' / '"{}"'); a tombstone row
+                    # leaves the column null (field never put, no default on
+                    # the string-ified schema).  kt:121-140.
+                    if leaf.default is not None:
+                        if isinstance(leaf.default, str):
+                            null_lit = json.dumps(leaf.default, ensure_ascii=False)
+                        else:
+                            null_lit = canonical_json_dumps(leaf.default)
+                    else:
+                        null_lit = '"[]"' if leaf.kind == "array" else '"{}"'
+                    ser = column_to_canonical_json(raw, null_literal=null_lit)
+                    # tombstone rows: null, not the default artifact
+                    ser = pc.if_else(value_null, pa.nulls(n, type=pa.string()), ser)
+                    fields.append(pa.field(leaf.out_name, pa.string()))
+                    cols.append(ser)
+
+        key_col = batch.column(KEY) if KEY in batch.column_names else pa.nulls(n, pa.string())
+        fields.append(pa.field("topic_key", pa.string(), nullable=False))
+        cols.append(_key_to_string(key_col))
+
+        tombstone = pc.or_(value_null, self._body_null_mask(batch, value)
+                           if has_value else value_null)
+        fields.append(pa.field("tombstone", pa.bool_(), nullable=False))
+        cols.append(pc.fill_null(tombstone, True))
+
+        part = batch.column(PARTITION) if PARTITION in batch.column_names else pa.nulls(n, pa.int32())
+        fields.append(pa.field("_kafka_metadata_partition", pa.string()))
+        cols.append(pc.cast(part, pa.string()))
+        if self.sink_records:
+            off = batch.column(OFFSET) if OFFSET in batch.column_names else pa.nulls(n, pa.int64())
+            fields.append(pa.field("_kafka_metadata_offset", pa.string()))
+            cols.append(pc.cast(off, pa.string()))
+            fields.append(pa.field("_kafka_metadata_timestamp", pa.string()))
+            cols.append(self._metadata_ts_string(batch))
+        else:
+            fields.append(pa.field("_kafka_metadata_offset", pa.string()))
+            cols.append(pa.nulls(n, pa.string()))
+            fields.append(pa.field("_kafka_metadata_timestamp", pa.string()))
+            cols.append(pa.nulls(n, pa.string()))
+
+        return pa.Table.from_arrays(
+            [pa.chunked_array([c]) if isinstance(c, pa.Array) else c for c in cols],
+            schema=pa.schema(fields),
+        )
+
+
+class ClickHouseFlatten(_FlattenBase):
+    def __init__(self, skip_tombstones: bool = True, deleted_at_field: str = "deleted_at",
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.skip_tombstones = skip_tombstones
+        self.deleted_at_field = deleted_at_field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        has_value = self.value_col in batch.column_names
+        value = batch.column(self.value_col) if has_value else None
+
+        if self.skip_tombstones and has_value:
+            keep = pc.is_valid(value)
+            batch = batch.filter(keep)
+            value = batch.column(self.value_col)
+        n = batch.num_rows
+
+        fields, cols = self._envelope_columns(batch)
+        value_null = (
+            pc.is_null(value) if has_value
+            else pa.array([True] * n, type=pa.bool_())
+        )
+
+        if has_value and pa.types.is_struct(value.type):
+            for leaf in self._plan(value.type):
+                raw = pc.struct_field(value, leaf.path)
+                if isinstance(raw, pa.ChunkedArray):
+                    raw = raw.combine_chunks()
+                out = _fill_null_any(raw, leaf.default)
+                fields.append(pa.field(leaf.out_name, out.type))
+                cols.append(out)
+
+        key_col = batch.column(KEY) if KEY in batch.column_names else pa.nulls(n, pa.string())
+        fields.append(pa.field("topic_key", pa.string(), nullable=False))
+        cols.append(_key_to_string(key_col))
+
+        # is_deleted: value null OR body null OR body.deleted_at non-null
+        # (ClickHouseFlattenTransformer.kt:238-242)
+        deleted = value_null
+        if has_value and pa.types.is_struct(value.type) and self.body_field is not None:
+            body_null = self._body_null_mask(batch, value)
+            deleted = pc.or_(deleted, body_null)
+            idx = value.type.get_field_index(self.body_field)
+            body_type = value.type.field(idx).type
+            if pa.types.is_struct(body_type):
+                didx = body_type.get_field_index(self.deleted_at_field)
+                if didx < 0:
+                    raise KeyError(
+                        f"body schema has no '{self.deleted_at_field}' field; "
+                        "the reference throws here. Pass body_field=None to "
+                        "disable."
+                    )
+                deleted_at = pc.struct_field(value, [self.body_field, self.deleted_at_field])
+                deleted = pc.or_(deleted, pc.is_valid(deleted_at))
+        fields.append(pa.field("is_deleted", pa.int8(), nullable=False))
+        cols.append(pc.cast(pc.fill_null(deleted, True), pa.int8()))
+
+        part = batch.column(PARTITION) if PARTITION in batch.column_names else pa.nulls(n, pa.int32())
+        fields.append(pa.field("_kafka_metadata_partition", pa.string()))
+        cols.append(pc.cast(part, pa.string()))
+        off_str: Any
+        ts_i64: Any
+        if self.sink_records:
+            off = batch.column(OFFSET) if OFFSET in batch.column_names else pa.nulls(n, pa.int64())
+            off_str = pc.cast(off, pa.string())
+            ts_i64 = self._ts_int64(batch)
+        else:
+            off_str = pa.nulls(n, pa.string())
+            ts_i64 = pa.nulls(n, pa.int64())
+        fields.append(pa.field("_kafka_metadata_offset", pa.string()))
+        cols.append(off_str)
+        fields.append(pa.field("_kafka_metadata_timestamp", pa.int64()))
+        cols.append(ts_i64)
+
+        return pa.Table.from_arrays(
+            [pa.chunked_array([c]) if isinstance(c, pa.Array) else c for c in cols],
+            schema=pa.schema(fields),
+        )

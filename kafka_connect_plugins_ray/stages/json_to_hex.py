@@ -1,0 +1,66 @@
+"""JsonToHex — hex-encode the whole record value for Redshift VARBYTE.
+
+Reference: JsonToHexTransformer.kt:34-129 — String values pass through
+verbatim, anything else is Jackson-serialized to JSON (kt:94-98); the JSON
+string's UTF-8 bytes become lowercase hex (kt:76-79); the record value is
+replaced by a fixed 4-field struct
+``HexEncodedJson{<hex.field.name>:string, _kafka_metadata_partition:int32,
+_kafka_metadata_offset:int64, _kafka_metadata_timestamp:int64}``
+(kt:104-117); requires a SinkRecord for the offset (kt:116).
+
+Batch form: the schemaless value is a string column of canonical JSON (or a
+struct column, serialized first); hex encoding is a buffer-level numpy
+kernel (functions/hexenc.py) — no per-row Python for the string fast path.
+Output columns replace the ``value`` column with the four target fields,
+keeping the rest of the envelope.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hexenc import hex_encode_array
+from ..functions.jsonenc import column_to_canonical_json
+from ..schema import OFFSET, PARTITION, TS, VALUE, ts_to_epoch_ms
+
+
+class JsonToHex:
+    def __init__(self, hex_field_name: str = "json_hex", value_col: str = VALUE):
+        self.hex_field_name = hex_field_name
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        value = batch.column(self.value_col)
+        if not (pa.types.is_string(value.type) or pa.types.is_large_string(value.type)):
+            # non-string schemaless value (nested map/list/struct): serialize
+            # to canonical JSON first (the Jackson path, kt:96-98)
+            value = column_to_canonical_json(value, null_literal="null")
+        else:
+            # a null value falls into the Jackson `else` branch and
+            # serializes as the 4-char string "null" (kt:94-98)
+            value = pc.fill_null(value, "null")
+        hexed = hex_encode_array(value)
+
+        for col in (PARTITION, OFFSET):
+            if col not in batch.column_names:
+                raise ValueError(
+                    f"JsonToHex requires envelope column '{col}' "
+                    "(the reference requires a SinkRecord, JsonToHexTransformer.kt:116)"
+                )
+
+        out = batch.drop_columns([self.value_col])
+        out = out.append_column(self.hex_field_name, hexed)
+        out = out.append_column(
+            "_kafka_metadata_partition", pc.cast(batch.column(PARTITION), pa.int32())
+        )
+        out = out.append_column(
+            "_kafka_metadata_offset", pc.cast(batch.column(OFFSET), pa.int64())
+        )
+        ts = (
+            batch.column(TS)
+            if TS in batch.column_names
+            else pa.nulls(batch.num_rows, type=pa.int64())
+        )
+        out = out.append_column("_kafka_metadata_timestamp", ts_to_epoch_ms(ts))
+        return out

@@ -1,0 +1,92 @@
+"""ModifyPartition — route records to ``crc32(headers[key]) % partitions``.
+
+Reference: ModifyPartition.kt:10-49 — reads the routing value from record
+headers (``lastWithName``), computes ``crc32 % number.partitions`` via
+``Partitioner`` (Partitioner.kt:31-45), rewrites the envelope partition;
+throws when config is missing, partition count <= 0, or the header is absent
+(ModifyPartitionTest.kt:29-89).
+
+Two batch forms:
+
+- ``ModifyPartition``: faithful operator — headers as a map<string,string>
+  column (or a plain string column), rewrites the ``partition`` envelope
+  column; raises on any null routing value, like the reference.
+- ``AssignPartition``: the engine's shuffle-key assignment — computes
+  ``partition_id = crc32(key expr) % P`` from one or more key columns.  This
+  is the partitioner of the lake shuffle (SURVEY.md §2 #7, §4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.partitioner import crc32_partition_array
+from ..schema import PARTITION
+
+# Separator for composite keys; never occurs in repo/path-ish values.
+KEY_SEP = "\x1f"
+
+
+def _last_with_name(headers: "pa.Array | pa.ChunkedArray", key: str) -> pa.Array:
+    """Kafka ``Headers.lastWithName`` over a map<string,string> column."""
+    if isinstance(headers, pa.ChunkedArray):
+        headers = headers.combine_chunks()
+    out = []
+    for entries in headers.to_pylist():
+        val = None
+        if entries:
+            for k, v in entries:
+                if k == key:
+                    val = v  # last occurrence wins
+        out.append(val)
+    return pa.array(out, type=pa.string())
+
+
+class ModifyPartition:
+    def __init__(self, header_key: str, number_partitions: int,
+                 headers_col: str = "headers"):
+        if number_partitions is None:
+            raise ValueError("The property `number.partitions` must be set.")
+        if number_partitions <= 0:
+            raise ValueError("Partition count should be greater than 0")
+        self.header_key = header_key
+        self.number_partitions = number_partitions
+        self.headers_col = headers_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.headers_col)
+        if pa.types.is_map(col.type):
+            routing = _last_with_name(col, self.header_key)
+        else:
+            routing = pc.cast(col, pa.string())
+        if routing.null_count:
+            raise ValueError(
+                f"Failed to determine partition key using header key {self.header_key}"
+            )
+        pid = crc32_partition_array(routing, self.number_partitions)
+        if PARTITION in batch.column_names:
+            i = batch.column_names.index(PARTITION)
+            return batch.set_column(i, pa.field(PARTITION, pa.int32()), pid)
+        return batch.append_column(pa.field(PARTITION, pa.int32()), pid)
+
+
+class AssignPartition:
+    """Add ``partition_id = crc32(join(key_cols, sep)) % P`` (int32)."""
+
+    def __init__(self, key_cols: "tuple[str, ...] | list[str]",
+                 num_partitions: int, out_col: str = "partition_id"):
+        if num_partitions <= 0:
+            raise ValueError("Partition count should be greater than 0")
+        self.key_cols = list(key_cols)
+        self.num_partitions = num_partitions
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = [pc.cast(batch.column(c), pa.string()) for c in self.key_cols]
+        if len(cols) == 1:
+            joined = cols[0]
+        else:
+            joined = pc.binary_join_element_wise(*cols, KEY_SEP)
+        pid = crc32_partition_array(joined, self.num_partitions)
+        return batch.append_column(pa.field(self.out_col, pa.int32()), pid)

@@ -1,0 +1,169 @@
+"""SlackIntegrationPayload — schema-migration reshape with variant fallback.
+
+Reference: SlackIntegrationPayloadTransformer.kt:13-139 — projects a Mongo
+``SlackIntegration`` document onto the fixed 8-field target schema
+``com.cultureamp.murmur.slack_integrations`` (kt:116-128):
+
+- Variant resolution by try/fallback (kt:69-89): OAuth **V1** succeeds when
+  ``oauth_response_data.bot`` is a struct AND ``team_id``, ``team_name``,
+  ``bot.bot_access_token`` are all non-null strings (any failure falls to
+  V2).  **V2** takes team id/name from the nested ``team`` struct, token
+  from ``access_token``, enterprise from nested ``enterprise.id`` (nullable,
+  kt:93-99).
+- ``status``: try parse as JSON ``{"$symbol": s}`` (Mongo5 encoding),
+  falling back to the raw string (Mongo6) — kt:101-107.
+- ``is_deleted = (deleted_at != null)`` — kt:114.
+- Missing required fields raise (kt:40-44).
+
+Vectorized: both variants are computed column-wise with ``pc.struct_field``
+and selected per-row via ``pc.if_else`` on the V1-validity mask; the
+``$symbol`` unwrap parses only rows starting with '{' (minority path).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import VALUE
+
+TARGET_FIELDS = [
+    ("account_aggregate_id", pa.string(), False),
+    ("access_token", pa.string(), False),
+    ("team_id", pa.string(), False),
+    ("team_name", pa.string(), False),
+    ("access_token_scopes", pa.string(), False),
+    ("enterprise_id", pa.string(), True),
+    ("is_deleted", pa.bool_(), False),
+    ("status", pa.string(), False),
+]
+
+
+def _opt_field(value, path: list[str], n: int) -> pa.Array:
+    """struct_field along path, or an all-null column if absent in schema."""
+    cur = value.type
+    for name in path:
+        if not pa.types.is_struct(cur):
+            return pa.nulls(n, type=pa.string())
+        idx = cur.get_field_index(name)
+        if idx < 0:
+            return pa.nulls(n, type=pa.string())
+        cur = cur.field(idx).type
+    out = pc.struct_field(value, path)
+    if not pa.types.is_string(out.type):
+        out = pc.cast(out, pa.string())
+    return out
+
+
+def _unwrap_symbol(status: pa.Array) -> pa.Array:
+    """Mongo5 ``{"$symbol": s}`` unwrap with raw-string fallback."""
+    vals = status.to_pylist()
+    out = []
+    for v in vals:
+        s = v
+        if isinstance(v, str) and v.startswith("{"):
+            try:
+                parsed = json.loads(v)
+                sym = parsed.get("$symbol") if isinstance(parsed, dict) else None
+                if isinstance(sym, str):
+                    s = sym
+            except (json.JSONDecodeError, ValueError):
+                pass
+        out.append(s)
+    return pa.array(out, type=pa.string())
+
+
+class SlackIntegrationPayload:
+    def __init__(self, value_col: str = VALUE, keep_envelope: bool = True):
+        self.value_col = value_col
+        self.keep_envelope = keep_envelope
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        value = batch.column(self.value_col)
+        if not pa.types.is_struct(value.type):
+            raise TypeError("SlackIntegrationPayload requires a struct value")
+        if value.null_count:
+            raise ValueError(
+                "null record value — the reference's requireStruct throws "
+                "(SlackIntegrationPayloadTransformer.kt:27)"
+            )
+
+        account_id = _opt_field(value, ["account_aggregate_id"], n)
+        deleted_at = _opt_field(value, ["deleted_at"], n)
+        status_raw = _opt_field(value, ["status"], n)
+
+        ord_path = ["oauth_response_data"]
+        scope = _opt_field(value, ord_path + ["scope"], n)
+        # V1 columns
+        v1_token = _opt_field(value, ord_path + ["bot", "bot_access_token"], n)
+        v1_team_id = _opt_field(value, ord_path + ["team_id"], n)
+        v1_team_name = _opt_field(value, ord_path + ["team_name"], n)
+        v1_enterprise = _opt_field(value, ord_path + ["enterprise_id"], n)
+        # V2 columns
+        v2_token = _opt_field(value, ord_path + ["access_token"], n)
+        v2_team_id = _opt_field(value, ord_path + ["team", "id"], n)
+        v2_team_name = _opt_field(value, ord_path + ["team", "name"], n)
+        v2_enterprise = _opt_field(value, ord_path + ["enterprise", "id"], n)
+
+        v1_ok = pc.is_valid(v1_token)
+        for col in (v1_team_id, v1_team_name):
+            v1_ok = pc.and_(v1_ok, pc.is_valid(col))
+
+        token = pc.if_else(v1_ok, v1_token, v2_token)
+        team_id = pc.if_else(v1_ok, v1_team_id, v2_team_id)
+        team_name = pc.if_else(v1_ok, v1_team_name, v2_team_name)
+        enterprise = pc.if_else(v1_ok, v1_enterprise, v2_enterprise)
+
+        required = {
+            "account_aggregate_id": account_id,
+            "access_token": token,
+            "team_id": team_id,
+            "team_name": team_name,
+            "access_token_scopes": scope,
+            "status": status_raw,
+        }
+        for name, col in required.items():
+            nulls = (col.null_count if not isinstance(col, pa.ChunkedArray)
+                     else col.null_count)
+            if nulls:
+                raise ValueError(
+                    f"required Slack field '{name}' null for some rows — the "
+                    "reference throws (kt:40-44)"
+                )
+
+        status = _unwrap_symbol(
+            status_raw.combine_chunks() if isinstance(status_raw, pa.ChunkedArray)
+            else status_raw
+        )
+        is_deleted = pc.is_valid(deleted_at)
+
+        fields, cols = [], []
+        if self.keep_envelope:
+            for i, name in enumerate(batch.column_names):
+                if name == self.value_col:
+                    continue
+                fields.append(batch.field(i))
+                cols.append(batch.column(i))
+        out_vals = {
+            "account_aggregate_id": account_id,
+            "access_token": token,
+            "team_id": team_id,
+            "team_name": team_name,
+            "access_token_scopes": scope,
+            "enterprise_id": enterprise,
+            "is_deleted": is_deleted,
+            "status": status,
+        }
+        for name, typ, nullable in TARGET_FIELDS:
+            fields.append(pa.field(name, typ, nullable=nullable))
+            col = out_vals[name]
+            if col.type != typ:
+                col = pc.cast(col, typ)
+            cols.append(col)
+        return pa.Table.from_arrays(
+            [pa.chunked_array([c]) if isinstance(c, pa.Array) else c for c in cols],
+            schema=pa.schema(fields),
+        )

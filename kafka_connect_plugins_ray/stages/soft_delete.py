@@ -1,0 +1,56 @@
+"""SoftDeleteToTombstone — turn soft-deleted rows into tombstones.
+
+Reference: SoftDeleteToTombstoneTransformer.kt:11-60 — resolve a dot-path
+(default ``body.deleted_at``) through nested structs; when the resolved value
+is non-null, replace value+valueSchema with null (a tombstone) preserving
+topic/partition/key/timestamp; null values, non-struct values, and null
+intermediate structs pass through.
+
+Batch form: null out the ``value`` struct where the mask hits and set the
+explicit ``op`` column to "delete" (the engine's lossless tombstone encoding,
+SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dotpath import path_exists
+from ..schema import OP, OP_DELETE, VALUE
+
+
+class SoftDeleteToTombstone:
+    def __init__(self, field: str = "body.deleted_at", value_col: str = VALUE):
+        self.path = field.split(".")
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.value_col not in batch.column_names:
+            return batch
+        value = batch.column(self.value_col)
+        if not pa.types.is_struct(value.type):
+            return batch  # non-Struct values pass through (kt:33-38)
+        if not path_exists(value.type, self.path):
+            # the reference's Struct.get would throw for an unknown field;
+            # surface the config error loudly rather than silently passing
+            raise KeyError(
+                f"soft-delete path {'.'.join(self.path)} not in value schema"
+            )
+        resolved = pc.struct_field(value, self.path)
+        mask = pc.is_valid(resolved)  # null intermediates resolve null => False
+
+        new_value = pc.if_else(mask, pa.nulls(batch.num_rows, type=value.type), value)
+        i = batch.column_names.index(self.value_col)
+        batch = batch.set_column(i, batch.field(i), new_value)
+
+        if OP in batch.column_names:
+            op = batch.column(OP)
+            new_op = pc.if_else(mask, pa.scalar(OP_DELETE, type=pa.string()),
+                                pc.cast(op, pa.string()))
+            j = batch.column_names.index(OP)
+            batch = batch.set_column(j, pa.field(OP, pa.string()), new_op)
+        else:
+            new_op = pc.if_else(mask, OP_DELETE, "upsert")
+            batch = batch.append_column(pa.field(OP, pa.string()), new_op)
+        return batch

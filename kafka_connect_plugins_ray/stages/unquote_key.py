@@ -1,0 +1,45 @@
+"""UnquoteRecordKey — strip one pair of surrounding double-quotes off string
+keys (fixes JSON-encoded UUID primary keys for JDBC sinks).
+
+Reference: UnquoteRecordKey.kt:8-43 — ``key.removeSurrounding("\"")``:
+strips exactly one leading AND one trailing quote, only when the string is
+length >= 2 and both ends are quotes; non-string / null keys unchanged.
+Pinned cases: UnquoteRecordKeyTest.kt:43-127 (single leading quote
+unchanged, bare '"' unchanged, value/partition/topic/timestamp preserved).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import KEY
+
+
+class UnquoteRecordKey:
+    def __init__(self, key_col: str = KEY):
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.key_col not in batch.column_names:
+            return batch
+        key = batch.column(self.key_col)
+        if not (pa.types.is_string(key.type) or pa.types.is_large_string(key.type)):
+            return batch  # non-string keys pass through (UnquoteRecordKey.kt:21-23)
+        n = pc.utf8_length(key)
+        mask = pc.and_(
+            pc.and_(pc.starts_with(key, '"'), pc.ends_with(key, '"')),
+            pc.greater_equal(n, 2),
+        )
+        # slice kernels take fixed offsets only; drop first char, then drop
+        # the (new) first char of the codepoint-reversed string and reverse
+        # back — net effect: remove one leading and one trailing character.
+        no_first = pc.utf8_slice_codeunits(key, start=1)
+        stripped = pc.utf8_reverse(
+            pc.utf8_slice_codeunits(pc.utf8_reverse(no_first), start=1)
+        )
+        # if_else requires non-null mask; null keys -> mask null -> keep original
+        mask = pc.fill_null(mask, False)
+        new_key = pc.if_else(mask, stripped, key)
+        i = batch.column_names.index(self.key_col)
+        return batch.set_column(i, batch.field(i), new_key)

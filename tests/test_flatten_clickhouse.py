@@ -1,0 +1,90 @@
+"""ClickHouseFlatten goldens — semantics pinned by
+ClickHouseFlattenTransformerTest.kt:60-330."""
+
+import pyarrow as pa
+
+from kafka_connect_plugins_ray.stages.flatten import ClickHouseFlatten
+from tests.test_flatten_redshift import FULL_VALUE, NULL_BODY_VALUE, VALUE_T, _batch
+
+
+def _row(out, i=0):
+    return {n: out.column(n).to_pylist()[i] for n in out.column_names}
+
+
+def test_native_types_preserved():
+    out = ClickHouseFlatten()(_batch([FULL_VALUE]))
+    row = _row(out)
+    assert row["test_string_array"] == ["a", "b", "c"]
+    assert row["test_array_of_arrays"] == [["a", "b", "c"], ["e"], ["f", "g"]]
+    assert row["test_map"] == [("added_users_count", 0), ("updated_users_count", 0)]
+    assert row["body_test_array_of_structs"] == [
+        {"demographic_id": "d1", "demographic_value_id": "v1"},
+        {"demographic_id": "d2", "demographic_value_id": None},
+    ]
+    schema = {f.name: f.type for f in out.schema}
+    assert pa.types.is_list(schema["test_string_array"])
+    assert pa.types.is_map(schema["test_map"])
+
+
+def test_struct_flattening_same_naming():
+    out = ClickHouseFlatten()(_batch([FULL_VALUE]))
+    row = _row(out)
+    assert row["body_manager_assignment_manager_id"] == "m1"
+    assert row["body_email"] == '{"string": "testing800702@namelytest.com"}'
+
+
+def test_metadata_types():
+    out = ClickHouseFlatten()(_batch([FULL_VALUE], ts=[1727247537132]))
+    row = _row(out)
+    assert row["_kafka_metadata_partition"] == "1"
+    assert row["_kafka_metadata_offset"] == "156"
+    assert row["_kafka_metadata_timestamp"] == 1727247537132
+    schema = {f.name: f.type for f in out.schema}
+    assert schema["_kafka_metadata_timestamp"] == pa.int64()
+    assert schema["_kafka_metadata_offset"] == pa.string()
+    assert schema["is_deleted"] == pa.int8()
+
+
+def test_null_timestamp_stays_null():
+    # unlike Redshift's "null" string, ClickHouse keeps int64 null
+    # (ClickHouseFlattenTransformerTest.kt:~110 `_kafka_metadata_timestamp`, null)
+    out = ClickHouseFlatten()(_batch([FULL_VALUE]))
+    assert _row(out)["_kafka_metadata_timestamp"] is None
+
+
+def test_is_deleted_flag_body_null():
+    out = ClickHouseFlatten()(_batch([NULL_BODY_VALUE]))
+    row = _row(out)
+    assert row["is_deleted"] == 1
+    assert row["metadata_service"] == "Default-Service"
+    assert row["body_observer"] is True  # default materialized
+
+
+def test_is_deleted_flag_deleted_at_set():
+    v = dict(FULL_VALUE)
+    v["body"] = dict(FULL_VALUE["body"], deleted_at=123)
+    out = ClickHouseFlatten()(_batch([v]))
+    assert _row(out)["is_deleted"] == 1
+
+
+def test_alive_record_is_deleted_zero():
+    out = ClickHouseFlatten()(_batch([FULL_VALUE]))
+    assert _row(out)["is_deleted"] == 0
+
+
+def test_skip_tombstones_default():
+    out = ClickHouseFlatten()(_batch([FULL_VALUE, None]))
+    assert out.num_rows == 1  # tombstone dropped (kt:198-201)
+
+
+def test_keep_tombstones():
+    out = ClickHouseFlatten(skip_tombstones=False)(_batch([FULL_VALUE, None]))
+    assert out.num_rows == 2
+    assert out.column("is_deleted").to_pylist() == [0, 1]
+
+
+def test_topic_key_default_empty():
+    out = ClickHouseFlatten()(_batch([FULL_VALUE]))
+    assert _row(out)["topic_key"] == ""
+    out2 = ClickHouseFlatten()(_batch([FULL_VALUE], keys=["hellp"]))
+    assert _row(out2)["topic_key"] == "hellp"

@@ -1,0 +1,185 @@
+"""RedshiftFlatten goldens — semantics pinned by
+RedShiftComplexDataTypeTransformerTest.kt:60-243 (F1 fixture family).
+
+Note on defaults: the reference's derived schema carries propagated field
+defaults, and every Connect sink reads values via ``Struct.get`` which
+materializes schema defaults for unset fields — so this engine materializes
+defaults at output time unconditionally (see stages/flatten.py docstring).
+"""
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.schema import field_with_default
+from kafka_connect_plugins_ray.stages.flatten import RedshiftFlatten
+
+# A compact analogue of employee-data.employees-value-v1.avsc keeping every
+# interesting shape: nested structs, defaults, arrays of structs, array of
+# arrays, maps, nullable scalars.
+BODY_T = pa.struct([
+    pa.field("source", pa.string()),
+    pa.field("email", pa.string()),
+    field_with_default("observer", pa.bool_(), default=True),
+    pa.field("test_map", pa.map_(pa.string(), pa.string())),
+    pa.field("test_map_1", pa.map_(pa.string(), pa.int32())),
+    pa.field("test_array_of_structs", pa.list_(pa.struct([
+        ("demographic_id", pa.string()),
+        ("demographic_value_id", pa.string()),
+    ]))),
+    pa.field("manager_assignment", pa.struct([
+        ("manager_id", pa.string()),
+        ("demographic_id", pa.string()),
+    ])),
+    pa.field("deleted_at", pa.int64()),
+])
+META_T = pa.struct([
+    pa.field("correlation_id", pa.string()),
+    field_with_default("service", pa.string(), default="Default-Service"),
+])
+VALUE_T = pa.struct([
+    pa.field("id", pa.string()),
+    pa.field("event_created_at", pa.int64()),
+    pa.field("body", BODY_T),
+    pa.field("metadata", META_T),
+    pa.field("test_string_array", pa.list_(pa.string())),
+    pa.field("test_array_of_arrays", pa.list_(pa.list_(pa.string()))),
+    pa.field("test_map", pa.map_(pa.string(), pa.int32())),
+])
+
+FULL_VALUE = {
+    "id": "c63526f8",
+    "event_created_at": 1536899741117,
+    "body": {
+        "source": '{"string": ""}',  # Avro-union artifact arrives IN the data
+        "email": '{"string": "testing800702@namelytest.com"}',
+        "observer": False,
+        "test_map": [("added_users_count", "0"), ("removed_users_count", "0")],
+        "test_map_1": None,  # -> '"{}"' artifact
+        "test_array_of_structs": [
+            {"demographic_id": "d1", "demographic_value_id": "v1"},
+            {"demographic_id": "d2", "demographic_value_id": None},
+        ],
+        "manager_assignment": {"manager_id": "m1", "demographic_id": "d1"},
+        "deleted_at": None,
+    },
+    "metadata": {"correlation_id": "corr-1", "service": "Influx"},
+    "test_string_array": ["a", "b", "c"],
+    "test_array_of_arrays": [["a", "b", "c"], ["e"], ["f", "g"]],
+    "test_map": [("added_users_count", 0), ("updated_users_count", 0)],
+}
+
+NULL_BODY_VALUE = {
+    "id": "c63526f8",
+    "event_created_at": 1536899741117,
+    "body": None,
+    "metadata": {"correlation_id": "corr-1", "service": None},  # -> default
+    "test_string_array": ["a", "b", "c"],
+    "test_array_of_arrays": None,  # -> '"[]"' artifact
+    "test_map": [("added_users_count", 0)],
+}
+
+
+def _batch(values, keys=None, ts=None):
+    n = len(values)
+    return pa.table({
+        "topic": ["employee data ecst test"] * n,
+        "partition": pa.array([1] * n, pa.int32()),
+        "offset": pa.array([156] * n, pa.int64()),
+        "ts": pa.array(ts if ts is not None else [None] * n, pa.int64()),
+        "key": pa.array(keys if keys is not None else [None] * n, pa.string()),
+        "value": pa.array(values, type=VALUE_T),
+    })
+
+
+@pytest.fixture(scope="module")
+def full_row():
+    out = RedshiftFlatten()(_batch([FULL_VALUE]))
+    return {name: out.column(name).to_pylist()[0] for name in out.column_names}
+
+
+def test_scalar_flattening(full_row):
+    assert full_row["id"] == "c63526f8"
+    assert full_row["event_created_at"] == 1536899741117
+    assert full_row["body_source"] == '{"string": ""}'
+    assert full_row["body_email"] == '{"string": "testing800702@namelytest.com"}'
+    assert full_row["body_observer"] is False
+    assert full_row["body_manager_assignment_manager_id"] == "m1"
+    assert full_row["body_manager_assignment_demographic_id"] == "d1"
+    assert full_row["metadata_correlation_id"] == "corr-1"
+    assert full_row["metadata_service"] == "Influx"
+
+
+def test_map_to_json_string(full_row):
+    assert full_row["body_test_map"] == (
+        '{"added_users_count":"0","removed_users_count":"0"}'
+    )
+    assert full_row["test_map"] == '{"added_users_count":0,"updated_users_count":0}'
+
+
+def test_null_map_artifact(full_row):
+    # null map under a non-null record -> the pinned '"{}"' double-encoded
+    # artifact (RedShiftComplexDataTypeTransformerTest.kt:228)
+    assert full_row["body_test_map_1"] == '"{}"'
+
+
+def test_array_to_json_string(full_row):
+    assert full_row["test_string_array"] == '["a","b","c"]'
+    assert full_row["test_array_of_arrays"] == '[["a","b","c"],["e"],["f","g"]]'
+    assert full_row["body_test_array_of_structs"] == (
+        '[{"demographic_id":"d1","demographic_value_id":"v1"},'
+        '{"demographic_id":"d2","demographic_value_id":null}]'
+    )
+
+
+def test_no_complex_types_remain(full_row):
+    out = RedshiftFlatten()(_batch([FULL_VALUE]))
+    for field in out.schema:
+        assert not pa.types.is_nested(field.type), field.name
+
+
+def test_envelope_metadata_strings(full_row):
+    assert full_row["topic_key"] == ""
+    assert full_row["tombstone"] is False
+    assert full_row["_kafka_metadata_partition"] == "1"
+    assert full_row["_kafka_metadata_offset"] == "156"
+    # null timestamp stringifies to "null" (kt:200-204, test golden :80)
+    assert full_row["_kafka_metadata_timestamp"] == "null"
+
+
+def test_key_and_timestamp_populated():
+    out = RedshiftFlatten()(_batch([FULL_VALUE], keys=["hellp"], ts=[1713922160]))
+    row = {n: out.column(n).to_pylist()[0] for n in out.column_names}
+    assert row["topic_key"] == "hellp"
+    assert row["_kafka_metadata_timestamp"] == "1713922160"
+
+
+def test_null_body_sets_tombstone_and_defaults():
+    out = RedshiftFlatten()(_batch([NULL_BODY_VALUE]))
+    row = {n: out.column(n).to_pylist()[0] for n in out.column_names}
+    assert row["tombstone"] is True  # null body => tombstone even with value
+    assert row["id"] == "c63526f8"
+    assert row["metadata_service"] == "Default-Service"  # Avro default
+    assert row["body_observer"] is True  # default materialized (see module doc)
+    assert row["body_email"] is None
+    assert row["test_array_of_arrays"] == '"[]"'  # null-array artifact
+    assert row["test_string_array"] == '["a","b","c"]'
+
+
+def test_full_tombstone():
+    out = RedshiftFlatten()(_batch([None], keys=["k1"], ts=[1713922160]))
+    row = {n: out.column(n).to_pylist()[0] for n in out.column_names}
+    assert row["tombstone"] is True
+    assert row["topic_key"] == "k1"
+    assert row["id"] is None
+    assert row["test_string_array"] is None  # arrays stay null on tombstones
+    assert row["_kafka_metadata_partition"] == "1"
+    assert row["_kafka_metadata_offset"] == "156"
+    assert row["_kafka_metadata_timestamp"] == "1713922160"
+
+
+def test_schema_stable_across_batches():
+    a = RedshiftFlatten()
+    s1 = a(_batch([FULL_VALUE])).schema
+    s2 = a(_batch([None])).schema
+    assert s1.names == s2.names
+    assert [f.type for f in s1] == [f.type for f in s2]

@@ -1,0 +1,85 @@
+"""JsonToHex cases from JsonToHexTransformerTest.kt:26-245 and
+JsonToHexTransformerKafkaMetadataTest.kt:27-65."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.stages.json_to_hex import JsonToHex
+
+
+def _batch(values, typ=pa.string()):
+    n = len(values)
+    return pa.table({
+        "key": [f"k{i}" for i in range(n)],
+        "partition": pa.array([2] * n, pa.int32()),
+        "offset": pa.array([156] * n, pa.int64()),
+        "ts": pa.array([1577836800000] * n, pa.int64()),
+        "value": pa.array(values, type=typ),
+    })
+
+
+def _unhex(h):
+    return bytes.fromhex(h).decode("utf-8")
+
+
+def test_string_value_passthrough_hex():
+    payload = '{"a":1,"b":"x"}'
+    out = JsonToHex()(_batch([payload]))
+    assert _unhex(out.column("json_hex").to_pylist()[0]) == payload
+
+
+def test_hex_is_lowercase():
+    out = JsonToHex()(_batch(["ABC"]))
+    h = out.column("json_hex").to_pylist()[0]
+    assert h == h.lower() == "414243".lower()
+
+
+def test_nested_map_value_serialized():
+    typ = pa.struct([("outer", pa.struct([("inner", pa.int64())]))])
+    out = JsonToHex()(_batch([{"outer": {"inner": 42}}], typ=typ))
+    decoded = json.loads(_unhex(out.column("json_hex").to_pylist()[0]))
+    assert decoded == {"outer": {"inner": 42}}
+
+
+def test_unicode_round_trip():
+    payload = '{"emoji":"🎉🔥","cjk":"日本語"}'
+    out = JsonToHex()(_batch([payload]))
+    assert _unhex(out.column("json_hex").to_pylist()[0]) == payload
+
+
+def test_large_payload_round_trip():
+    # ~1MB payload (the reference targets <=5MB VARBYTE, README.md:58-63)
+    payload = json.dumps({f"field_{i}": "v" * 50 for i in range(10_000)})
+    out = JsonToHex()(_batch([payload]))
+    assert _unhex(out.column("json_hex").to_pylist()[0]) == payload
+
+
+def test_metadata_fields():
+    out = JsonToHex()(_batch(["{}"]))
+    assert out.column("_kafka_metadata_partition").to_pylist() == [2]
+    assert out.column("_kafka_metadata_offset").to_pylist() == [156]
+    assert out.column("_kafka_metadata_timestamp").to_pylist() == [1577836800000]
+    assert out.column("_kafka_metadata_partition").type == pa.int32()
+    assert out.column("_kafka_metadata_offset").type == pa.int64()
+    assert out.column("_kafka_metadata_timestamp").type == pa.int64()
+
+
+def test_custom_field_name():
+    out = JsonToHex(hex_field_name="payload_hex")(_batch(["{}"]))
+    assert "payload_hex" in out.column_names
+    assert "json_hex" not in out.column_names
+
+
+def test_requires_offset():
+    t = pa.table({"value": pa.array(["{}"]), "partition": pa.array([0], pa.int32())})
+    with pytest.raises(ValueError, match="offset"):
+        JsonToHex()(t)
+
+
+def test_null_value_serializes_as_null_literal():
+    # Jackson writeValueAsString(null) == "null" (kt:94-98)
+    out = JsonToHex()(_batch([None, "x"]))
+    hexes = out.column("json_hex").to_pylist()
+    assert _unhex(hexes[0]) == "null" and hexes[1] == "78"

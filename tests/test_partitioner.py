@@ -1,0 +1,86 @@
+"""Pinned CRC32 goldens from PartitionerTest.kt:11-19 and ModifyPartition
+error cases from ModifyPartitionTest.kt:29-89."""
+
+import uuid
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.functions.partitioner import (
+    CRC32Digest,
+    Partitioner,
+    crc32_partition_array,
+)
+from kafka_connect_plugins_ray.stages.modify_partition import (
+    AssignPartition,
+    ModifyPartition,
+)
+
+
+def test_golden_uuid():
+    p = Partitioner(CRC32Digest(), 10)
+    assert p.partition_number_for("04a96f30-3dfa-11ec-9bbc-0242ac130002") == 7
+    assert p.partition_number_for(uuid.UUID("04a96f30-3dfa-11ec-9bbc-0242ac130002")) == 7
+
+
+def test_golden_string():
+    p = Partitioner(CRC32Digest(), 10)
+    assert p.partition_number_for("my-string") == 0
+
+
+def test_zero_partitions_raises():
+    with pytest.raises(ValueError):
+        Partitioner(CRC32Digest(), 0)
+
+
+def test_vectorized_matches_scalar():
+    vals = ["04a96f30-3dfa-11ec-9bbc-0242ac130002", "my-string", "a", "b", None]
+    arr = crc32_partition_array(pa.array(vals, type=pa.string()), 10)
+    got = arr.to_pylist()
+    assert got[0] == 7 and got[1] == 0 and got[4] is None
+    p = Partitioner(CRC32Digest(), 10)
+    for v, g in zip(vals[:4], got[:4]):
+        assert p.partition_number_for(v) == g
+
+
+def _headers_batch(entries):
+    headers = pa.array([entries], type=pa.map_(pa.string(), pa.string()))
+    return pa.table({"headers": headers, "partition": pa.array([0], pa.int32())})
+
+
+def test_modify_partition_routes_by_header():
+    batch = _headers_batch([("account_id", "04a96f30-3dfa-11ec-9bbc-0242ac130002")])
+    out = ModifyPartition("account_id", 10)(batch)
+    assert out.column("partition").to_pylist() == [7]
+
+
+def test_modify_partition_last_with_name():
+    batch = _headers_batch([("account_id", "zzz"), ("account_id", "my-string")])
+    out = ModifyPartition("account_id", 10)(batch)
+    assert out.column("partition").to_pylist() == [0]
+
+
+def test_modify_partition_missing_header_raises():
+    batch = _headers_batch([("other", "x")])
+    with pytest.raises(ValueError, match="Failed to determine partition key"):
+        ModifyPartition("account_id", 10)(batch)
+
+
+def test_modify_partition_bad_count_raises():
+    with pytest.raises(ValueError):
+        ModifyPartition("account_id", 0)
+    with pytest.raises(ValueError):
+        ModifyPartition("account_id", -1)
+
+
+def test_assign_partition_composite_key():
+    batch = pa.table({
+        "repo": ["r1", "r1", "r2"],
+        "path": ["a", "b", "a"],
+    })
+    out = AssignPartition(["repo", "path"], 8)(batch)
+    pids = out.column("partition_id").to_pylist()
+    assert all(0 <= p < 8 for p in pids)
+    # deterministic
+    again = AssignPartition(["repo", "path"], 8)(batch)
+    assert pids == again.column("partition_id").to_pylist()

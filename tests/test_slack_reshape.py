@@ -1,0 +1,136 @@
+"""SlackIntegrationPayload — variant fallback, $symbol decode, soft-delete
+flag; pinned by SlackIntegrationPayloadTransformerTest.kt:27-215 (F2)."""
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.stages.slack_reshape import SlackIntegrationPayload
+
+OAUTH_T = pa.struct([
+    ("access_token", pa.string()),
+    ("team_id", pa.string()),
+    ("team_name", pa.string()),
+    ("scope", pa.string()),
+    ("enterprise_id", pa.string()),
+    ("team", pa.struct([("id", pa.string()), ("name", pa.string())])),
+    ("enterprise", pa.struct([("id", pa.string()), ("name", pa.string())])),
+    ("bot", pa.struct([("bot_access_token", pa.string())])),
+])
+VALUE_T = pa.struct([
+    ("account_aggregate_id", pa.string()),
+    ("oauth_response_data", OAUTH_T),
+    ("deleted_at", pa.string()),
+    ("status", pa.string()),
+])
+
+V1_INSERT = {
+    "account_aggregate_id": "acc-1",
+    "oauth_response_data": {
+        "access_token": None,
+        "team_id": "T123",
+        "team_name": "Team V1",
+        "scope": "read,write",
+        "enterprise_id": "E03CFNSKHBM",
+        "team": None,
+        "enterprise": None,
+        "bot": {"bot_access_token": "xoxb-v1-token"},
+    },
+    "deleted_at": None,
+    "status": '{"$symbol": "active"}',  # mongo5 encoding
+}
+V2_UPDATE = {
+    "account_aggregate_id": "acc-2",
+    "oauth_response_data": {
+        "access_token": "xoxb-v2-token",
+        "team_id": None,
+        "team_name": None,
+        "scope": "read",
+        "enterprise_id": None,
+        "team": {"id": "T456", "name": "Team V2"},
+        "enterprise": None,  # -> enterprise_id null
+        "bot": None,
+    },
+    "deleted_at": "2023-01-01T00:00:00Z",
+    "status": "inactive",  # mongo6 raw string
+}
+V2_WITH_ENTERPRISE = {
+    "account_aggregate_id": "acc-3",
+    "oauth_response_data": {
+        "access_token": "tok",
+        "team_id": None,
+        "team_name": None,
+        "scope": "s",
+        "enterprise_id": None,
+        "team": {"id": "T789", "name": "Team E"},
+        "enterprise": {"id": "E99", "name": "Ent"},
+        "bot": None,
+    },
+    "deleted_at": None,
+    "status": "active",
+}
+
+
+def _batch(values):
+    return pa.table({
+        "topic": ["slack"] * len(values),
+        "value": pa.array(values, type=VALUE_T),
+    })
+
+
+def _row(out, i=0):
+    return {n: out.column(n).to_pylist()[i] for n in out.column_names}
+
+
+def test_v1_variant():
+    row = _row(SlackIntegrationPayload()(_batch([V1_INSERT])))
+    assert row["access_token"] == "xoxb-v1-token"  # from bot.bot_access_token
+    assert row["team_id"] == "T123"
+    assert row["team_name"] == "Team V1"
+    assert row["access_token_scopes"] == "read,write"
+    assert row["enterprise_id"] == "E03CFNSKHBM"
+    assert row["is_deleted"] is False
+    assert row["status"] == "active"  # $symbol unwrapped
+
+
+def test_v2_variant():
+    row = _row(SlackIntegrationPayload()(_batch([V2_UPDATE])))
+    assert row["access_token"] == "xoxb-v2-token"
+    assert row["team_id"] == "T456"
+    assert row["team_name"] == "Team V2"
+    assert row["enterprise_id"] is None
+    assert row["is_deleted"] is True  # deleted_at non-null
+    assert row["status"] == "inactive"  # raw mongo6 string
+
+
+def test_v2_nested_enterprise():
+    row = _row(SlackIntegrationPayload()(_batch([V2_WITH_ENTERPRISE])))
+    assert row["enterprise_id"] == "E99"
+
+
+def test_mixed_batch_variant_per_row():
+    out = SlackIntegrationPayload()(_batch([V1_INSERT, V2_UPDATE, V2_WITH_ENTERPRISE]))
+    assert out.column("access_token").to_pylist() == [
+        "xoxb-v1-token", "xoxb-v2-token", "tok"
+    ]
+    assert out.column("team_id").to_pylist() == ["T123", "T456", "T789"]
+
+
+def test_status_bad_json_falls_back_raw():
+    v = dict(V2_WITH_ENTERPRISE, status='{"not_symbol": 1}')
+    row = _row(SlackIntegrationPayload()(_batch([v])))
+    assert row["status"] == '{"not_symbol": 1}'
+
+
+def test_missing_required_raises():
+    v = dict(V2_UPDATE)
+    v = {**v, "oauth_response_data": {**v["oauth_response_data"], "access_token": None}}
+    with pytest.raises(ValueError, match="access_token"):
+        SlackIntegrationPayload()(_batch([v]))
+
+
+def test_target_schema_fixed():
+    out = SlackIntegrationPayload(keep_envelope=False)(_batch([V1_INSERT]))
+    assert out.column_names == [
+        "account_aggregate_id", "access_token", "team_id", "team_name",
+        "access_token_scopes", "enterprise_id", "is_deleted", "status",
+    ]

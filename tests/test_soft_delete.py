@@ -1,0 +1,100 @@
+"""SoftDeleteToTombstone cases from SoftDeleteToTombstoneTransformerTest.kt:57-167."""
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.stages.soft_delete import SoftDeleteToTombstone
+
+BODY = pa.struct([("deleted_at", pa.int64()), ("name", pa.string())])
+VALUE_T = pa.struct([("body", BODY), ("metadata", pa.string())])
+
+
+def _batch(values, ops=None):
+    n = len(values)
+    t = {
+        "key": pa.array([f"k{i}" for i in range(n)], pa.string()),
+        "topic": ["t"] * n,
+        "ts": pa.array([5] * n, pa.int64()),
+        "value": pa.array(values, type=VALUE_T),
+    }
+    if ops is not None:
+        t["op"] = pa.array(ops, pa.string())
+    return pa.table(t)
+
+
+def test_deleted_at_set_becomes_tombstone():
+    b = _batch([{"body": {"deleted_at": 123, "name": "x"}, "metadata": "m"}])
+    out = SoftDeleteToTombstone()(b)
+    assert out.column("value").to_pylist() == [None]
+    assert out.column("op").to_pylist() == ["delete"]
+    # key/topic/ts preserved
+    assert out.column("key").to_pylist() == ["k0"]
+    assert out.column("ts").to_pylist() == [5]
+
+
+def test_deleted_at_null_passthrough():
+    v = {"body": {"deleted_at": None, "name": "x"}, "metadata": "m"}
+    out = SoftDeleteToTombstone()(_batch([v]))
+    assert out.column("value").to_pylist() == [v]
+    assert out.column("op").to_pylist() == ["upsert"]
+
+
+def test_already_tombstone_passthrough():
+    out = SoftDeleteToTombstone()(_batch([None], ops=["delete"]))
+    assert out.column("value").to_pylist() == [None]
+    assert out.column("op").to_pylist() == ["delete"]
+
+
+def test_null_intermediate_struct_passthrough():
+    v = {"body": None, "metadata": "m"}
+    out = SoftDeleteToTombstone()(_batch([v]))
+    assert out.column("value").to_pylist() == [v]
+    assert out.column("op").to_pylist() == ["upsert"]
+
+
+def test_custom_path():
+    t = pa.table({
+        "value": pa.array(
+            [{"metadata": {"removed_at": "2020"}}, {"metadata": {"removed_at": None}}],
+            type=pa.struct([("metadata", pa.struct([("removed_at", pa.string())]))]),
+        )
+    })
+    out = SoftDeleteToTombstone(field="metadata.removed_at")(t)
+    assert out.column("value").to_pylist() == [None, {"metadata": {"removed_at": None}}]
+    assert out.column("op").to_pylist() == ["delete", "upsert"]
+
+
+def test_flat_path():
+    t = pa.table({
+        "value": pa.array(
+            [{"deleted_at": 1}, {"deleted_at": None}],
+            type=pa.struct([("deleted_at", pa.int64())]),
+        )
+    })
+    out = SoftDeleteToTombstone(field="deleted_at")(t)
+    assert out.column("value").to_pylist() == [None, {"deleted_at": None}]
+
+
+def test_non_struct_value_passthrough():
+    t = pa.table({"value": pa.array(["raw-string"], pa.string())})
+    out = SoftDeleteToTombstone()(t)
+    assert out.column("value").to_pylist() == ["raw-string"]
+
+
+def test_unknown_path_raises():
+    with pytest.raises(KeyError):
+        SoftDeleteToTombstone(field="nope.deleted_at")(_batch([
+            {"body": {"deleted_at": None, "name": "x"}, "metadata": "m"}
+        ]))
+
+
+def test_mixed_batch():
+    vals = [
+        {"body": {"deleted_at": 1, "name": "dead"}, "metadata": "m"},
+        {"body": {"deleted_at": None, "name": "alive"}, "metadata": "m"},
+        None,
+        {"body": None, "metadata": "m"},
+    ]
+    out = SoftDeleteToTombstone()(_batch(vals, ops=["upsert", "upsert", "delete", "upsert"]))
+    assert out.column("value").to_pylist() == [None, vals[1], None, vals[3]]
+    assert out.column("op").to_pylist() == ["delete", "upsert", "delete", "upsert"]

@@ -1,0 +1,74 @@
+"""UnquoteRecordKey cases from UnquoteRecordKeyTest.kt:43-127."""
+
+import pyarrow as pa
+
+from kafka_connect_plugins_ray.stages.unquote_key import UnquoteRecordKey
+
+
+def _batch(keys):
+    return pa.table({
+        "key": pa.array(keys, type=pa.string()),
+        "topic": ["t"] * len(keys),
+        "partition": pa.array([3] * len(keys), pa.int32()),
+        "ts": pa.array([100] * len(keys), pa.int64()),
+        "value": pa.array([{"name": "n"}] * len(keys),
+                          type=pa.struct([("name", pa.string())])),
+    })
+
+
+def test_quoted_key_stripped():
+    out = UnquoteRecordKey()(_batch(['"04a96f30-3dfa-11ec-9bbc-0242ac130002"']))
+    assert out.column("key").to_pylist() == ["04a96f30-3dfa-11ec-9bbc-0242ac130002"]
+
+
+def test_unquoted_key_unchanged():
+    out = UnquoteRecordKey()(_batch(["plain-key"]))
+    assert out.column("key").to_pylist() == ["plain-key"]
+
+
+def test_null_key_unchanged():
+    out = UnquoteRecordKey()(_batch([None]))
+    assert out.column("key").to_pylist() == [None]
+
+
+def test_single_leading_quote_unchanged():
+    out = UnquoteRecordKey()(_batch(['"not-terminated']))
+    assert out.column("key").to_pylist() == ['"not-terminated']
+
+
+def test_single_trailing_quote_unchanged():
+    out = UnquoteRecordKey()(_batch(['not-started"']))
+    assert out.column("key").to_pylist() == ['not-started"']
+
+
+def test_bare_quote_unchanged():
+    # length-1 '"' fails the >= 2 length requirement of removeSurrounding
+    out = UnquoteRecordKey()(_batch(['"']))
+    assert out.column("key").to_pylist() == ['"']
+
+
+def test_empty_quotes_stripped():
+    out = UnquoteRecordKey()(_batch(['""']))
+    assert out.column("key").to_pylist() == [""]
+
+
+def test_only_one_pair_stripped():
+    out = UnquoteRecordKey()(_batch(['""x""']))
+    assert out.column("key").to_pylist() == ['"x"']
+
+
+def test_struct_key_unchanged():
+    t = pa.table({
+        "key": pa.array([{"id": "a"}], type=pa.struct([("id", pa.string())])),
+        "value": pa.array([{"name": "n"}], type=pa.struct([("name", pa.string())])),
+    })
+    out = UnquoteRecordKey()(t)
+    assert out.column("key").to_pylist() == [{"id": "a"}]
+
+
+def test_envelope_preserved():
+    out = UnquoteRecordKey()(_batch(['"k"', "x"]))
+    assert out.column("topic").to_pylist() == ["t", "t"]
+    assert out.column("partition").to_pylist() == [3, 3]
+    assert out.column("ts").to_pylist() == [100, 100]
+    assert out.column("value").to_pylist() == [{"name": "n"}, {"name": "n"}]
