@@ -1,0 +1,3 @@
+from .cdc_ingest import ingest, read_lake, DEFAULT_NUM_PARTITIONS
+
+__all__ = ["ingest", "read_lake", "DEFAULT_NUM_PARTITIONS"]

@@ -1,0 +1,213 @@
+"""The flagship pipeline: changelog tail → SMT chain → hash-partitioned
+last-writer-wins copy-on-write Parquet lake upsert with exactly-once
+manifest commits.
+
+Ray-Data shape (SURVEY.md §3 "Ray Data re-realization"):
+
+    events (Dataset, op/lsn + payload)
+      → apply_chain(transforms)                # per-record SMT semantics
+      → AssignPartition crc32(key) % P         # ModifyPartition semantics
+      → groupby(partition_id).map_groups(MergeGroup)   # the ONE shuffle
+      → lineage rows (P small rows) → driver commits manifest atomically
+
+Inside each group (one lake partition): sort by (key..., order...), take the
+last event per key (LWW — exact dedup of replayed events falls out), apply
+tombstones, COW-merge with the partition's previous file (additive schema
+unification, null-fill), write ``data/v{V}/part-{pid}.parquet``
+deterministically.  Partitions untouched by the ingest carry forward their
+parent file references — copy-on-write at partition granularity.
+
+Ordering: no order survives a Ray shuffle, so order is re-established
+*inside* each group by sorting on (commit, lsn) — the north rule's per-key
+order key.  P should be chosen ≫ cores (default 32 for the single-node
+sandbox; hundreds-to-thousands on a real cluster) so map_groups work units
+stay small and skew is bounded: LWW reduces every key to ≤ 1 row.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..schema import unify_tables
+from ..stages.base import Chain
+from ..stages.modify_partition import AssignPartition
+from ..state.manifest import LakeStore, Manifest, _atomic_write
+
+DEFAULT_NUM_PARTITIONS = 32
+
+
+def _last_per_key(t: pa.Table, key_cols: Sequence[str]) -> pa.Table:
+    """t must already be sorted by (key_cols..., order_cols...); keep the
+    last row of each key run (vectorized boundary detection)."""
+    n = t.num_rows
+    if n == 0:
+        return t
+    change = np.zeros(n, dtype=bool)
+    change[-1] = True
+    for k in key_cols:
+        col = t.column(k)
+        a, b = col.slice(0, n - 1), col.slice(1)
+        change[:-1] |= np.asarray(pc.not_equal(a, b).combine_chunks().fill_null(True))
+    return t.take(pa.array(np.nonzero(change)[0], pa.int64()))
+
+
+class MergeGroup:
+    """map_groups callable: merge one partition's new events with its
+    previous lake file and write the next version's file."""
+
+    def __init__(self, lake_root: str, parent_files: dict[int, str],
+                 version: int, key_cols: Sequence[str],
+                 order_cols: Sequence[str], lsn_col: str, op_col: str):
+        self.lake_root = lake_root
+        self.parent_files = parent_files
+        self.version = version
+        self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols)
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = group.column("partition_id")[0].as_py()
+        events = group.drop_columns(["partition_id"])
+        input_rows = events.num_rows
+        lsn_min = pc.min(events.column(self.lsn_col)).as_py()
+        lsn_max = pc.max(events.column(self.lsn_col)).as_py()
+
+        events = events.sort_by(
+            [(c, "ascending") for c in self.key_cols + self.order_cols]
+        )
+        final_events = _last_per_key(events, self.key_cols)
+        delete_mask = pc.equal(final_events.column(self.op_col), "delete")
+        n_deletes = pc.sum(pc.cast(delete_mask, pa.int64())).as_py() or 0
+        upserts = final_events.filter(pc.invert(delete_mask)).drop_columns([self.op_col])
+
+        old: "pa.Table | None" = None
+        rel_old = self.parent_files.get(pid)
+        if rel_old is not None:
+            old = pq.read_table(os.path.join(self.lake_root, rel_old))
+
+        if old is not None and old.num_rows:
+            # remove every touched key from the old state (deletes AND
+            # upserted keys), then append the new upserts
+            touched = final_events.select(self.key_cols)
+            old_remaining = old.join(touched, keys=self.key_cols,
+                                     join_type="left anti")
+            old_remaining, upserts = unify_tables([old_remaining, upserts])
+            merged = pa.concat_tables([old_remaining, upserts])
+        else:
+            merged = upserts
+
+        merged = merged.sort_by([(c, "ascending") for c in self.key_cols])
+
+        rel = f"data/v{self.version}/part-{pid:05d}.parquet"
+        abspath = os.path.join(self.lake_root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp-{os.getpid()}"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, abspath)  # deterministic name => idempotent retry
+
+        return pa.table({
+            "partition_id": pa.array([pid], pa.int32()),
+            "file": pa.array([rel], pa.string()),
+            "rows": pa.array([merged.num_rows], pa.int64()),
+            "bytes": pa.array([os.path.getsize(abspath)], pa.int64()),
+            "input_rows": pa.array([input_rows], pa.int64()),
+            "upserts": pa.array([upserts.num_rows], pa.int64()),
+            "deletes": pa.array([n_deletes], pa.int64()),
+            "lsn_min": pa.array([lsn_min], pa.int64()),
+            "lsn_max": pa.array([lsn_max], pa.int64()),
+            "columns": pa.array([",".join(merged.column_names)], pa.string()),
+        })
+
+
+def ingest(lake_root: str, events: "rd.Dataset", *,
+           transforms: "Sequence[Any] | None" = None,
+           key_cols: Sequence[str] = ("repo", "path"),
+           order_cols: Sequence[str] = ("commit", "lsn"),
+           lsn_col: str = "lsn", op_col: str = "op",
+           num_partitions: int = DEFAULT_NUM_PARTITIONS,
+           resume: bool = True) -> Manifest:
+    """One ingest cycle; returns the committed manifest.
+
+    ``resume=True`` skips events at or below the current manifest's
+    high-water LSN, so feeding the same binlog twice (kill-and-replay) is a
+    no-op the second time; the LWW merge additionally makes any *partial*
+    replay idempotent.
+    """
+    store = LakeStore(lake_root)
+    parent = store.current()
+    version = (parent.version + 1) if parent else 1
+
+    if parent is not None and resume:
+        hw = parent.high_water_lsn
+        events = events.map_batches(
+            lambda t: t.filter(pc.greater(t[lsn_col], hw)),
+            batch_format="pyarrow",
+        )
+    if transforms:
+        chain = Chain(*transforms)
+        events = events.map_batches(chain, batch_format="pyarrow")
+    events = events.map_batches(
+        AssignPartition(key_cols, num_partitions), batch_format="pyarrow"
+    )
+
+    merge = MergeGroup(
+        lake_root, parent.files if parent else {}, version,
+        key_cols, order_cols, lsn_col, op_col,
+    )
+    def merge_group(group: pa.Table) -> pa.Table:  # map_groups wants a named fn
+        return merge(group)
+
+    lineage_rows = (
+        events.groupby("partition_id")
+        .map_groups(merge_group, batch_format="pyarrow")
+        .take_all()
+    )
+
+    files = dict(parent.files) if parent else {}
+    partitions = dict(parent.partitions) if parent else {}
+    hw = parent.high_water_lsn if parent else -1
+    columns: set[str] = set(parent.schema or []) if parent else set()
+    for row in lineage_rows:
+        pid = int(row["partition_id"])
+        files[pid] = row["file"]
+        partitions[pid] = {
+            "file": row["file"],
+            "rows": int(row["rows"]),
+            "bytes": int(row["bytes"]),
+            "input_rows": int(row["input_rows"]),
+            "upserts": int(row["upserts"]),
+            "deletes": int(row["deletes"]),
+            "lsn_range": [int(row["lsn_min"]), int(row["lsn_max"])],
+            "parent_version": parent.version if parent else None,
+        }
+        hw = max(hw, int(row["lsn_max"]))
+        columns.update(row["columns"].split(","))
+
+    manifest = Manifest(
+        version=version,
+        parent=parent.version if parent else None,
+        high_water_lsn=hw,
+        files=files,
+        partitions=partitions,
+        schema=sorted(columns),
+    )
+    store.commit(manifest)
+    return manifest
+
+
+def read_lake(lake_root: str, columns: "list[str] | None" = None) -> "rd.Dataset":
+    """Dataset over the currently committed lake state."""
+    store = LakeStore(lake_root)
+    manifest = store.current()
+    if manifest is None or not manifest.files:
+        return rd.from_arrow(pa.table({}))
+    paths = [store.abspath(rel) for rel in manifest.files.values()]
+    return rd.read_parquet(paths, columns=columns)

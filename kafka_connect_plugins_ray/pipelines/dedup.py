@@ -1,0 +1,240 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (ray_guide.md "Aggregation at scale"):
+- exact: vectorized content-hash in map_batches → groupby(hash) →
+  min(doc_id)/count — the hash-partition + per-group-first pattern.
+- MinHash-LSH: per-batch numpy minhash signatures → explode to
+  (band, band_hash, doc_id) rows → groupby(band key) → candidate pairs in
+  map_groups → exact-Jaccard verification (each group is one LSH bucket,
+  so pair blowup is bounded by bucket size).
+- SimHash: 64-bit signature per doc, vectorized; near-dup = hamming
+  distance ≤ threshold within 16-bit band buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _tokenize(text: str) -> list[str]:
+    return text.split()
+
+
+def _word_shingles(tokens: list[str], k: int = 3) -> set[int]:
+    if len(tokens) < k:
+        joined = " ".join(tokens)
+        return {hash64(joined)} if joined else set()
+    return {hash64(" ".join(tokens[i:i + k])) for i in range(len(tokens) - k + 1)}
+
+
+def hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+class MinHasher:
+    """Stateful minhash stage: permutation parameters built once per actor."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 7, shingle_k: int = 3):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, shingles: set[int]) -> np.ndarray:
+        if not shingles:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+        # (a*x + b) mod M for each permutation — vectorized outer product
+        prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        return prod.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = []
+        for text in batch["text"].astype(str):
+            sh = _word_shingles(_tokenize(text), self.shingle_k)
+            sigs.append(self.signature(sh))
+        out = batch[["doc_id"]].copy()
+        out["sig"] = [s.tobytes() for s in sigs]
+        return out
+
+
+def _bands(sig_bytes: bytes, num_bands: int) -> list[bytes]:
+    sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+    rows = len(sig) // num_bands
+    return [sig[i * rows:(i + 1) * rows].tobytes() for i in range(num_bands)]
+
+
+class BandExplode:
+    def __init__(self, num_bands: int = 16):
+        self.num_bands = num_bands
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
+            for b, chunk in enumerate(_bands(sig, self.num_bands)):
+                doc_ids.append(doc_id)
+                band_ids.append(b)
+                band_hashes.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "band_id": pd.Series(band_ids, dtype="int32"),
+            "band_hash": pd.Series(band_hashes, dtype="object"),
+        })
+
+
+def _candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(set(group["doc_id"].tolist()))
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
+    return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
+                         "doc_b": pd.Series(b, dtype="int64")})
+
+
+def exact_dedup(docs: "rd.Dataset") -> "rd.Dataset":
+    """md5(text)-keyed exact dedup: keep min(doc_id), count duplicates."""
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].copy()
+        out["text_hash"] = batch["text"].astype(str).map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        )
+        return out
+
+    hashed = docs.map_batches(add_hash, batch_format="pandas")
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_dups"),
+    )
+
+
+def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
+                      num_bands: int = 16, jaccard_threshold: float = 0.5,
+                      shingle_k: int = 3) -> "rd.Dataset":
+    """Candidate near-dup pairs via MinHash+LSH, verified with exact
+    word-shingle Jaccard (computed from re-read texts, broadcast-free:
+    verification joins text back per pair via a second pass)."""
+    sigs = docs.map_batches(MinHasher(num_perm, shingle_k=shingle_k),
+                            batch_format="pandas", batch_size=2048)
+    exploded = sigs.map_batches(BandExplode(num_bands), batch_format="pandas")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _candidate_pairs(g)
+
+    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    # dedupe pairs found in multiple bands
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return uniq
+
+
+def verify_jaccard(pairs: pa.Table, texts_by_id: dict[int, str],
+                   shingle_k: int = 3) -> pa.Table:
+    """Exact word-shingle Jaccard for candidate pairs (driver-side or inside
+    a map stage with a broadcast text lookup for the candidate subset)."""
+    out_a, out_b, jac = [], [], []
+    cache: dict[int, set[int]] = {}
+
+    def sh(doc_id: int) -> set[int]:
+        if doc_id not in cache:
+            cache[doc_id] = _word_shingles(_tokenize(texts_by_id[doc_id]), shingle_k)
+        return cache[doc_id]
+
+    for a, b in zip(pairs.column("doc_a").to_pylist(),
+                    pairs.column("doc_b").to_pylist()):
+        sa, sb = sh(a), sh(b)
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        out_a.append(a)
+        out_b.append(b)
+        jac.append(round(j, 4))
+    return pa.table({
+        "doc_a": pa.array(out_a, pa.int64()),
+        "doc_b": pa.array(out_b, pa.int64()),
+        "jaccard": pa.array(jac, pa.float64()),
+    })
+
+
+class SimHasher:
+    """64-bit SimHash over word features, vectorized per batch."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_sig = []
+        for text in batch["text"].astype(str):
+            tokens = _tokenize(text)
+            if not tokens:
+                out_sig.append(0)
+                continue
+            hs = np.fromiter((hash64(t) for t in tokens), dtype=np.uint64,
+                             count=len(tokens))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            score = bits.sum(axis=0) * 2 - len(hs)  # +1 for set bits, -1 clear
+            sig = np.uint64(0)
+            for i in np.nonzero(score > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out_sig.append(int(sig))
+        out = batch[["doc_id"]].copy()
+        out["simhash"] = pd.Series(out_sig, dtype="uint64").astype("int64")
+        return out
+
+
+def simhash_signatures(docs: "rd.Dataset") -> "rd.Dataset":
+    return docs.map_batches(SimHasher(), batch_format="pandas", batch_size=2048)
+
+
+def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3) -> "rd.Dataset":
+    """Near-dup pairs by SimHash: bucket on each of four 16-bit bands (a
+    pair within hamming<=3 of 64 bits must agree on >=1 band), verify
+    hamming distance inside buckets."""
+    sigs = simhash_signatures(docs)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = batch["simhash"].to_numpy().astype(np.uint64)
+        rows = []
+        for band in range(4):
+            chunk = (sig >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            rows.append(pd.DataFrame({
+                "doc_id": batch["doc_id"].astype("int64"),
+                "simhash": batch["simhash"].astype("int64"),
+                "band_id": np.int32(band),
+                "band_val": chunk.astype("int64"),
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = list(zip(g["doc_id"], g["simhash"].to_numpy().astype(np.uint64)))
+        out_a, out_b, dist = [], [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                (da, sa), (db, sb) = recs[i], recs[j]
+                if da == db:
+                    continue
+                d = int(bin(int(sa) ^ int(sb)).count("1"))
+                if d <= max_hamming:
+                    a, b = (da, db) if da < db else (db, da)
+                    out_a.append(a)
+                    out_b.append(b)
+                    dist.append(d)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64"),
+                             "hamming": pd.Series(dist, dtype="int64")})
+
+    cand = exploded.groupby(["band_id", "band_val"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

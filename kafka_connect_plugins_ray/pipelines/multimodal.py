@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decode libraries are not available in this container, so
+the *decode kernel* is stubbed (deterministic fake derived from the bytes —
+clearly marked), while the Ray-side plumbing is real and tested: binary
+column schema, actor-pool stage with per-actor "model" setup, small batch
+sizes for large payloads, typed struct metadata output.
+
+At 100 TB the shape is: ``read_parquet(..., columns=[id, payload])`` with a
+small ``batch_size`` (payload bytes × batch_size × concurrency must fit the
+worker heap), ``concurrency=(a,b)`` actor pool, decode in ``__call__``, and
+outputs written partitioned by input shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def attach_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Treat the UTF-8 bytes of a text column as the opaque media payload
+    (the sandbox stand-in for real image/audio bytes)."""
+    payload = pc.cast(batch.column(text_col), pa.binary())
+    return batch.append_column(pa.field("payload", pa.binary()), payload)
+
+
+class FakeImageDecoder:
+    """STUB: deterministic fake 'decode' — real deployments replace
+    ``_decode`` with PIL/libvips/ffmpeg calls; everything around it (actor
+    lifecycle, batching, output schema) is the production shape.
+
+    Raises NotImplementedError when ``strict=True`` to make the stub
+    boundary explicit.
+    """
+
+    META_TYPE = pa.struct([
+        ("n_bytes", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("sha256", pa.string()),
+    ])
+
+    def __init__(self, strict: bool = False):
+        # per-actor setup: a real decoder would load codecs / models here
+        self.strict = strict
+
+    def _decode(self, payload: bytes) -> dict:
+        if self.strict:
+            raise NotImplementedError(
+                "media decode requires image/audio libs not present in this "
+                "container; deterministic fake used when strict=False"
+            )
+        n = len(payload)
+        return {
+            "n_bytes": n,
+            "width": n % 640,
+            "height": n % 480,
+            "n_frames": n % 30 + 1,
+            "sha256": hashlib.sha256(payload).hexdigest(),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [
+            None if p is None else self._decode(p)
+            for p in batch.column("payload").to_pylist()
+        ]
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            pa.field("media_meta", self.META_TYPE),
+            pa.array(metas, type=self.META_TYPE),
+        )
+
+
+def decode_documents(docs: "rd.Dataset", *, batch_size: int = 256,
+                     concurrency=(1, 4)) -> "rd.Dataset":
+    """documents → payload → actor-pool decode → flattened metadata."""
+    with_payload = docs.map_batches(attach_payload, batch_format="pyarrow")
+    decoded = with_payload.map_batches(
+        FakeImageDecoder, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+    def flatten_meta(t: pa.Table) -> pa.Table:
+        m = t.column("media_meta")
+        out = t.drop_columns(["media_meta"])
+        for name in ("n_bytes", "width", "height", "n_frames"):
+            out = out.append_column(name, pc.struct_field(m, [name]))
+        return out
+
+    return decoded.map_batches(flatten_meta, batch_format="pyarrow")

@@ -1,0 +1,630 @@
+"""The driver-facing query surface: one entry per operator/pipeline from
+SURVEY.md §2 (plus the training-data operators), each with a matching
+ANSI-SQL oracle over the same parquet tables (views: region nation customer
+supplier part orders lineitem events documents embeddings).
+
+Column names are kept identical between the Ray result and the SQL oracle
+(the driver's compare hashes values after sorting columns by name).
+Float aggregates are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..schema import ts_to_epoch_ms
+from ..sources.binlog import binlog_from_documents
+from ..sources.readers import read_table
+from ..stages.flatten import ClickHouseFlatten, RedshiftFlatten
+from ..stages.json_to_hex import JsonToHex
+from ..stages.modify_partition import AssignPartition
+from ..stages.slack_reshape import SlackIntegrationPayload
+from ..stages.soft_delete import SoftDeleteToTombstone
+from ..stages.unquote_key import UnquoteRecordKey
+from . import analytics
+from .cdc_ingest import ingest, read_lake
+from .dedup import exact_dedup, minhash_lsh_pairs, simhash_signatures
+from .multimodal import decode_documents
+from .similarity import knn_bruteforce, knn_lsh, load_queries
+from .text import Fingerprint, LangId, QualityScore, token_count_batch
+
+# --------------------------------------------------------------------------
+# flagship: CDC LWW ingest into a copy-on-write lake
+# --------------------------------------------------------------------------
+
+
+def cdc_lww_state(sf_dir: str) -> "rd.Dataset":
+    lake = tempfile.mkdtemp(prefix="kcp_lake_")
+    ingest(lake, binlog_from_documents(sf_dir))
+    return read_lake(lake)
+
+
+CDC_ORACLE = """
+SELECT 'repo-' || (doc_id % 50) AS repo,
+       'src/doc_' || doc_id || '.txt' AS path,
+       printf('c%06d-', (doc_id % 3)::INT)
+         || substr(md5(doc_id || ':' || (doc_id % 3)), 1, 8) AS commit,
+       lang,
+       text || '#v' || (doc_id % 3) AS content,
+       doc_id * 4 + (doc_id % 3) AS lsn
+FROM documents
+WHERE doc_id % 17 <> 0
+"""
+
+# --------------------------------------------------------------------------
+# SMT operators over envelopes constructed deterministically from testdata
+# --------------------------------------------------------------------------
+
+
+def q_unquote_key(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def build(t: pa.Table) -> pa.Table:
+        mod3 = pc.subtract(t["event_id"], pc.multiply(pc.divide(t["event_id"], 3), 3))
+        quoted = pc.binary_join_element_wise('"', t["event_type"], '"', "")
+        lead = pc.binary_join_element_wise('"', t["event_type"], "")
+        key = pc.if_else(pc.equal(mod3, 0), quoted,
+                         pc.if_else(pc.equal(mod3, 1), lead, t["event_type"]))
+        return pa.table({"event_id": t["event_id"], "key": key})
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    return built.map_batches(UnquoteRecordKey(), batch_format="pyarrow")
+
+
+UNQUOTE_ORACLE = """
+SELECT event_id,
+       CASE WHEN event_id % 3 = 0 THEN event_type
+            WHEN event_id % 3 = 1 THEN '"' || event_type
+            ELSE event_type END AS key
+FROM events
+"""
+
+
+def q_soft_delete(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "events", columns=["event_id", "value", "props"])
+
+    def build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        marker = pc.if_else(pc.less(t["value"], 10.0), t["value"],
+                            pa.nulls(n, pa.float64()))
+        body = pa.StructArray.from_arrays(
+            [marker.combine_chunks(), t["props"].combine_chunks()],
+            fields=[pa.field("deleted_at", pa.float64()),
+                    pa.field("name", pa.string())])
+        value = pa.StructArray.from_arrays(
+            [body], fields=[pa.field("body", body.type)])
+        return pa.table({"event_id": t["event_id"], "value": value})
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(SoftDeleteToTombstone(), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "op": t["op"],
+            "has_value": pc.is_valid(t["value"]),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SOFT_DELETE_ORACLE = """
+SELECT event_id,
+       CASE WHEN value < 10 THEN 'delete' ELSE 'upsert' END AS op,
+       (value >= 10) AS has_value
+FROM events
+"""
+
+
+def q_json_to_hex(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "props"])
+
+    def build(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "partition": pc.cast(
+                pc.subtract(t["user_id"],
+                            pc.multiply(pc.divide(t["user_id"], 8), 8)),
+                pa.int32()),
+            "offset": t["event_id"],
+            "ts": ts_to_epoch_ms(t["ts"]),
+            "value": t["props"],
+        })
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(JsonToHex(), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "json_hex", "_kafka_metadata_partition",
+                            "_kafka_metadata_offset", "_kafka_metadata_timestamp"]),
+        batch_format="pyarrow")
+
+
+JSON_TO_HEX_ORACLE = """
+SELECT event_id,
+       lower(hex(encode(props))) AS json_hex,
+       (user_id % 8)::INT AS _kafka_metadata_partition,
+       event_id AS _kafka_metadata_offset,
+       epoch_us(ts) // 1000 AS _kafka_metadata_timestamp
+FROM events
+"""
+
+
+def q_redshift_flatten(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "orders", columns=[
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"])
+
+    def build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        body_null = pc.less(t["o_totalprice"], 1000.0)
+        body = pa.StructArray.from_arrays(
+            [t["o_orderstatus"].combine_chunks(),
+             t["o_totalprice"].combine_chunks()],
+            fields=[pa.field("status", pa.string()),
+                    pa.field("total", pa.float64())],
+            mask=body_null.combine_chunks())
+        meta = pa.StructArray.from_arrays(
+            [t["o_orderpriority"].combine_chunks()],
+            fields=[pa.field("priority", pa.string())])
+        tag_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 2 * n + 1, 2), pa.int32()),
+            _interleave(t["o_orderstatus"].combine_chunks(),
+                        t["o_orderpriority"].combine_chunks()))
+        value = pa.StructArray.from_arrays(
+            [pc.cast(t["o_orderkey"], pa.string()).combine_chunks(),
+             body, meta, tag_list],
+            fields=[pa.field("id", pa.string()), pa.field("body", body.type),
+                    pa.field("metadata", meta.type),
+                    pa.field("tags", pa.list_(pa.string()))])
+        return pa.table({
+            "partition": pa.array([0] * n, pa.int32()),
+            "offset": t["o_orderkey"],
+            "ts": pa.nulls(n, pa.int64()),
+            "key": pa.nulls(n, pa.string()),
+            "value": value,
+        })
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(RedshiftFlatten(), batch_format="pyarrow",
+                            batch_size=65536)
+    keep = ["id", "body_status", "body_total", "metadata_priority", "tags",
+            "topic_key", "tombstone", "_kafka_metadata_partition",
+            "_kafka_metadata_offset", "_kafka_metadata_timestamp"]
+    return out.map_batches(lambda t: t.select(keep), batch_format="pyarrow")
+
+
+REDSHIFT_ORACLE = """
+SELECT CAST(o_orderkey AS VARCHAR) AS id,
+       CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_orderstatus END AS body_status,
+       CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_totalprice END AS body_total,
+       o_orderpriority AS metadata_priority,
+       to_json([o_orderstatus, o_orderpriority])::VARCHAR AS tags,
+       '' AS topic_key,
+       (o_totalprice < 1000) AS tombstone,
+       '0' AS _kafka_metadata_partition,
+       CAST(o_orderkey AS VARCHAR) AS _kafka_metadata_offset,
+       'null' AS _kafka_metadata_timestamp
+FROM orders
+"""
+
+
+def q_clickhouse_flatten(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "orders", columns=[
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority"])
+
+    def build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        body_null = pc.less(t["o_totalprice"], 1000.0)
+        deleted_at = pc.if_else(
+            pc.equal(t["o_orderstatus"], "F"),
+            ts_to_epoch_ms(t["o_orderdate"]), pa.nulls(n, pa.int64()))
+        body = pa.StructArray.from_arrays(
+            [t["o_orderstatus"].combine_chunks(),
+             t["o_totalprice"].combine_chunks(),
+             deleted_at.combine_chunks()],
+            fields=[pa.field("status", pa.string()),
+                    pa.field("total", pa.float64()),
+                    pa.field("deleted_at", pa.int64())],
+            mask=body_null.combine_chunks())
+        tag_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 2 * n + 1, 2), pa.int32()),
+            _interleave(t["o_orderstatus"].combine_chunks(),
+                        t["o_orderpriority"].combine_chunks()))
+        value = pa.StructArray.from_arrays(
+            [pc.cast(t["o_orderkey"], pa.string()).combine_chunks(), body,
+             tag_list],
+            fields=[pa.field("id", pa.string()), pa.field("body", body.type),
+                    pa.field("tags", pa.list_(pa.string()))])
+        return pa.table({
+            "partition": pa.array([0] * n, pa.int32()),
+            "offset": t["o_orderkey"],
+            "ts": pa.nulls(n, pa.int64()),
+            "key": pc.cast(t["o_orderkey"], pa.string()),
+            "value": value,
+        })
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(ClickHouseFlatten(), batch_format="pyarrow",
+                            batch_size=65536)
+    keep = ["id", "body_status", "body_total", "topic_key", "is_deleted",
+            "_kafka_metadata_offset", "_kafka_metadata_timestamp"]
+    return out.map_batches(lambda t: t.select(keep), batch_format="pyarrow")
+
+
+CLICKHOUSE_ORACLE = """
+SELECT CAST(o_orderkey AS VARCHAR) AS id,
+       CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_orderstatus END AS body_status,
+       CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_totalprice END AS body_total,
+       CAST(o_orderkey AS VARCHAR) AS topic_key,
+       CAST(CASE WHEN o_totalprice < 1000 THEN 1
+                 WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS TINYINT) AS is_deleted,
+       CAST(o_orderkey AS VARCHAR) AS _kafka_metadata_offset,
+       CAST(NULL AS BIGINT) AS _kafka_metadata_timestamp
+FROM orders
+"""
+
+
+def _interleave(a: pa.Array, b: pa.Array) -> pa.Array:
+    """[a0,b0,a1,b1,...] — list-tag construction helper."""
+    n = len(a)
+    out = np.empty(2 * n, dtype=object)
+    out[0::2] = a.to_pylist()
+    out[1::2] = b.to_pylist()
+    return pa.array(out.tolist(), pa.string())
+
+
+def q_slack_reshape(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "customer", columns=[
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+
+    def build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ck = t["c_custkey"]
+        is_v1 = pc.equal(pc.subtract(ck, pc.multiply(pc.divide(ck, 2), 2)), 0)
+        no_ent = pc.equal(pc.subtract(ck, pc.multiply(pc.divide(ck, 5), 5)), 0)
+        cks = pc.cast(ck, pa.string())
+        tok_v1 = pc.binary_join_element_wise("tokv1-", cks, "")
+        tok_v2 = pc.binary_join_element_wise("tokv2-", cks, "")
+        team_id = pc.binary_join_element_wise("T", cks, "")
+        ent_id = pc.if_else(no_ent, pa.nulls(n, pa.string()),
+                            pc.binary_join_element_wise("E", cks, ""))
+        nulls = pa.nulls(n, pa.string())
+
+        bot = pa.StructArray.from_arrays(
+            [pc.if_else(is_v1, tok_v1, nulls).combine_chunks()],
+            fields=[pa.field("bot_access_token", pa.string())],
+            mask=pc.invert(is_v1).combine_chunks())
+        team = pa.StructArray.from_arrays(
+            [team_id.combine_chunks(), t["c_mktsegment"].combine_chunks()],
+            fields=[pa.field("id", pa.string()), pa.field("name", pa.string())],
+            mask=is_v1.combine_chunks())
+        ent_struct = pa.StructArray.from_arrays(
+            [ent_id.combine_chunks(), pa.nulls(n, pa.string())],
+            fields=[pa.field("id", pa.string()), pa.field("name", pa.string())],
+            mask=pc.or_(is_v1, no_ent).combine_chunks())
+        oauth = pa.StructArray.from_arrays(
+            [pc.if_else(is_v1, nulls, tok_v2).combine_chunks(),
+             pc.if_else(is_v1, team_id, nulls).combine_chunks(),
+             pc.if_else(is_v1, t["c_mktsegment"], nulls).combine_chunks(),
+             pa.array(["read"] * n, pa.string()),
+             pc.if_else(is_v1, ent_id, nulls).combine_chunks(),
+             team, ent_struct, bot],
+            fields=[pa.field("access_token", pa.string()),
+                    pa.field("team_id", pa.string()),
+                    pa.field("team_name", pa.string()),
+                    pa.field("scope", pa.string()),
+                    pa.field("enterprise_id", pa.string()),
+                    pa.field("team", team.type),
+                    pa.field("enterprise", ent_struct.type),
+                    pa.field("bot", bot.type)])
+        mod3 = pc.subtract(ck, pc.multiply(pc.divide(ck, 3), 3))
+        status = pc.if_else(pc.equal(mod3, 0),
+                            '{"$symbol": "active"}', "active")
+        deleted_at = pc.if_else(pc.less(t["c_acctbal"], 0.0), "gone",
+                                pa.nulls(n, pa.string()))
+        value = pa.StructArray.from_arrays(
+            [t["c_name"].combine_chunks(), oauth,
+             deleted_at.combine_chunks(), status.combine_chunks()],
+            fields=[pa.field("account_aggregate_id", pa.string()),
+                    pa.field("oauth_response_data", oauth.type),
+                    pa.field("deleted_at", pa.string()),
+                    pa.field("status", pa.string())])
+        return pa.table({"c_custkey": ck, "value": value})
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    return built.map_batches(SlackIntegrationPayload(), batch_format="pyarrow")
+
+
+SLACK_ORACLE = """
+SELECT c_custkey,
+       c_name AS account_aggregate_id,
+       CASE WHEN c_custkey % 2 = 0 THEN 'tokv1-' || c_custkey
+            ELSE 'tokv2-' || c_custkey END AS access_token,
+       'T' || c_custkey AS team_id,
+       c_mktsegment AS team_name,
+       'read' AS access_token_scopes,
+       CASE WHEN c_custkey % 5 = 0 THEN NULL
+            ELSE 'E' || c_custkey END AS enterprise_id,
+       (c_acctbal < 0) AS is_deleted,
+       'active' AS status
+FROM customer
+"""
+
+
+def q_modify_partition(sf_dir: str) -> "rd.Dataset":
+    """crc32 partition routing — no SQL oracle (DuckDB lacks crc32);
+    correctness pinned by PartitionerTest goldens in tests."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "key": pc.cast(t["user_id"], pa.string()),
+        })
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    return built.map_batches(AssignPartition(["key"], 10, out_col="partition_id"),
+                             batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# training-data operators
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str) -> "rd.Dataset":
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash(sf_dir: str) -> "rd.Dataset":
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs)
+
+
+def q_dedup_simhash(sf_dir: str) -> "rd.Dataset":
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_signatures(docs)
+
+
+def q_knn(sf_dir: str) -> "rd.Dataset":
+    qids, qmat = load_queries(os.path.join(sf_dir, "embeddings.parquet"), 10)
+    cands = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cands = cands.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 10)),
+        batch_format="pyarrow")
+    return knn_bruteforce(cands, qids, qmat, k=5)
+
+
+KNN_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.qe, c.embedding) AS sim
+           FROM q CROSS JOIN c),
+     r AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+           FROM s)
+SELECT query_id, neighbor_id, round(sim, 4) AS score FROM r WHERE rn <= 5
+"""
+
+
+def q_knn_lsh(sf_dir: str) -> "rd.Dataset":
+    qids, qmat = load_queries(os.path.join(sf_dir, "embeddings.parquet"), 10)
+    cands = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cands = cands.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 10)),
+        batch_format="pyarrow")
+    return knn_lsh(cands, qids, qmat, k=5)
+
+
+def q_lang_id(sf_dir: str) -> "rd.Dataset":
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(LangId(), batch_format="pandas")
+
+
+def _occ_sql(markers: list[str]) -> str:
+    parts = [
+        f"(length(text) - length(replace(text, '{m}', ''))) // {len(m)}"
+        for m in markers
+    ]
+    return " + ".join(parts)
+
+
+LANG_ID_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         {_occ_sql([' the ', ' and '])} AS s_en,
+         {_occ_sql([' der ', ' und '])} AS s_de,
+         {_occ_sql([' le ', ' et '])} AS s_fr,
+         {_occ_sql([' el ', ' y '])} AS s_es,
+         {_occ_sql(['的'])} AS s_zh
+  FROM documents)
+SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+            WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+            WHEN s_es >= s_zh THEN 'es'
+            ELSE 'zh' END AS lang_pred
+FROM m
+"""
+
+
+def q_text_quality(sf_dir: str) -> "rd.Dataset":
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(QualityScore(), batch_format="pandas")
+
+
+TEXT_QUALITY_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       round(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round((length(text) - greatest(
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END - 1, 0)) * 1.0
+             / greatest(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
+         AS avg_token_len
+FROM documents
+"""
+
+
+def q_token_count(sf_dir: str) -> "rd.Dataset":
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(token_count_batch, batch_format="pandas")
+
+
+TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str) -> "rd.Dataset":
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(Fingerprint(), batch_format="pandas")
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_fingerprint_winnow(sf_dir: str) -> "rd.Dataset":
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(Fingerprint(winnow=True), batch_format="pandas")
+
+
+def q_multimodal(sf_dir: str) -> "rd.Dataset":
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = decode_documents(docs)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_bytes", "width", "height", "n_frames"]),
+        batch_format="pyarrow")
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       (octet_length(encode(text)) % 640)::INT AS width,
+       (octet_length(encode(text)) % 480)::INT AS height,
+       (octet_length(encode(text)) % 30 + 1)::INT AS n_frames
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# relational / windowed demos
+# --------------------------------------------------------------------------
+
+PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+TOP_REVENUE_ORACLE = """
+WITH r AS (SELECT l_orderkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem GROUP BY 1)
+SELECT l_orderkey, revenue FROM r
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+CUSTOMER_ORDER_ORACLE = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+EVENTS_HOURLY_ORACLE = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS win,
+       round(sum(value), 2) AS sum_value,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def build_queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "cdc_lww_state": cdc_lww_state,
+        "unquote_key": q_unquote_key,
+        "soft_delete_to_tombstone": q_soft_delete,
+        "json_to_hex": q_json_to_hex,
+        "redshift_flatten": q_redshift_flatten,
+        "clickhouse_flatten": q_clickhouse_flatten,
+        "slack_reshape": q_slack_reshape,
+        "modify_partition_crc32": q_modify_partition,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_knn,
+        "ann_cosine_lsh": q_knn_lsh,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_fingerprint,
+        "doc_fingerprint_winnow": q_fingerprint_winnow,
+        "multimodal_decode": q_multimodal,
+        "pricing_summary": analytics.pricing_summary,
+        "top_revenue_orders": analytics.top_revenue_orders,
+        "customer_order_stats": analytics.customer_order_stats,
+        "events_hourly": analytics.events_hourly,
+    }
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "cdc_lww_state": CDC_ORACLE,
+        "unquote_key": UNQUOTE_ORACLE,
+        "soft_delete_to_tombstone": SOFT_DELETE_ORACLE,
+        "json_to_hex": JSON_TO_HEX_ORACLE,
+        "redshift_flatten": REDSHIFT_ORACLE,
+        "clickhouse_flatten": CLICKHOUSE_ORACLE,
+        "slack_reshape": SLACK_ORACLE,
+        # modify_partition_crc32: no SQL (crc32 unavailable in DuckDB)
+        "dedup_exact": DEDUP_EXACT_ORACLE,
+        # dedup_minhash_lsh / dedup_simhash: sketch-based, not SQL-expressible
+        "ann_cosine_topk": KNN_ORACLE,
+        # ann_cosine_lsh: approximate — recall measured in tests instead
+        "lang_id": LANG_ID_ORACLE,
+        "text_quality": TEXT_QUALITY_ORACLE,
+        "token_count": TOKEN_COUNT_ORACLE,
+        "doc_fingerprint": FINGERPRINT_ORACLE,
+        # doc_fingerprint_winnow: rolling-hash winnowing, not SQL-expressible
+        "multimodal_decode": MULTIMODAL_ORACLE,
+        "pricing_summary": PRICING_ORACLE,
+        "top_revenue_orders": TOP_REVENUE_ORACLE,
+        "customer_order_stats": CUSTOMER_ORDER_ORACLE,
+        "events_hourly": EVENTS_HOURLY_ORACLE,
+    }

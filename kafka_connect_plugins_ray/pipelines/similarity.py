@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — the query matrix is broadcast
+  once (``ray.put``), each batch does one float64 matmul against it, emits
+  its per-batch top-k, and a tiny final groupby(query_id) reduces to the
+  global top-k.  Scale shape: the candidate side streams; only
+  O(batches × q × k) candidate rows ever shuffle.
+- ``knn_lsh``: random-hyperplane LSH variant — candidates restricted to
+  buckets sharing a hash with the query (the 100-TB path: bucket the corpus
+  once, probe buckets per query); recall measured against brute force in
+  tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(embeddings: pd.Series) -> np.ndarray:
+    return np.stack(embeddings.to_numpy()).astype(np.float64)
+
+
+def _topk_frame(qids, sims: np.ndarray, cand_ids: np.ndarray, k: int) -> pd.DataFrame:
+    """Per-query top-k from a sims matrix (queries × candidates)."""
+    rows = {"query_id": [], "neighbor_id": [], "score": []}
+    k_eff = min(k, sims.shape[1])
+    if k_eff == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64" if c != "score" else "float64")
+                             for c in rows})
+    for qi, qid in enumerate(qids):
+        s = sims[qi]
+        # argpartition then exact ordering (score desc, neighbor_id asc)
+        idx = np.argpartition(-s, k_eff - 1)[:k_eff]
+        order = np.lexsort((cand_ids[idx], -s[idx]))
+        for j in idx[order]:
+            rows["query_id"].append(int(qid))
+            rows["neighbor_id"].append(int(cand_ids[j]))
+            rows["score"].append(float(s[j]))
+    return pd.DataFrame({
+        "query_id": pd.Series(rows["query_id"], dtype="int64"),
+        "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
+        "score": pd.Series(rows["score"], dtype="float64"),
+    })
+
+
+class _BatchTopK:
+    """Actor stage: fetches the broadcast query matrix once per actor."""
+
+    def __init__(self, query_ref, k: int):
+        self.qids, q = ray.get(query_ref)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        c = _to_matrix(batch["embedding"])
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = self.qn @ cn.T
+        return _topk_frame(self.qids, sims, batch["vec_id"].to_numpy(), self.k)
+
+
+def knn_bruteforce(candidates: "rd.Dataset", query_ids: np.ndarray,
+                   query_matrix: np.ndarray, k: int = 5) -> "rd.Dataset":
+    query_ref = ray.put((query_ids, query_matrix))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "neighbor_id"],
+                             ascending=[False, True]).iloc[:k]
+
+    per_batch = candidates.map_batches(
+        _BatchTopK, fn_constructor_args=(query_ref, k),
+        batch_format="pandas", batch_size=4096, concurrency=(1, 8),
+    )
+    out = per_batch.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+    def round_score(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        i = b.column_names.index("score")
+        return b.set_column(
+            i, "score",
+            pc.round(b.column("score"), 4, round_mode="half_towards_infinity"),
+        )
+
+    return out.map_batches(round_score, batch_format="pyarrow")
+
+
+class _HyperplaneHasher:
+    def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(n_planes, dim)
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
+            query_matrix: np.ndarray, k: int = 5, n_planes: int = 8) -> "rd.Dataset":
+    """Approximate top-k: only candidates whose hyperplane bucket matches a
+    query's bucket are scored.  At scale this is the IVF-ish path: bucket
+    assignment is one pass, probing touches ~1/2^planes of the corpus."""
+    hasher = _HyperplaneHasher(dim=query_matrix.shape[1], n_planes=n_planes)
+    qbuckets = hasher.bucket(query_matrix.astype(np.float64))
+    query_ref = ray.put((query_ids, query_matrix, qbuckets))
+
+    class BucketTopK:
+        def __init__(self):
+            self.qids, q, self.qb = ray.get(query_ref)
+            self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            self.hasher = _HyperplaneHasher(dim=q.shape[1], n_planes=n_planes)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            c = _to_matrix(batch["embedding"])
+            cb = self.hasher.bucket(c)
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            frames = []
+            ids = batch["vec_id"].to_numpy()
+            for qi, (qid, qb) in enumerate(zip(self.qids, self.qb)):
+                mask = cb == qb
+                if not mask.any():
+                    continue
+                sims = (self.qn[qi:qi + 1] @ cn[mask].T)
+                frames.append(_topk_frame([qid], sims, ids[mask], k))
+            if not frames:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                })
+            return pd.concat(frames, ignore_index=True)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "neighbor_id"],
+                             ascending=[False, True]).iloc[:k]
+
+    per_batch = candidates.map_batches(BucketTopK, batch_format="pandas",
+                                       batch_size=4096, concurrency=(1, 8))
+    return per_batch.groupby("query_id").map_groups(final_topk,
+                                                    batch_format="pandas")
+
+
+def load_queries(path: str, max_qid: int) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side load of the (tiny) query set: vec_id < max_qid."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    t = t.filter(pa.compute.less(t["vec_id"], max_qid))
+    ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    return ids, mat

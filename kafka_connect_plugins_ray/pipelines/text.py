@@ -1,0 +1,114 @@
+"""Text-analysis stages for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms over the ``documents``
+table; every deterministic heuristic here is mirrored 1:1 by an ANSI-SQL
+oracle in ``pipelines/queries.py`` (marker counting uses the
+``(len - len(replace(text, m, ''))) / len(m)`` identity in both engines so
+the semantics are character-for-character identical).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import winnow_fingerprint
+
+# marker -> language, scored by non-overlapping occurrence count
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " et "],
+    "es": [" el ", " y "],
+    "zh": ["的"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]  # tie-break order
+
+PUNCT_RE = re.compile(r"[^.!?,;:]")
+WS_RE = re.compile(r"[\t\n\v\f\r ]+")  # RE2 \s, mirrored by DuckDB regexp
+
+
+def round_half_up(s: pd.Series, n: int) -> pd.Series:
+    """DuckDB ``round()`` rounds half away from zero; pandas/pyarrow round
+    half-to-even — match DuckDB so oracle comparisons are exact."""
+    factor = 10 ** n
+    return np.sign(s) * np.floor(np.abs(s) * factor + 0.5) / factor
+
+
+def _occurrences(s: pd.Series, marker: str) -> pd.Series:
+    # same identity the SQL oracle uses; replace() is non-overlapping in both
+    return (s.str.len() - s.str.replace(marker, "", regex=False).str.len()) // len(marker)
+
+
+class LangId:
+    """n-gram-marker language heuristic (argmax of marker hits)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        scores = {}
+        for lang, markers in LANG_MARKERS.items():
+            s = None
+            for m in markers:
+                occ = _occurrences(text, m)
+                s = occ if s is None else s + occ
+            scores[lang] = s
+        mat = np.stack([scores[lang].to_numpy() for lang in LANG_PRIORITY])
+        pred = np.array(LANG_PRIORITY)[mat.argmax(axis=0)]  # argmax: first max wins
+        out = batch[["doc_id"]].copy()
+        for lang in LANG_PRIORITY:
+            out[f"s_{lang}"] = scores[lang].astype("int64")
+        out["lang_pred"] = pred
+        return out
+
+
+class QualityScore:
+    """Length / token / punctuation quality features."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        n_chars = text.str.len().astype("int64")
+        n_tokens = text.str.split().str.len().fillna(0).astype("int64")
+        n_punct = text.str.count(r"[.!?,;:]").astype("int64")
+        out = batch[["doc_id"]].copy()
+        out["n_chars_actual"] = n_chars
+        out["n_tokens"] = n_tokens
+        out["punct_ratio"] = round_half_up(n_punct / n_chars.clip(lower=1), 4)
+        out["avg_token_len"] = round_half_up(
+            (n_chars - (n_tokens - 1).clip(lower=0)) / n_tokens.clip(lower=1), 4
+        )
+        return out
+
+
+class Fingerprint:
+    """Whitespace-normalized md5 fingerprint (SQL-mirrorable) plus an
+    optional winnowed Karp-Rabin fingerprint (rows-only check)."""
+
+    def __init__(self, winnow: bool = False):
+        self.winnow = winnow
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        normalized = text.map(lambda s: WS_RE.sub(" ", s).lower())
+        out = batch[["doc_id"]].copy()
+        out["fingerprint"] = normalized.map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        )
+        if self.winnow:
+            out["winnow_fp"] = text.map(
+                lambda s: np.int64(winnow_fingerprint(s) & 0x7FFFFFFFFFFFFFFF)
+            )
+        return out
+
+
+def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"].astype(str)
+    out = batch[["doc_id"]].copy()
+    out["n_tokens"] = text.str.split().str.len().fillna(0).astype("int64")
+    # a BPE-ish subword proxy: alnum runs + punctuation marks as tokens
+    out["n_subtokens"] = text.str.count(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]").astype("int64")
+    return out

@@ -1,0 +1,4 @@
+from .binlog import binlog_from_documents
+from .readers import read_table
+
+__all__ = ["binlog_from_documents", "read_table"]

@@ -1,0 +1,118 @@
+"""Deterministic synthetic changelog (binlog) over the code-repo base table.
+
+North-rule input (BASELINE.json input_hint / FIXTURES.md F7): a Parquet table
+of source-code repositories ``(repo, path, commit, lang, content)``; change
+event = base row + ``lsn`` (log sequence number) + ``op`` in
+{insert, update, delete}; key = (repo, path); per-key order = (commit, lsn);
+delete events carry null content (tombstone).
+
+The generator derives the binlog *deterministically* from the driver's
+``documents`` table (doc_id, text, lang) so that (a) no external data is
+synthesized, and (b) the final LWW state is exactly expressible in ANSI SQL
+for the DuckDB oracle:
+
+- ``repo  = 'repo-' || (doc_id % 50)``
+- ``path  = 'src/doc_' || doc_id || '.txt'``
+- upsert events ``seq = 0 .. (doc_id % 3) + rounds``  (insert at seq 0)
+- ``commit = printf('c%06d-', seq) || substr(md5(doc_id || ':' || seq), 1, 8)``
+  — lexically ordered by seq, so (commit, lsn) ordering == event order
+- ``lsn = doc_id * (4 + rounds) + seq``  (globally unique)
+- ``content = text || '#v' || seq``; delete events have null content
+- docs with ``doc_id % 17 == 0`` get a trailing delete event (their key must
+  vanish from the final table)
+- ``with_metadata=True`` adds an additive ``metadata`` string column — the
+  schema-evolution variant (new column mid-stream, old rows null-filled).
+
+Everything is column math + md5, reproducible in DuckDB; the expansion is
+vectorized (numpy repeat/arange) except the md5 commit suffix.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .readers import read_table
+
+DELETE_EVERY = 17
+REPO_BUCKETS = 50
+
+
+def _expand_batch(t: pa.Table, rounds: int, with_metadata: bool,
+                  base_lsn: int = 0) -> pa.Table:
+    d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(d)
+    stride = 4 + rounds
+    n_upserts = 1 + (d % 3) + rounds
+    has_delete = (d % DELETE_EVERY == 0).astype(np.int64)
+    counts = n_upserts + has_delete
+    total = int(counts.sum())
+
+    row_idx = np.repeat(np.arange(n), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    seq = np.arange(total) - np.repeat(starts, counts)
+
+    doc = d[row_idx]
+    nu = n_upserts[row_idx]
+    is_delete = seq == nu  # the trailing event (only exists when has_delete)
+    lsn = base_lsn + doc * stride + seq
+
+    repo = pa.array([f"repo-{v}" for v in (doc % REPO_BUCKETS)], pa.string())
+    path = pa.array([f"src/doc_{v}.txt" for v in doc], pa.string())
+    commits = pa.array(
+        [
+            f"c{s:06d}-" + hashlib.md5(f"{dv}:{s}".encode()).hexdigest()[:8]
+            for dv, s in zip(doc, seq)
+        ],
+        pa.string(),
+    )
+
+    text = pc.take(t.column("text"), pa.array(row_idx, pa.int64()))
+    lang = pc.take(t.column("lang"), pa.array(row_idx, pa.int64()))
+    seq_str = pa.array(seq.astype(str), pa.string())
+    content = pc.binary_join_element_wise(text, "#v", seq_str, "")
+    content = pc.if_else(pa.array(is_delete), pa.nulls(total, pa.string()), content)
+
+    op = np.where(is_delete, "delete", np.where(seq == 0, "insert", "update"))
+
+    cols = {
+        "repo": repo,
+        "path": path,
+        "commit": commits,
+        "lang": lang,
+        "content": content,
+        "lsn": pa.array(lsn, pa.int64()),
+        "op": pa.array(op.tolist(), pa.string()),
+    }
+    if with_metadata:
+        cols["metadata"] = pc.binary_join_element_wise("m:", commits, "")
+    return pa.table(cols)
+
+
+def binlog_from_documents(sf_dir: str, *, rounds: int = 0,
+                          with_metadata: bool = False,
+                          base_lsn: int = 0,
+                          min_lsn: "int | None" = None) -> "rd.Dataset":
+    """Change-event Dataset derived from ``{sf_dir}/documents.parquet``.
+
+    ``base_lsn`` offsets the whole batch's lsn space — use it to generate a
+    *later* binlog segment for incremental-ingest tests.  ``min_lsn``
+    pre-filters the tail for incremental resume (events with
+    ``lsn <= min_lsn`` are skipped — the manifest high-water contract).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(
+        lambda t: _expand_batch(t, rounds, with_metadata, base_lsn),
+        batch_format="pyarrow",
+    )
+    if min_lsn is not None:
+        hw = min_lsn
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.greater(t["lsn"], hw)),
+            batch_format="pyarrow",
+        )
+    return ds

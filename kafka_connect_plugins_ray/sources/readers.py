@@ -1,0 +1,14 @@
+"""Parquet read helpers — always prune columns at the read."""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+
+def read_table(sf_dir: str, name: str, columns: "list[str] | None" = None,
+               **kwargs) -> "rd.Dataset":
+    """Read one testdata table with column pruning (TESTDATA.md layout)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return rd.read_parquet(path, columns=columns, **kwargs)

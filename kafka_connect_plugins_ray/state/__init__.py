@@ -1,0 +1,3 @@
+from .manifest import Manifest, LakeStore
+
+__all__ = ["Manifest", "LakeStore"]

@@ -1,0 +1,125 @@
+"""Exactly-once lake manifest — the engine's explicit re-realization of
+Kafka Connect's framework-held consumer offsets (SURVEY.md §3-4).
+
+A lake directory looks like:
+
+    <root>/
+      data/v<version>/part-<pid>.parquet     # COW partition files
+      manifest-v<version>.json               # file list + lineage + offsets
+      CURRENT                                # text file: committed version
+
+Commit protocol (the exactly-once core):
+1. merge tasks write partition files to deterministic paths
+   ``data/v{V}/part-{pid:05d}.parquet`` via tmp-file + ``os.replace``
+   (idempotent under Ray task retries);
+2. the driver writes ``manifest-v{V}.json`` (tmp + replace), then
+3. atomically swaps ``CURRENT`` -> V (tmp + replace).
+
+A crash anywhere before step 3 leaves CURRENT at the parent version; the
+orphaned v{V} files are never referenced, and a replay rewrites them
+byte-for-byte (deterministic names + deterministic content), yielding the
+identical final table state (the north rule's kill-and-replay sha256 gate).
+
+The manifest records the input high-water LSN (resume = replay events with
+``lsn > high_water``) and per-partition lineage/metrics
+(rows, bytes, upserts, deletes, input lsn range, parent version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: "int | None"
+    high_water_lsn: int
+    files: dict[int, str] = field(default_factory=dict)  # pid -> relpath
+    partitions: dict[int, dict] = field(default_factory=dict)  # pid -> lineage
+    schema: "list[str] | None" = None  # committed column names (evolution log)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "parent": self.parent,
+                "high_water_lsn": self.high_water_lsn,
+                "files": {str(k): v for k, v in self.files.items()},
+                "partitions": {str(k): v for k, v in self.partitions.items()},
+                "schema": self.schema,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            version=d["version"],
+            parent=d.get("parent"),
+            high_water_lsn=d["high_water_lsn"],
+            files={int(k): v for k, v in d.get("files", {}).items()},
+            partitions={int(k): v for k, v in d.get("partitions", {}).items()},
+            schema=d.get("schema"),
+        )
+
+
+def _atomic_write(path: str, data: "str | bytes"):
+    mode = "wb" if isinstance(data, bytes) else "w"
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+    try:
+        with os.fdopen(fd, mode) as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+class LakeStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current_version(self) -> "int | None":
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def current(self) -> "Manifest | None":
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.read_manifest(v)
+
+    def read_manifest(self, version: int) -> Manifest:
+        with open(os.path.join(self.root, f"manifest-v{version}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def data_file(self, version: int, pid: int) -> str:
+        return f"data/v{version}/part-{pid:05d}.parquet"
+
+    def abspath(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def commit(self, manifest: Manifest):
+        """Steps 2+3 of the protocol: manifest write, then CURRENT swap."""
+        _atomic_write(
+            os.path.join(self.root, f"manifest-v{manifest.version}.json"),
+            manifest.to_json(),
+        )
+        _atomic_write(self._current_path(), str(manifest.version))

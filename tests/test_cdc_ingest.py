@@ -1,0 +1,156 @@
+"""Engine-level CDC tests the reference delegates to Kafka Connect:
+LWW merge correctness, kill-and-replay state equality, incremental resume,
+copy-on-write, additive schema evolution (north rule / SURVEY.md §7 steps
+4-7)."""
+
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.functions.hashing import table_state_sha256
+from kafka_connect_plugins_ray.pipelines.cdc_ingest import ingest, read_lake
+from kafka_connect_plugins_ray.sources.binlog import binlog_from_documents
+from kafka_connect_plugins_ray.state.manifest import LakeStore
+
+SF = "/root/testdata/sf0.001"
+
+ORACLE_SQL = """
+SELECT 'repo-' || (doc_id % 50) AS repo,
+       'src/doc_' || doc_id || '.txt' AS path,
+       printf('c%06d-', (doc_id % 3)::INT) || substr(md5(doc_id || ':' || (doc_id % 3)), 1, 8) AS commit,
+       lang,
+       text || '#v' || (doc_id % 3) AS content,
+       doc_id * 4 + (doc_id % 3) AS lsn
+FROM read_parquet('{sf}/documents.parquet')
+WHERE doc_id % 17 <> 0
+ORDER BY repo, path
+"""
+
+
+def _lake(tmp_path, name):
+    p = str(tmp_path / name)
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+def _state_table(lake_root) -> pa.Table:
+    ds = read_lake(lake_root)
+    batches = ds.to_arrow_refs()
+    import ray
+    tables = [t for t in ray.get(batches) if t.num_rows]
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _state_hash(lake_root) -> str:
+    return table_state_sha256(_state_table(lake_root), ["repo", "path"])
+
+
+def test_lww_state_matches_sql_oracle(tmp_path):
+    lake = _lake(tmp_path, "lww")
+    ingest(lake, binlog_from_documents(SF))
+    got = _state_table(lake).sort_by([("repo", "ascending"), ("path", "ascending")])
+    exp = duckdb.sql(ORACLE_SQL.format(sf=SF)).arrow()
+    got = got.select(exp.column_names).cast(exp.schema)
+    assert got.equals(exp), "final LWW table state != SQL oracle"
+
+
+def test_replay_identical_state(tmp_path):
+    # full replay of the same binlog (crash-after-commit scenario): the
+    # resume filter skips everything; state must be byte-identical
+    lake = _lake(tmp_path, "replay")
+    ingest(lake, binlog_from_documents(SF))
+    h1 = _state_hash(lake)
+    m2 = ingest(lake, binlog_from_documents(SF))
+    assert _state_hash(lake) == h1
+    assert m2.version == 2
+
+
+def test_incremental_equals_oneshot(tmp_path):
+    # ingesting a prefix then the tail == ingesting everything at once
+    oneshot = _lake(tmp_path, "oneshot")
+    ingest(oneshot, binlog_from_documents(SF))
+
+    incr = _lake(tmp_path, "incr")
+    cutoff = 900
+    ev1 = binlog_from_documents(SF).filter(lambda r: r["lsn"] <= cutoff)
+    ingest(incr, ev1)
+    ingest(incr, binlog_from_documents(SF))  # resume filter takes lsn > hw
+    assert _state_hash(incr) == _state_hash(oneshot)
+
+
+def test_crash_before_commit_replay(tmp_path):
+    # simulate a crash AFTER partition files are written but BEFORE the
+    # manifest/CURRENT swap: replay must converge to the uninterrupted state
+    lake = _lake(tmp_path, "crash")
+    ingest(lake, binlog_from_documents(SF))
+    h1 = _state_hash(lake)
+    store = LakeStore(lake)
+    v = store.current_version()
+
+    # fake a dead v+1 attempt: orphaned data files, no manifest commit
+    orphan_dir = os.path.join(lake, f"data/v{v + 1}")
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(os.path.join(orphan_dir, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage from a killed task")
+
+    # replay the same binlog (as a restarted job would)
+    m = ingest(lake, binlog_from_documents(SF))
+    assert m.version == v + 1
+    assert _state_hash(lake) == h1  # orphan overwritten/ignored
+
+
+def test_copy_on_write_carries_untouched_partitions(tmp_path):
+    lake = _lake(tmp_path, "cow")
+    m1 = ingest(lake, binlog_from_documents(SF))
+    # second cycle with only a handful of new events (rounds=1 adds one
+    # update per doc; filter to two docs => most partitions untouched)
+    ev = binlog_from_documents(SF, rounds=1, base_lsn=10_000).filter(
+        lambda r: r["path"] in ("src/doc_1.txt", "src/doc_2.txt")
+    )
+    m2 = ingest(lake, ev)
+    touched = [pid for pid, rel in m2.files.items() if rel != m1.files.get(pid)]
+    assert 1 <= len(touched) <= 2
+    untouched = [pid for pid, rel in m2.files.items() if rel == m1.files.get(pid)]
+    assert len(untouched) == len(m2.files) - len(touched)
+
+
+def test_schema_evolution_additive(tmp_path):
+    # batch 2 adds an additive `metadata` column mid-stream: no restart,
+    # unified output schema, old rows null-filled
+    lake = _lake(tmp_path, "evo")
+    ingest(lake, binlog_from_documents(SF))
+    ev2 = binlog_from_documents(SF, rounds=1, with_metadata=True, base_lsn=10_000)
+    m2 = ingest(lake, ev2)
+    assert "metadata" in (m2.schema or [])
+    state = _state_table(lake)
+    assert "metadata" in state.column_names
+    md = state.column("metadata")
+    assert md.null_count < state.num_rows  # updated rows carry metadata
+    # rows whose key was never touched in cycle 2 are null-filled — cycle 2
+    # (rounds=1) touches every doc, so instead check lww content version
+    assert state.num_rows == 470
+
+
+def test_lineage_metrics_recorded(tmp_path):
+    lake = _lake(tmp_path, "lineage")
+    m = ingest(lake, binlog_from_documents(SF))
+    assert m.files, "manifest must list files"
+    total_in = sum(p["input_rows"] for p in m.partitions.values())
+    assert total_in == 1029  # all change events accounted for
+    for p in m.partitions.values():
+        assert p["rows"] >= 0 and p["bytes"] > 0
+        assert p["lsn_range"][0] <= p["lsn_range"][1]
+    assert m.high_water_lsn == 1997
+
+
+def test_deletes_remove_keys(tmp_path):
+    lake = _lake(tmp_path, "deletes")
+    ingest(lake, binlog_from_documents(SF))
+    state = _state_table(lake)
+    paths = set(state.column("path").to_pylist())
+    assert "src/doc_0.txt" not in paths  # doc_id 0 -> deleted
+    assert "src/doc_17.txt" not in paths
+    assert "src/doc_1.txt" in paths

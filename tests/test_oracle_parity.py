@@ -1,0 +1,79 @@
+"""Replicates the driver's correctness gate locally at sf0.001: run every
+``queries()`` entry AND its ``oracle_sql()`` through DuckDB on the same
+parquet, compare row-count + schema-names + order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+from __ray_entry__ import entry, oracle_sql, queries  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _con():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (list, tuple))).any():
+            df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+QUERIES = queries()
+ORACLES = oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_oracle(name):
+    got = _normalize(_to_pandas(QUERIES[name](SF)))
+    con = _con()
+    exp = _normalize(con.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=False, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name):
+    got = _to_pandas(QUERIES[name](SF))
+    assert len(got) >= 0  # runs and produces a stable frame
+    assert len(got.columns) > 0
+
+
+def test_entry_smoke():
+    result = entry()
+    df = _to_pandas(result)
+    assert len(df) == 470
+    assert set(["repo", "path", "commit", "lang", "content", "lsn"]) <= set(df.columns)
