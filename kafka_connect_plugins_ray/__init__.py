@@ -19,3 +19,34 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _disable_numpy_thp() -> None:
+    """Work around pathological transparent-huge-page faults on this
+    sandbox's Firecracker kernel: numpy madvises THP on large allocations
+    and every fresh hugepage fault is ~100x slower than a normal one
+    (measured: np.copy 0.05 GB/s with THP vs 2.4 GB/s without; plain
+    bytearray copies are unaffected at 2.4 GB/s).  This module is imported
+    in every Ray worker that runs our stages, so the toggle applies
+    fleet-wide.  No-op where the private API is absent."""
+    import os
+
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # for child procs
+    try:
+        from numpy.core import multiarray
+
+        multiarray._set_madvise_hugepage(False)
+    except Exception:
+        pass
+    if os.environ.get("KCP_ARROW_SYSTEM_POOL", "0") == "1":
+        try:
+            import pyarrow as pa
+
+            # jemalloc also madvises THP; the system allocator avoids the
+            # same hugepage-fault pathology for large Arrow buffers
+            pa.set_memory_pool(pa.system_memory_pool())
+        except Exception:
+            pass
+
+
+_disable_numpy_thp()

@@ -1,0 +1,131 @@
+"""Explicit two-stage hash exchange + tree aggregation over raw Ray tasks.
+
+Why this exists: Ray Data's `groupby()` in this Ray version funnels the
+whole dataset through an effectively single-task sort (measured: 19-34 s to
+group 210k rows / 80 MB that a two-stage exchange moves in <3 s — see
+BENCH notes).  The Dataset API can't currently express a key-partitioned
+exchange with user reduce efficiently here, so per the design rules this is
+the documented raw-task escape hatch — used ONLY for the wide steps; all
+narrow transforms remain `map_batches` stages.
+
+Shapes:
+
+- ``hash_exchange(ds, pid_col, P, reduce_fn)``: stage 1 = one task per
+  input block, stable-sorts the block by the precomputed partition id and
+  returns its P slices as P separate object refs (``num_returns=P``); stage
+  2 = one reduce task per partition, concatenating its column of parts.
+  Only bytes destined for partition p ever flow to reduce task p — the
+  textbook map-side split exchange.
+
+  Partitioning assumptions (documented per SURVEY.md §2 custom-operator
+  rule): ``B × P`` object refs exist transiently (B input blocks).  With
+  128 MB blocks and P ≲ 4096 that is fine into the tens of TB; at 100 TB
+  either raise the block size, make the exchange hierarchical (exchange to
+  √P super-partitions, then fan out), or use Ray Data's push-based shuffle
+  on a real multi-node cluster where its constants amortize.
+
+- ``tree_aggregate(ds, partial_fn, combine_fn)``: per-block partials
+  (already small: one row per group per block) are combined in a fan-in
+  tree of remote tasks; the driver only ever sees the final table.  This is
+  the partial-aggregation pattern for group counts ≪ rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _split_by_pid(pid_col: str, num_partitions: int, *blocks: pa.Table):
+    live = [b for b in blocks
+            if b.num_rows and pid_col in b.column_names]
+    # Ray may pass empty blocks through upstream UDFs unchanged, so an
+    # empty block can even lack the pid column — nothing to route.
+    if not live:
+        return tuple([None] * num_partitions)
+    block = (live[0] if len(live) == 1
+             else pa.concat_tables(live, promote_options="permissive"))
+    pid = block.column(pid_col).to_numpy()
+    order = np.argsort(pid, kind="stable")
+    sorted_tbl = block.take(pa.array(order, type=pa.int64()))
+    spid = pid[order]
+    bounds = np.searchsorted(spid, np.arange(num_partitions + 1))
+    return tuple(
+        sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i in range(num_partitions)
+    )
+
+
+@ray.remote
+def _reduce_partition(reduce_fn: Callable[[int, pa.Table], Any], pid: int,
+                      *parts: pa.Table):
+    live = [p for p in parts if p is not None and p.num_rows]
+    if not live:
+        return None
+    table = (
+        live[0] if len(live) == 1
+        else pa.concat_tables(live, promote_options="permissive")
+    )
+    return reduce_fn(pid, table)
+
+
+def hash_exchange(ds, pid_col: str, num_partitions: int,
+                  reduce_fn: Callable[[int, pa.Table], Any],
+                  reduce_num_cpus: float = 1,
+                  max_objects: int = 1024) -> list:
+    """Run ``reduce_fn(pid, table_of_all_rows_with_that_pid)`` for every
+    partition; returns the list of non-None reduce results (driver-side —
+    intended for small per-partition outputs like lineage rows or
+    aggregates; large outputs should be written to storage inside
+    ``reduce_fn``).
+
+    Input blocks are coalesced into at most ``max_objects / P`` split tasks
+    so the transient object count (splits × P) stays bounded — per-object
+    fixed costs dominate wall time when blocks are small (measured: 64
+    blocks × 32 partitions = 2k objects cost ~3 s extra vs 16 × 32)."""
+    split = ray.remote(num_returns=num_partitions)(_split_by_pid)
+    refs = list(ds.to_arrow_refs())
+    max_splits = max(1, max_objects // max(num_partitions, 1))
+    if len(refs) > max_splits:
+        per = (len(refs) + max_splits - 1) // max_splits
+        groups = [refs[i:i + per] for i in range(0, len(refs), per)]
+    else:
+        groups = [[r] for r in refs]
+    split_refs = [split.remote(pid_col, num_partitions, *g) for g in groups]
+    if num_partitions == 1:
+        parts_by_pid = [tuple(split_refs)]
+    else:
+        parts_by_pid = list(zip(*split_refs))
+    reducer = _reduce_partition.options(num_cpus=reduce_num_cpus)
+    out = ray.get([
+        reducer.remote(reduce_fn, pid, *parts_by_pid[pid])
+        for pid in range(num_partitions)
+    ])
+    return [o for o in out if o is not None]
+
+
+@ray.remote
+def _combine(combine_fn: Callable[[pa.Table], pa.Table], *tables: pa.Table):
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return None
+    return combine_fn(pa.concat_tables(live, promote_options="permissive"))
+
+
+def tree_aggregate(ds, combine_fn: Callable[[pa.Table], pa.Table],
+                   fanin: int = 8) -> "pa.Table | None":
+    """Combine a Dataset of (small) partial-aggregate blocks into one table
+    via a remote fan-in tree; ``combine_fn`` must be associative (re-run on
+    already-combined output)."""
+    refs = list(ds.to_arrow_refs())
+    if not refs:
+        return None
+    while len(refs) > 1:
+        nxt = []
+        for i in range(0, len(refs), fanin):
+            nxt.append(_combine.remote(combine_fn, *refs[i:i + fanin]))
+        refs = nxt
+    return ray.get(refs[0])

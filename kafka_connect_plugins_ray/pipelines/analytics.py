@@ -1,32 +1,33 @@
 """Relational demos proving the engine's wide-operation patterns at the
 shapes that matter at 100 TB:
 
-- ``pricing_summary``: partial aggregation inside map_batches (per-batch
-  pyarrow group_by) before the global groupby — the shuffle moves one row
-  per (batch × group) instead of every input row.
-- ``top_revenue_orders``: groupby-sum → sort → limit (top-k).
+- ``pricing_summary`` / ``events_hourly`` / ``customer_order_stats``:
+  partial aggregation inside map_batches (per-batch pyarrow group_by) then
+  a remote fan-in ``tree_aggregate`` — the shuffle-free reduction for
+  group-counts ≪ rows (the partials are one row per group per block).
+- ``top_revenue_orders``: per-key partial sums → tree combine → top-k.
 - ``customer_order_stats``: broadcast hash join — the small dimension side
   is ``ray.put`` once and looked up per batch with numpy searchsorted; no
   shuffle of the fact table.
-- ``events_hourly``: tumbling-window aggregate over the event stream
-  (groupby(user, window)) — the engine's windowed-aggregate shape.
+
+All return small pyarrow Tables (aggregates), computed without any
+all-to-all exchange.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
+from ..exchange import tree_aggregate
 from ..sources.readers import read_table
 
 
 def _round_cols(t: pa.Table, cols: list[str], ndigits: int = 2) -> pa.Table:
-    # half_away_from_zero == DuckDB round(); pyarrow defaults to half_to_even
+    # half_towards_infinity == DuckDB round() (half away from zero for
+    # positives); pyarrow defaults to half_to_even
     for c in cols:
         i = t.column_names.index(c)
         t = t.set_column(
@@ -36,57 +37,68 @@ def _round_cols(t: pa.Table, cols: list[str], ndigits: int = 2) -> pa.Table:
     return t
 
 
-def pricing_summary(sf_dir: str) -> "rd.Dataset":
+def _regroup(keys: list[str], sums: list[str]):
+    """Associative combine: sum the partial-sum columns per key group and
+    restore the original column names/order."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sums])
+        g = g.rename_columns([c[:-4] if c.endswith("_sum") else c
+                              for c in g.column_names])
+        return g.select(keys + sums)
+
+    return combine
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
     ds = read_table(sf_dir, "lineitem", columns=[
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
         "l_discount", "l_shipdate",
     ])
 
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = t.append_column("disc_price", disc)
-        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
-            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
-            ("disc_price", "sum"), ("l_quantity", "count"),
-        ])
-        return g
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["l_quantity"], "sum_base_price": t["l_extendedprice"],
+            "sum_disc_price": disc,
+            "count_order": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        return _regroup(keys, sums)(t)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity_sum", alias_name="sum_qty"),
-        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
-        Sum("disc_price_sum", alias_name="sum_disc_price"),
-        Sum("l_quantity_count", alias_name="count_order"),
-    )
-    return out.map_batches(
-        lambda t: _round_cols(t, ["sum_qty", "sum_base_price", "sum_disc_price"]),
-        batch_format="pyarrow",
-    )
+    out = tree_aggregate(partials, _regroup(keys, sums))
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price"])
 
 
-def top_revenue_orders(sf_dir: str, k: int = 10) -> "rd.Dataset":
+def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
-        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        return _regroup(["l_orderkey"], ["revenue"])(t)
 
-    summed = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="revenue"))
-    rounded = summed.map_batches(lambda t: _round_cols(t, ["revenue"]),
-                                 batch_format="pyarrow")
-    return rounded.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    summed = tree_aggregate(partials, _regroup(["l_orderkey"], ["revenue"]))
+    summed = _round_cols(summed, ["revenue"])
+    order = pc.sort_indices(summed, sort_keys=[("revenue", "descending"),
+                                               ("l_orderkey", "ascending")])
+    return summed.take(order[:k])
 
 
-def customer_order_stats(sf_dir: str) -> "rd.Dataset":
+def customer_order_stats(sf_dir: str) -> pa.Table:
     """Broadcast join: customer (tiny) shipped once via ray.put."""
-    import pyarrow.parquet as pq
     import os
+    import pyarrow.parquet as pq
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
@@ -94,6 +106,7 @@ def customer_order_stats(sf_dir: str) -> "rd.Dataset":
     keys = cust.column("c_custkey").to_numpy()[order]
     segs = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)[order]
     ref = ray.put((keys, segs))
+    combine = _regroup(["c_mktsegment"], ["total_price", "order_count"])
 
     class Lookup:
         def __init__(self):
@@ -104,37 +117,33 @@ def customer_order_stats(sf_dir: str) -> "rd.Dataset":
             idx = np.searchsorted(self.keys, ck)
             idx = np.clip(idx, 0, len(self.keys) - 1)
             seg = np.where(self.keys[idx] == ck, self.segs[idx], None)
-            t = t.append_column("c_mktsegment", pa.array(seg, pa.string()))
-            return t.group_by("c_mktsegment").aggregate([
-                ("o_totalprice", "sum"), ("o_custkey", "count"),
-            ])
+            t = pa.table({
+                "c_mktsegment": pa.array(seg, pa.string()),
+                "total_price": t["o_totalprice"],
+                "order_count": pa.array(np.ones(t.num_rows, np.int64)),
+            })
+            return combine(t)
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     partials = ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 4))
-    out = partials.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice_sum", alias_name="total_price"),
-        Sum("o_custkey_count", alias_name="order_count"),
-    )
-    return out.map_batches(lambda t: _round_cols(t, ["total_price"]),
-                           batch_format="pyarrow")
+    out = tree_aggregate(partials, combine)
+    return _round_cols(out, ["total_price"])
 
 
-def events_hourly(sf_dir: str) -> "rd.Dataset":
+def events_hourly(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour window aggregate per user (event-stream shape)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    combine = _regroup(["user_id", "win"], ["sum_value", "n_events"])
 
-    def add_window(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())  # epoch micros
         win = pc.divide(us, 3_600_000_000)
-        t = pa.table({"user_id": t["user_id"], "win": win, "value": t["value"]})
-        return t.group_by(["user_id", "win"]).aggregate([
-            ("value", "sum"), ("value", "count"),
-        ])
+        t = pa.table({
+            "user_id": t["user_id"], "win": win, "sum_value": t["value"],
+            "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        return combine(t)
 
-    partials = ds.map_batches(add_window, batch_format="pyarrow")
-    out = partials.groupby(["user_id", "win"]).aggregate(
-        Sum("value_sum", alias_name="sum_value"),
-        Sum("value_count", alias_name="n_events"),
-    )
-    return out.map_batches(lambda t: _round_cols(t, ["sum_value"]),
-                           batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = tree_aggregate(partials, combine)
+    return _round_cols(out, ["sum_value"])

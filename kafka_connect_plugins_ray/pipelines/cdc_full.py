@@ -1,0 +1,92 @@
+"""The full reference-shaped CDC pipeline (EP1, README.md:27-31 semantics):
+
+    changelog tail
+      → Connect-style envelope (key string, nested value struct with body)
+      → SMT chain: UnquoteRecordKey → SoftDeleteToTombstone(body.deleted_at)
+      → project tombstones to op=delete + payload columns
+      → crc32(key) % P hash exchange → per-key (commit,lsn) LWW merge
+      → copy-on-write lake + manifest commit
+
+This is the engine's headline benchmark pipeline: unlike ``cdc_lww_state``
+(which feeds pre-projected events straight to the merge), it exercises the
+envelope/struct SMT path the reference runs per record.
+
+Deletes are encoded the way the reference sees them: a *soft-delete*
+timestamp inside ``body.deleted_at`` that the SMT chain turns into a
+tombstone (SoftDeleteToTombstoneTransformer.kt:29-47), which the sink then
+applies as a key delete — not as a pre-computed op column.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..schema import OP, OP_DELETE, VALUE
+from ..sources.binlog import binlog_from_documents
+from ..stages.base import Chain
+from ..stages.soft_delete import SoftDeleteToTombstone
+from ..stages.unquote_key import UnquoteRecordKey
+from .cdc_ingest import ingest
+from ..state.manifest import Manifest
+
+BODY_T = pa.struct([
+    ("content", pa.string()),
+    ("lang", pa.string()),
+    ("deleted_at", pa.int64()),
+])
+VALUE_T = pa.struct([("body", BODY_T)])
+
+
+def to_envelope(t: pa.Table) -> pa.Table:
+    """binlog rows -> Connect-record envelope: JSON-quoted string key (the
+    UnquoteRecordKey fixture shape) + nested value struct."""
+    n = t.num_rows
+    deleted = pc.equal(t["op"], OP_DELETE)
+    deleted_at = pc.if_else(deleted, t["lsn"], pa.nulls(n, pa.int64()))
+    body = pa.StructArray.from_arrays(
+        [t["content"].combine_chunks(), t["lang"].combine_chunks(),
+         deleted_at.combine_chunks()],
+        fields=[pa.field("content", pa.string()),
+                pa.field("lang", pa.string()),
+                pa.field("deleted_at", pa.int64())])
+    value = pa.StructArray.from_arrays([body], fields=[pa.field("body", BODY_T)])
+    key = pc.binary_join_element_wise(
+        '"', t["repo"], "\x1f", t["path"], '"', "")
+    return pa.table({
+        "key": key,
+        "repo": t["repo"], "path": t["path"],
+        "commit": t["commit"], "lsn": t["lsn"],
+        VALUE: value,
+    })
+
+
+def project_for_merge(t: pa.Table) -> pa.Table:
+    """post-SMT projection: envelope -> merge columns (payload out of the
+    value struct; tombstones become op=delete with null payload)."""
+    value = t.column(VALUE)
+    op = t.column(OP) if OP in t.column_names else None
+    content = pc.struct_field(value, ["body", "content"])
+    lang = pc.struct_field(value, ["body", "lang"])
+    return pa.table({
+        "repo": t["repo"], "path": t["path"], "commit": t["commit"],
+        "lang": lang, "content": content, "lsn": t["lsn"],
+        OP: op if op is not None else pa.nulls(t.num_rows, pa.string()),
+    })
+
+
+def full_cdc_events(sf_dir: str, *, rounds: int = 0,
+                    base_lsn: int = 0) -> "rd.Dataset":
+    ev = binlog_from_documents(sf_dir, rounds=rounds, base_lsn=base_lsn)
+    ev = ev.map_batches(to_envelope, batch_format="pyarrow")
+    chain = Chain(UnquoteRecordKey(),
+                  SoftDeleteToTombstone(field="body.deleted_at"))
+    ev = ev.map_batches(chain, batch_format="pyarrow")
+    return ev.map_batches(project_for_merge, batch_format="pyarrow")
+
+
+def full_cdc_ingest(lake_root: str, sf_dir: str, *, rounds: int = 0,
+                    num_partitions: int = 32) -> Manifest:
+    return ingest(lake_root, full_cdc_events(sf_dir, rounds=rounds),
+                  num_partitions=num_partitions)

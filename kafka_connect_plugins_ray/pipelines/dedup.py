@@ -19,9 +19,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+
+from ..exchange import hash_exchange, tree_aggregate
 
 _MERSENNE = (1 << 61) - 1
+DEDUP_BUCKETS = 32  # hash-exchange fan-out for bucketed wide steps
 
 
 def _tokenize(text: str) -> list[str]:
@@ -101,42 +103,79 @@ def _candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
                          "doc_b": pd.Series(b, dtype="int64")})
 
 
-def exact_dedup(docs: "rd.Dataset") -> "rd.Dataset":
-    """md5(text)-keyed exact dedup: keep min(doc_id), count duplicates."""
+def exact_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS) -> pa.Table:
+    """md5(text)-keyed exact dedup: keep min(doc_id), count duplicates.
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[["doc_id"]].copy()
-        out["text_hash"] = batch["text"].astype(str).map(
-            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
-        )
-        return out
+    Scale shape: per-batch partial (hash → min/count) shrinks each block to
+    its distinct hashes, then a hash exchange on the hash prefix co-locates
+    equal hashes for the exact group-reduce — no global sort, and each
+    bucket reduce sees only its shard."""
 
-    hashed = docs.map_batches(add_hash, batch_format="pandas")
-    return hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"),
-        Count(alias_name="n_dups"),
-    )
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "text_hash": batch["text"].astype(str).map(
+                lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+            "keep_doc_id": batch["doc_id"].astype("int64"),
+        })
+        g = df.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "min"), n_dups=("keep_doc_id", "size"))
+        g["n_dups"] = g["n_dups"].astype("int64")
+        g["bucket"] = g["text_hash"].map(
+            lambda h: int(h[:8], 16) % num_buckets).astype("int32")
+        return g
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> pa.Table:
+        g = t.group_by("text_hash").aggregate([
+            ("keep_doc_id", "min"), ("n_dups", "sum")])
+        return g.rename_columns(["text_hash", "keep_doc_id", "n_dups"]) \
+            .select(["text_hash", "keep_doc_id", "n_dups"])
+
+    shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
+    return pa.concat_tables(shards, promote_options="permissive")
 
 
 def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
-                      num_bands: int = 16, jaccard_threshold: float = 0.5,
-                      shingle_k: int = 3) -> "rd.Dataset":
-    """Candidate near-dup pairs via MinHash+LSH, verified with exact
-    word-shingle Jaccard (computed from re-read texts, broadcast-free:
-    verification joins text back per pair via a second pass)."""
+                      num_bands: int = 16, shingle_k: int = 3,
+                      num_buckets: int = DEDUP_BUCKETS) -> pa.Table:
+    """Candidate near-dup pairs via MinHash+LSH: signatures per batch →
+    (band, band_hash, doc_id) rows → hash exchange on band_hash → pair
+    generation inside each (band, band_hash) bucket → pair dedup across
+    bands.  Pair blowup is bounded by LSH bucket sizes."""
     sigs = docs.map_batches(MinHasher(num_perm, shingle_k=shingle_k),
                             batch_format="pandas", batch_size=2048)
-    exploded = sigs.map_batches(BandExplode(num_bands), batch_format="pandas")
+    explode = BandExplode(num_bands)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return _candidate_pairs(g)
+    def explode_with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        df = explode(batch)
+        df["bucket"] = df["band_hash"].map(
+            lambda h: int(h[:8], 16) % num_buckets).astype("int32")
+        return df
 
-    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
-    # dedupe pairs found in multiple bands
-    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
-    return uniq
+    exploded = sigs.map_batches(explode_with_bucket, batch_format="pandas")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        df = t.to_pandas()
+        frames = [
+            _candidate_pairs(g)
+            for _, g in df.groupby(["band_id", "band_hash"], sort=False)
+        ]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return None
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    shards = hash_exchange(exploded, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "n_bands": pa.array([], pa.int64())})
+    pairs = pa.concat_tables(shards, promote_options="permissive")
+    # dedupe pairs found in multiple bands (small table by construction)
+    g = pairs.group_by(["doc_a", "doc_b"]).aggregate([("doc_a", "count")])
+    return g.rename_columns(["doc_a", "doc_b", "n_bands"])
 
 
 def verify_jaccard(pairs: pa.Table, texts_by_id: dict[int, str],
@@ -193,10 +232,11 @@ def simhash_signatures(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(SimHasher(), batch_format="pandas", batch_size=2048)
 
 
-def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3) -> "rd.Dataset":
+def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3,
+                      num_buckets: int = DEDUP_BUCKETS) -> pa.Table:
     """Near-dup pairs by SimHash: bucket on each of four 16-bit bands (a
     pair within hamming<=3 of 64 bits must agree on >=1 band), verify
-    hamming distance inside buckets."""
+    hamming distance inside buckets via a hash exchange on band value."""
     sigs = simhash_signatures(docs)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -210,31 +250,40 @@ def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3) -> "rd.Dataset":
                 "band_id": np.int32(band),
                 "band_val": chunk.astype("int64"),
             }))
-        return pd.concat(rows, ignore_index=True)
+        df = pd.concat(rows, ignore_index=True)
+        df["bucket"] = ((df["band_id"].astype("int64") * 65536 + df["band_val"])
+                        % num_buckets).astype("int32")
+        return df
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = list(zip(g["doc_id"], g["simhash"].to_numpy().astype(np.uint64)))
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        df = t.to_pandas()
         out_a, out_b, dist = [], [], []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                (da, sa), (db, sb) = recs[i], recs[j]
-                if da == db:
-                    continue
-                d = int(bin(int(sa) ^ int(sb)).count("1"))
-                if d <= max_hamming:
-                    a, b = (da, db) if da < db else (db, da)
-                    out_a.append(a)
-                    out_b.append(b)
-                    dist.append(d)
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64"),
-                             "hamming": pd.Series(dist, dtype="int64")})
+        for _, g in df.groupby(["band_id", "band_val"], sort=False):
+            recs = list(zip(g["doc_id"], g["simhash"].to_numpy().astype(np.uint64)))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    (da, sa), (db, sb) = recs[i], recs[j]
+                    if da == db:
+                        continue
+                    d = int(bin(int(sa) ^ int(sb)).count("1"))
+                    if d <= max_hamming:
+                        a, b = (da, db) if da < db else (db, da)
+                        out_a.append(a)
+                        out_b.append(b)
+                        dist.append(d)
+        if not out_a:
+            return None
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(dist, pa.int64())})
 
-    cand = exploded.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    shards = hash_exchange(exploded, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    pairs = pa.concat_tables(shards, promote_options="permissive")
+    g = pairs.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
+    return g.rename_columns(["doc_a", "doc_b", "hamming"])

@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..exchange import tree_aggregate
+
 
 def _to_matrix(embeddings: pd.Series) -> np.ndarray:
     return np.stack(embeddings.to_numpy()).astype(np.float64)
@@ -62,29 +64,38 @@ class _BatchTopK:
         return _topk_frame(self.qids, sims, batch["vec_id"].to_numpy(), self.k)
 
 
+def _combine_topk(k: int):
+    """Associative: top-k of a union of per-shard top-ks."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["query_id", "score", "neighbor_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return combine
+
+
+def _round_score(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    i = t.column_names.index("score")
+    return t.set_column(
+        i, "score",
+        pc.round(t.column("score"), 4, round_mode="half_towards_infinity"),
+    )
+
+
 def knn_bruteforce(candidates: "rd.Dataset", query_ids: np.ndarray,
-                   query_matrix: np.ndarray, k: int = 5) -> "rd.Dataset":
+                   query_matrix: np.ndarray, k: int = 5) -> pa.Table:
     query_ref = ray.put((query_ids, query_matrix))
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["score", "neighbor_id"],
-                             ascending=[False, True]).iloc[:k]
-
     per_batch = candidates.map_batches(
         _BatchTopK, fn_constructor_args=(query_ref, k),
         batch_format="pandas", batch_size=4096, concurrency=(1, 8),
     )
-    out = per_batch.groupby("query_id").map_groups(final_topk, batch_format="pandas")
-
-    def round_score(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        i = b.column_names.index("score")
-        return b.set_column(
-            i, "score",
-            pc.round(b.column("score"), 4, round_mode="half_towards_infinity"),
-        )
-
-    return out.map_batches(round_score, batch_format="pyarrow")
+    # per-batch candidates are tiny (queries × k per block): tree-combine
+    out = tree_aggregate(per_batch, _combine_topk(k))
+    return _round_score(out)
 
 
 class _HyperplaneHasher:
@@ -132,14 +143,14 @@ def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
                 })
             return pd.concat(frames, ignore_index=True)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["score", "neighbor_id"],
-                             ascending=[False, True]).iloc[:k]
-
     per_batch = candidates.map_batches(BucketTopK, batch_format="pandas",
                                        batch_size=4096, concurrency=(1, 8))
-    return per_batch.groupby("query_id").map_groups(final_topk,
-                                                    batch_format="pandas")
+    out = tree_aggregate(per_batch, _combine_topk(k))
+    if out is None:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    return _round_score(out)
 
 
 def load_queries(path: str, max_qid: int) -> tuple[np.ndarray, np.ndarray]:
