@@ -1,0 +1,114 @@
+"""Command-line entry points.
+
+    python -m kafka_connect_plugins_ray.cli ingest --lake /tmp/lake \
+        --sf-dir /root/testdata/sf0.001 [--rounds 0] [--partitions 32] \
+        [--config connect-config.json]
+    python -m kafka_connect_plugins_ray.cli show --lake /tmp/lake
+    python -m kafka_connect_plugins_ray.cli gc --lake /tmp/lake --keep 2
+    python -m kafka_connect_plugins_ray.cli repartition --lake /tmp/lake \
+        --partitions 64
+
+The CLI owns its Ray session (guarded init — the library itself never calls
+ray.init, per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    """Guarded init; returns (ray, owns_session) — only shut down a session
+    this process actually started (tests may share one)."""
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray, owns
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    p = argparse.ArgumentParser(prog="kafka_connect_plugins_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="run one CDC ingest cycle")
+    pi.add_argument("--lake", required=True)
+    pi.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pi.add_argument("--rounds", type=int, default=0)
+    pi.add_argument("--partitions", type=int, default=32)
+    pi.add_argument("--config", help="Connect-style transform-chain JSON")
+    pi.add_argument("--full", action="store_true",
+                    help="envelope + SMT chain headline pipeline")
+
+    ps = sub.add_parser("show", help="print the current manifest")
+    ps.add_argument("--lake", required=True)
+
+    pg = sub.add_parser("gc", help="garbage-collect old versions")
+    pg.add_argument("--lake", required=True)
+    pg.add_argument("--keep", type=int, default=2)
+
+    pr = sub.add_parser("repartition", help="rewrite lake under new P")
+    pr.add_argument("--lake", required=True)
+    pr.add_argument("--partitions", type=int, required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "show":
+        from .state.manifest import LakeStore
+
+        m = LakeStore(args.lake).current()
+        print(m.to_json() if m else "{}")
+        return 0
+
+    if args.cmd == "gc":
+        summary = __import__(
+            "kafka_connect_plugins_ray.pipelines.maintenance",
+            fromlist=["gc"]).gc(args.lake, keep_versions=args.keep)
+        print(json.dumps(summary))
+        return 0
+
+    ray, owns_session = _ray_session()
+    try:
+        if args.cmd == "ingest":
+            from .pipelines.cdc_full import full_cdc_ingest
+            from .pipelines.cdc_ingest import ingest
+            from .sources.binlog import binlog_from_documents
+
+            if args.full:
+                m = full_cdc_ingest(args.lake, args.sf_dir, rounds=args.rounds,
+                                    num_partitions=args.partitions)
+            else:
+                transforms = None
+                if args.config:
+                    from .config import build_chain
+
+                    with open(args.config) as f:
+                        transforms = [build_chain(json.load(f))]
+                m = ingest(args.lake,
+                           binlog_from_documents(args.sf_dir, rounds=args.rounds),
+                           transforms=transforms,
+                           num_partitions=args.partitions)
+            print(json.dumps({"version": m.version,
+                              "high_water_lsn": m.high_water_lsn,
+                              "partitions": len(m.files)}))
+        elif args.cmd == "repartition":
+            from .pipelines.maintenance import repartition_lake
+
+            m = repartition_lake(args.lake, args.partitions)
+            print(json.dumps({"version": m.version,
+                              "num_partitions": m.num_partitions}))
+    finally:
+        if owns_session:
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,199 @@
+"""Kafka-Connect-style pipeline config: transform chain declaration +
+config-provider substitution.
+
+The reference is deployed as a chain declared in connector config —
+``"transforms": "SoftDeleteToTombstone,Flatten"`` with per-alias
+``transforms.<alias>.type`` and props (/root/reference/README.md:27-31,
+52-54, 78-82) — and Kafka Connect configs support provider placeholders
+``${provider:path:key}`` resolved at deploy time.  This module re-realizes
+both:
+
+- ``resolve_config_providers``: substitutes ``${env:VAR}`` and
+  ``${file:/path:key}`` placeholders (recursively) like Kafka's
+  EnvVarConfigProvider / FileConfigProvider.
+- ``build_chain``: turns the flat Connect-style property map into the
+  engine's Transform chain.  The registry accepts BOTH the engine's short
+  names and the reference's Kotlin fully-qualified class names, so a user
+  of the reference can paste their connector config unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+from .stages.base import Chain
+from .stages.field_ops import (
+    ExtractField,
+    InsertField,
+    MaskField,
+    RegexRouter,
+    ReplaceField,
+)
+from .stages.flatten import ClickHouseFlatten, RedshiftFlatten
+from .stages.json_to_hex import JsonToHex
+from .stages.modify_partition import ModifyPartition
+from .stages.slack_reshape import SlackIntegrationPayload
+from .stages.soft_delete import SoftDeleteToTombstone
+from .stages.unquote_key import UnquoteRecordKey
+
+_PLACEHOLDER = re.compile(r"\$\{([a-zA-Z0-9_-]+):([^}]*)\}")
+
+
+def _resolve_one(provider: str, rest: str) -> str:
+    if provider == "env":
+        var = rest
+        if var not in os.environ:
+            raise KeyError(f"config provider env: variable '{var}' not set")
+        return os.environ[var]
+    if provider == "file":
+        path, _, key = rest.rpartition(":")
+        if not path:
+            raise ValueError(
+                "file provider needs '${file:/path:key}' form")
+        with open(path) as f:
+            text = f.read()
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            data = {}
+            for line in text.splitlines():
+                line = line.strip()
+                if line and not line.startswith("#") and "=" in line:
+                    k, _, v = line.partition("=")
+                    data[k.strip()] = v.strip()
+        if key not in data:
+            raise KeyError(f"config provider file: key '{key}' not in {path}")
+        return str(data[key])
+    raise KeyError(f"unknown config provider '{provider}'")
+
+
+def resolve_config_providers(config: dict[str, Any],
+                             max_depth: int = 5) -> dict[str, Any]:
+    """Substitute ``${provider:...}`` placeholders in all string values."""
+
+    def resolve_value(v: Any) -> Any:
+        if not isinstance(v, str):
+            return v
+        for _ in range(max_depth):
+            m = _PLACEHOLDER.search(v)
+            if not m:
+                return v
+            v = (v[: m.start()]
+                 + _resolve_one(m.group(1), m.group(2))
+                 + v[m.end():])
+        return v
+
+    return {k: resolve_value(v) for k, v in config.items()}
+
+
+_PKG = "com.cultureamp.kafka.connect.plugins.transforms"
+
+REGISTRY: dict[str, Any] = {
+    # engine short names
+    "UnquoteRecordKey": UnquoteRecordKey,
+    "SoftDeleteToTombstone": SoftDeleteToTombstone,
+    "JsonToHex": JsonToHex,
+    "SlackIntegrationPayload": SlackIntegrationPayload,
+    "RedshiftFlatten": RedshiftFlatten,
+    "ClickHouseFlatten": ClickHouseFlatten,
+    "ModifyPartition": ModifyPartition,
+    "ReplaceField": ReplaceField,
+    "MaskField": MaskField,
+    "ExtractField": ExtractField,
+    "InsertField": InsertField,
+    "RegexRouter": RegexRouter,
+    # the reference's Kotlin class names (README.md connector configs)
+    f"{_PKG}.UnquoteRecordKey": UnquoteRecordKey,
+    f"{_PKG}.SoftDeleteToTombstoneTransformer": SoftDeleteToTombstone,
+    f"{_PKG}.JsonToHexTransformer": JsonToHex,
+    f"{_PKG}.SlackIntegrationPayloadTransformer": SlackIntegrationPayload,
+    f"{_PKG}.RedShiftComplexDataTypeTransformer": RedshiftFlatten,
+    f"{_PKG}.ClickHouseFlattenTransformer": ClickHouseFlatten,
+    f"{_PKG}.ModifyPartition": ModifyPartition,
+}
+
+# Connect prop name -> constructor kwarg, per transform class
+_PROP_MAP: dict[type, dict[str, str]] = {
+    SoftDeleteToTombstone: {"field": "field"},
+    JsonToHex: {"hex.field.name": "hex_field_name"},
+    ModifyPartition: {"header.key": "header_key",
+                      "number.partitions": "number_partitions"},
+    ClickHouseFlatten: {"skipTombstones": "skip_tombstones"},
+    ReplaceField: {"exclude": "exclude", "include": "include",
+                   "renames": "renames"},
+    MaskField: {"fields": "fields", "replacement": "replacement"},
+    ExtractField: {"field": "field", "apply.to": "apply_to"},
+    InsertField: {"static.field": "static_field",
+                  "static.value": "static_value",
+                  "topic.field": "topic_field",
+                  "partition.field": "partition_field",
+                  "offset.field": "offset_field",
+                  "timestamp.field": "timestamp_field"},
+    RegexRouter: {"regex": "regex", "replacement": "replacement"},
+}
+
+_LIST_PROPS = {"exclude", "include", "fields"}
+_INT_PROPS = {"number.partitions"}
+_BOOL_PROPS = {"skipTombstones"}
+_RENAME_PROPS = {"renames"}
+
+
+def _coerce(prop: str, value: Any) -> Any:
+    if isinstance(value, str):
+        if prop in _LIST_PROPS:
+            return [v.strip() for v in value.split(",") if v.strip()]
+        if prop in _INT_PROPS:
+            return int(value)
+        if prop in _BOOL_PROPS:
+            return value.lower() == "true"
+        if prop in _RENAME_PROPS:
+            out = {}
+            for pair in value.split(","):
+                old, _, new = pair.partition(":")
+                out[old.strip()] = new.strip()
+            return out
+    return value
+
+
+def build_chain(config: dict[str, Any]) -> Chain:
+    """Connect-style flat config -> Chain.
+
+    Example (identical shape to /root/reference/README.md:27-31)::
+
+        {
+          "transforms": "SoftDeleteToTombstone,Flatten",
+          "transforms.SoftDeleteToTombstone.type":
+              "com.cultureamp...SoftDeleteToTombstoneTransformer",
+          "transforms.SoftDeleteToTombstone.field": "body.deleted_at",
+          "transforms.Flatten.type":
+              "com.cultureamp...RedShiftComplexDataTypeTransformer",
+        }
+    """
+    config = resolve_config_providers(config)
+    aliases = [a.strip() for a in str(config.get("transforms", "")).split(",")
+               if a.strip()]
+    transforms = []
+    for alias in aliases:
+        prefix = f"transforms.{alias}."
+        type_name = config.get(prefix + "type")
+        if type_name is None:
+            raise KeyError(f"missing '{prefix}type'")
+        cls = REGISTRY.get(str(type_name))
+        if cls is None:
+            raise KeyError(f"unknown transform type '{type_name}'")
+        prop_map = _PROP_MAP.get(cls, {})
+        kwargs = {}
+        for k, v in config.items():
+            if not k.startswith(prefix) or k == prefix + "type":
+                continue
+            prop = k[len(prefix):]
+            if prop in prop_map:
+                kwargs[prop_map[prop]] = _coerce(prop, v)
+            else:
+                raise KeyError(
+                    f"unknown property '{prop}' for {cls.__name__}")
+        transforms.append(cls(**kwargs))
+    return Chain(*transforms)

@@ -149,6 +149,12 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     parent = store.current()
     version = (parent.version + 1) if parent else 1
 
+    if parent is not None and parent.num_partitions is not None:
+        # the lake's layout is pinned at creation: routing new events with a
+        # different P would put a key's events in a partition that does not
+        # hold its current row, silently duplicating it
+        num_partitions = parent.num_partitions
+
     if parent is not None and resume:
         hw = parent.high_water_lsn
         events = events.map_batches(
@@ -197,6 +203,7 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         files=files,
         partitions=partitions,
         schema=sorted(columns),
+        num_partitions=num_partitions,
     )
     store.commit(manifest)
     return manifest

@@ -1,0 +1,126 @@
+"""Lake maintenance: garbage collection of unreferenced versions and
+layout repartitioning.
+
+- ``gc``: a committed lake accumulates ``data/v*`` directories (COW never
+  rewrites in place) plus orphans from crashed attempts.  GC keeps the
+  files referenced by the last ``keep_versions`` committed manifests and
+  deletes everything else — safe because the manifest swap is the only
+  commit point, so anything unreferenced is either superseded or was never
+  committed.
+- ``repartition_lake``: rewrites the lake under a new ``crc32 % P`` layout
+  (one exchange over the current state), committing a new manifest with
+  the new pinned ``num_partitions``.  This is how a lake scales its
+  partition count as data grows without breaking the routing invariant
+  (pipelines/cdc_ingest.py pins P from the manifest).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..exchange import hash_exchange
+from ..stages.modify_partition import AssignPartition
+from ..state.manifest import LakeStore, Manifest
+from .cdc_ingest import read_lake
+
+
+def gc(lake_root: str, keep_versions: int = 2) -> dict:
+    """Delete data versions not referenced by the newest ``keep_versions``
+    committed manifests; returns a summary dict."""
+    store = LakeStore(lake_root)
+    current = store.current_version()
+    if current is None:
+        return {"removed_dirs": [], "removed_manifests": [], "kept": []}
+
+    keep: set[int] = set()
+    referenced: set[str] = set()
+    v = current
+    while v is not None and len(keep) < keep_versions:
+        keep.add(v)
+        try:
+            m = store.read_manifest(v)
+        except FileNotFoundError:
+            break
+        referenced.update(m.files.values())
+        v = m.parent
+
+    data_root = os.path.join(lake_root, "data")
+    removed_dirs: list[str] = []
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, d)
+            rels = {f"data/{d}/{f}" for f in os.listdir(full)}
+            if rels and rels.isdisjoint(referenced):
+                shutil.rmtree(full)
+                removed_dirs.append(d)
+            else:
+                # drop unreferenced files inside partially-referenced dirs
+                for f in list(os.listdir(full)):
+                    rel = f"data/{d}/{f}"
+                    if rel not in referenced:
+                        os.unlink(os.path.join(full, f))
+
+    removed_manifests: list[str] = []
+    for f in sorted(os.listdir(lake_root)):
+        if f.startswith("manifest-v") and f.endswith(".json"):
+            mv = int(f[len("manifest-v"):-len(".json")])
+            if mv not in keep:
+                os.unlink(os.path.join(lake_root, f))
+                removed_manifests.append(f)
+
+    return {"removed_dirs": removed_dirs,
+            "removed_manifests": removed_manifests,
+            "kept": sorted(keep)}
+
+
+def repartition_lake(lake_root: str, new_num_partitions: int,
+                     key_cols=("repo", "path")) -> Manifest:
+    """Rewrite the whole lake state under a new partition count."""
+    store = LakeStore(lake_root)
+    parent = store.current()
+    if parent is None:
+        raise ValueError("cannot repartition an empty lake")
+    version = parent.version + 1
+
+    state = read_lake(lake_root)
+    state = state.map_batches(
+        AssignPartition(key_cols, new_num_partitions), batch_format="pyarrow")
+
+    key_cols = list(key_cols)
+
+    def rewrite(pid: int, table: pa.Table) -> dict:
+        table = table.drop_columns(["partition_id"]).sort_by(
+            [(c, "ascending") for c in key_cols])
+        rel = f"data/v{version}/part-{pid:05d}.parquet"
+        abspath = os.path.join(lake_root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, abspath)
+        return {"partition_id": pid, "file": rel, "rows": table.num_rows,
+                "bytes": os.path.getsize(abspath)}
+
+    lineage = hash_exchange(state, "partition_id", new_num_partitions, rewrite)
+
+    files = {int(r["partition_id"]): r["file"] for r in lineage}
+    partitions = {
+        int(r["partition_id"]): {
+            "file": r["file"], "rows": int(r["rows"]), "bytes": int(r["bytes"]),
+            "input_rows": int(r["rows"]), "upserts": 0, "deletes": 0,
+            "lsn_range": [parent.high_water_lsn, parent.high_water_lsn],
+            "parent_version": parent.version,
+        }
+        for r in lineage
+    }
+    manifest = Manifest(
+        version=version, parent=parent.version,
+        high_water_lsn=parent.high_water_lsn,
+        files=files, partitions=partitions, schema=parent.schema,
+        num_partitions=new_num_partitions,
+    )
+    store.commit(manifest)
+    return manifest

@@ -380,6 +380,164 @@ def q_modify_partition(sf_dir: str) -> "rd.Dataset":
 # --------------------------------------------------------------------------
 
 
+def q_replace_field(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "customer", columns=[
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"])
+
+    def build(t: pa.Table) -> pa.Table:
+        value = pa.StructArray.from_arrays(
+            [t["c_name"].combine_chunks(), t["c_acctbal"].combine_chunks(),
+             t["c_nationkey"].combine_chunks(), t["c_mktsegment"].combine_chunks()],
+            names=["name", "acctbal", "nationkey", "mktsegment"])
+        return pa.table({"c_custkey": t["c_custkey"], "value": value})
+
+    from ..stages.field_ops import ReplaceField
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(
+        ReplaceField(exclude=["acctbal"], renames={"mktsegment": "segment"}),
+        batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "name": pc.struct_field(v, ["name"]),
+            "nationkey": pc.struct_field(v, ["nationkey"]),
+            "segment": pc.struct_field(v, ["segment"]),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+REPLACE_FIELD_ORACLE = """
+SELECT c_custkey, c_name AS name, c_nationkey AS nationkey,
+       c_mktsegment AS segment
+FROM customer
+"""
+
+
+def q_mask_field(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+
+    def build(t: pa.Table) -> pa.Table:
+        value = pa.StructArray.from_arrays(
+            [t["c_name"].combine_chunks(), t["c_acctbal"].combine_chunks(),
+             t["c_mktsegment"].combine_chunks()],
+            names=["name", "acctbal", "mktsegment"])
+        return pa.table({"c_custkey": t["c_custkey"], "value": value})
+
+    from ..stages.field_ops import MaskField
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(MaskField(fields=["name", "acctbal"]),
+                            batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "name": pc.struct_field(v, ["name"]),
+            "acctbal": pc.struct_field(v, ["acctbal"]),
+            "mktsegment": pc.struct_field(v, ["mktsegment"]),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+MASK_FIELD_ORACLE = """
+SELECT c_custkey, '' AS name, 0.0 AS acctbal, c_mktsegment AS mktsegment
+FROM customer
+"""
+
+
+def q_extract_field(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def build(t: pa.Table) -> pa.Table:
+        key = pa.StructArray.from_arrays(
+            [pc.cast(t["o_orderkey"], pa.string()).combine_chunks()],
+            names=["id"])
+        return pa.table({"o_orderkey": t["o_orderkey"], "key": key})
+
+    from ..stages.field_ops import ExtractField
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    return built.map_batches(ExtractField("id", apply_to="key"),
+                             batch_format="pyarrow")
+
+
+EXTRACT_FIELD_ORACLE = """
+SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key FROM orders
+"""
+
+
+def q_insert_field(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def build(t: pa.Table) -> pa.Table:
+        value = pa.StructArray.from_arrays(
+            [t["p_name"].combine_chunks()], names=["name"])
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "offset": t["p_partkey"],
+            "value": value,
+        })
+
+    from ..stages.field_ops import InsertField
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(
+        InsertField(static_field="source", static_value="catalog",
+                    offset_field="_offset"),
+        batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "name": pc.struct_field(v, ["name"]),
+            "source": pc.struct_field(v, ["source"]),
+            "_offset": pc.struct_field(v, ["_offset"]),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+INSERT_FIELD_ORACLE = """
+SELECT p_partkey, p_name AS name, 'catalog' AS source, p_partkey AS _offset
+FROM part
+"""
+
+
+def q_regex_router(sf_dir: str) -> "rd.Dataset":
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def build(t: pa.Table) -> pa.Table:
+        mod2 = pc.subtract(t["event_id"],
+                           pc.multiply(pc.divide(t["event_id"], 2), 2))
+        topic = pc.if_else(
+            pc.equal(mod2, 0),
+            pc.binary_join_element_wise("db.server.", t["event_type"], ""),
+            pc.binary_join_element_wise("raw.", t["event_type"], ""))
+        return pa.table({"event_id": t["event_id"], "topic": topic})
+
+    from ..stages.field_ops import RegexRouter
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    return built.map_batches(RegexRouter(r"db\.server\.(.*)", "cdc_$1"),
+                             batch_format="pyarrow")
+
+
+REGEX_ROUTER_ORACLE = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN 'cdc_' || event_type
+            ELSE 'raw.' || event_type END AS topic
+FROM events
+"""
+
+
 def q_dedup_exact(sf_dir: str) -> "rd.Dataset":
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(docs)
@@ -585,6 +743,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "clickhouse_flatten": q_clickhouse_flatten,
         "slack_reshape": q_slack_reshape,
         "modify_partition_crc32": q_modify_partition,
+        "replace_field": q_replace_field,
+        "mask_field": q_mask_field,
+        "extract_field": q_extract_field,
+        "insert_field": q_insert_field,
+        "regex_router": q_regex_router,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -613,6 +776,11 @@ def build_oracles() -> dict[str, str]:
         "clickhouse_flatten": CLICKHOUSE_ORACLE,
         "slack_reshape": SLACK_ORACLE,
         # modify_partition_crc32: no SQL (crc32 unavailable in DuckDB)
+        "replace_field": REPLACE_FIELD_ORACLE,
+        "mask_field": MASK_FIELD_ORACLE,
+        "extract_field": EXTRACT_FIELD_ORACLE,
+        "insert_field": INSERT_FIELD_ORACLE,
+        "regex_router": REGEX_ROUTER_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
         # dedup_minhash_lsh / dedup_simhash: sketch-based, not SQL-expressible
         "ann_cosine_topk": KNN_ORACLE,

@@ -42,6 +42,7 @@ class Manifest:
     files: dict[int, str] = field(default_factory=dict)  # pid -> relpath
     partitions: dict[int, dict] = field(default_factory=dict)  # pid -> lineage
     schema: "list[str] | None" = None  # committed column names (evolution log)
+    num_partitions: "int | None" = None  # the lake's crc32 % P layout
 
     def to_json(self) -> str:
         return json.dumps(
@@ -52,6 +53,7 @@ class Manifest:
                 "files": {str(k): v for k, v in self.files.items()},
                 "partitions": {str(k): v for k, v in self.partitions.items()},
                 "schema": self.schema,
+                "num_partitions": self.num_partitions,
             },
             indent=1,
             sort_keys=True,
@@ -67,6 +69,7 @@ class Manifest:
             files={int(k): v for k, v in d.get("files", {}).items()},
             partitions={int(k): v for k, v in d.get("partitions", {}).items()},
             schema=d.get("schema"),
+            num_partitions=d.get("num_partitions"),
         )
 
 

@@ -1,0 +1,45 @@
+"""CLI smoke: ingest via Connect-style config file, show, gc, repartition.
+
+Runs the CLI in-process (the session fixture owns Ray; cli's guarded init
+is a no-op then) except where a fresh process is the point.
+"""
+
+import json
+
+from kafka_connect_plugins_ray.cli import main
+
+
+def test_cli_ingest_show_gc_repartition(tmp_path, capsys):
+    lake = str(tmp_path / "clilake")
+    cfg = tmp_path / "chain.json"
+    cfg.write_text(json.dumps({
+        "transforms": "Route",
+        "transforms.Route.type": "RegexRouter",
+        "transforms.Route.regex": "(.*)",
+        "transforms.Route.replacement": "$1",
+    }))
+
+    assert main(["ingest", "--lake", lake, "--sf-dir",
+                 "/root/testdata/sf0.001", "--partitions", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["partitions"] == 8
+
+    assert main(["show", "--lake", lake]) == 0
+    shown = json.loads(capsys.readouterr().out)
+    assert shown["num_partitions"] == 8
+
+    assert main(["repartition", "--lake", lake, "--partitions", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_partitions"] == 4
+
+    assert main(["gc", "--lake", lake, "--keep", "1"]) == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert "v1" in summary["removed_dirs"]
+
+
+def test_cli_full_pipeline(tmp_path, capsys):
+    lake = str(tmp_path / "clifull")
+    assert main(["ingest", "--lake", lake, "--sf-dir",
+                 "/root/testdata/sf0.001", "--full"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1

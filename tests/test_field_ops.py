@@ -1,0 +1,167 @@
+"""Generic SMTs (ReplaceField / MaskField / ExtractField / InsertField /
+RegexRouter) + Connect-style config chain building + config providers."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.config import (
+    build_chain,
+    resolve_config_providers,
+)
+from kafka_connect_plugins_ray.stages.field_ops import (
+    ExtractField,
+    InsertField,
+    MaskField,
+    RegexRouter,
+    ReplaceField,
+)
+
+VALUE_T = pa.struct([
+    ("id", pa.string()),
+    ("email", pa.string()),
+    ("ssn", pa.string()),
+    ("balance", pa.float64()),
+])
+
+
+def _batch(n=2, with_tombstone=False):
+    vals = [{"id": f"i{k}", "email": f"e{k}@x.com", "ssn": f"s{k}",
+             "balance": float(k)} for k in range(n)]
+    if with_tombstone:
+        vals.append(None)
+    m = len(vals)
+    return pa.table({
+        "topic": [f"db.server.users"] * m,
+        "partition": pa.array([0] * m, pa.int32()),
+        "offset": pa.array(list(range(m)), pa.int64()),
+        "ts": pa.array([1000 + i for i in range(m)], pa.int64()),
+        "key": pa.array([{"id": f"i{k}"} for k in range(m)],
+                        type=pa.struct([("id", pa.string())])),
+        "value": pa.array(vals, type=VALUE_T),
+    })
+
+
+def test_replace_field_exclude():
+    out = ReplaceField(exclude=["ssn"])(_batch())
+    names = [f.name for f in out.column("value").type]
+    assert names == ["id", "email", "balance"]
+    assert out.column("value").to_pylist()[0]["email"] == "e0@x.com"
+
+
+def test_replace_field_include_and_rename():
+    out = ReplaceField(include=["id", "email"], renames={"email": "mail"})(_batch())
+    names = [f.name for f in out.column("value").type]
+    assert names == ["id", "mail"]
+    assert out.column("value").to_pylist()[1]["mail"] == "e1@x.com"
+
+
+def test_replace_field_preserves_tombstone():
+    out = ReplaceField(exclude=["ssn"])(_batch(with_tombstone=True))
+    assert out.column("value").to_pylist()[-1] is None
+
+
+def test_mask_field_zero_semantics():
+    out = MaskField(fields=["ssn", "balance"])(_batch())
+    row = out.column("value").to_pylist()[1]
+    assert row["ssn"] == "" and row["balance"] == 0.0
+    assert row["email"] == "e1@x.com"
+
+
+def test_mask_field_replacement():
+    out = MaskField(fields=["ssn"], replacement="***")(_batch())
+    assert out.column("value").to_pylist()[0]["ssn"] == "***"
+
+
+def test_extract_field_key():
+    out = ExtractField("id", apply_to="key")(_batch())
+    assert out.column("key").to_pylist() == ["i0", "i1"]
+
+
+def test_extract_field_value():
+    out = ExtractField("email", apply_to="value")(_batch())
+    assert out.column("value").to_pylist() == ["e0@x.com", "e1@x.com"]
+
+
+def test_extract_field_missing_raises():
+    with pytest.raises(KeyError):
+        ExtractField("nope", apply_to="key")(_batch())
+
+
+def test_insert_field_static_and_metadata():
+    out = InsertField(static_field="source", static_value="crm",
+                      topic_field="_topic", offset_field="_offset")(_batch())
+    row = out.column("value").to_pylist()[1]
+    assert row["source"] == "crm"
+    assert row["_topic"] == "db.server.users"
+    assert row["_offset"] == 1
+
+
+def test_regex_router_rewrites_matching():
+    out = RegexRouter(r"db\.server\.(.*)", "$1")(_batch())
+    assert out.column("topic").to_pylist()[0] == "users"
+
+
+def test_regex_router_leaves_nonmatching():
+    t = _batch().set_column(0, "topic", pa.array(["other.topic"] * 2))
+    out = RegexRouter(r"db\.server\.(.*)", "$1")(t)
+    assert out.column("topic").to_pylist()[0] == "other.topic"
+
+
+def test_build_chain_reference_config():
+    # the reference's own connector-config shape (README.md:27-31)
+    cfg = {
+        "transforms": "SoftDeleteToTombstone,Mask",
+        "transforms.SoftDeleteToTombstone.type":
+            "com.cultureamp.kafka.connect.plugins.transforms.SoftDeleteToTombstoneTransformer",
+        "transforms.SoftDeleteToTombstone.field": "deleted_at",
+        "transforms.Mask.type": "MaskField",
+        "transforms.Mask.fields": "ssn",
+    }
+    chain = build_chain(cfg)
+    t = pa.table({
+        "value": pa.array(
+            [{"deleted_at": None, "ssn": "x"}, {"deleted_at": 5, "ssn": "y"}],
+            type=pa.struct([("deleted_at", pa.int64()), ("ssn", pa.string())])),
+    })
+    out = chain(t)
+    vals = out.column("value").to_pylist()
+    assert vals[1] is None  # tombstoned
+    assert vals[0]["ssn"] == ""  # masked
+    assert out.column("op").to_pylist() == ["upsert", "delete"]
+
+
+def test_build_chain_unknown_prop_raises():
+    with pytest.raises(KeyError):
+        build_chain({
+            "transforms": "A",
+            "transforms.A.type": "MaskField",
+            "transforms.A.bogus": "1",
+        })
+
+
+def test_config_provider_env(monkeypatch):
+    monkeypatch.setenv("KCP_TEST_SECRET", "s3cret")
+    out = resolve_config_providers({"password": "${env:KCP_TEST_SECRET}"})
+    assert out["password"] == "s3cret"
+
+
+def test_config_provider_file(tmp_path):
+    p = tmp_path / "creds.properties"
+    p.write_text("user=alice\npass=bob\n")
+    out = resolve_config_providers({
+        "u": f"${{file:{p}:user}}", "p": f"pre-${{file:{p}:pass}}-post"})
+    assert out == {"u": "alice", "p": "pre-bob-post"}
+
+
+def test_config_provider_json_file(tmp_path):
+    p = tmp_path / "creds.json"
+    p.write_text(json.dumps({"token": "tk"}))
+    out = resolve_config_providers({"t": f"${{file:{p}:token}}"})
+    assert out["t"] == "tk"
+
+
+def test_config_provider_missing_env_raises():
+    with pytest.raises(KeyError):
+        resolve_config_providers({"x": "${env:KCP_DOES_NOT_EXIST_42}"})

@@ -1,0 +1,111 @@
+"""Lake maintenance: GC, repartitioning, pinned partition count, and a
+real SIGKILL kill-and-replay."""
+
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from kafka_connect_plugins_ray.pipelines.cdc_ingest import ingest
+from kafka_connect_plugins_ray.pipelines.maintenance import gc, repartition_lake
+from kafka_connect_plugins_ray.sources.binlog import binlog_from_documents
+from kafka_connect_plugins_ray.state.manifest import LakeStore
+from tests.test_cdc_ingest import SF, _state_hash
+
+
+def _fresh(tmp_path, name):
+    p = str(tmp_path / name)
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+def test_gc_keeps_current_removes_old(tmp_path):
+    lake = _fresh(tmp_path, "gc")
+    ingest(lake, binlog_from_documents(SF))
+    ingest(lake, binlog_from_documents(SF, rounds=1, base_lsn=10_000))
+    ingest(lake, binlog_from_documents(SF, rounds=2, base_lsn=20_000))
+    h = _state_hash(lake)
+    # plant an orphan from a "crashed" attempt
+    orphan = os.path.join(lake, "data/v99")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-00000.parquet"), "wb").write(b"x")
+
+    summary = gc(lake, keep_versions=2)
+    assert "v99" in summary["removed_dirs"]
+    assert summary["kept"] == [2, 3]
+    assert _state_hash(lake) == h  # state untouched
+    # old manifest gone, current still readable
+    assert not os.path.exists(os.path.join(lake, "manifest-v1.json"))
+    assert LakeStore(lake).current().version == 3
+
+
+def test_repartition_preserves_state(tmp_path):
+    lake = _fresh(tmp_path, "repart")
+    ingest(lake, binlog_from_documents(SF), num_partitions=8)
+    h = _state_hash(lake)
+    m = repartition_lake(lake, 16)
+    assert m.num_partitions == 16
+    assert len(m.files) <= 16
+    assert _state_hash(lake) == h
+
+
+def test_ingest_uses_pinned_partition_count(tmp_path):
+    lake = _fresh(tmp_path, "pinned")
+    m1 = ingest(lake, binlog_from_documents(SF), num_partitions=8)
+    assert m1.num_partitions == 8
+    # a later ingest asking for a different P must not re-route keys
+    m2 = ingest(lake, binlog_from_documents(SF, rounds=1, base_lsn=10_000),
+                num_partitions=32)
+    assert m2.num_partitions == 8
+    h = _state_hash(lake)
+    # after an explicit repartition, new ingests use the new layout
+    repartition_lake(lake, 16)
+    m3 = ingest(lake, binlog_from_documents(SF, rounds=2, base_lsn=20_000),
+                num_partitions=4)
+    assert m3.num_partitions == 16
+    assert _state_hash(lake) != h  # rounds=2 adds one more update per doc
+
+
+KILL_SCRIPT = r"""
+import ray, sys
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+from kafka_connect_plugins_ray.pipelines.cdc_ingest import ingest
+from kafka_connect_plugins_ray.sources.binlog import binlog_from_documents
+print("START", flush=True)
+ingest(sys.argv[1], binlog_from_documents(sys.argv[2], rounds=4))
+print("DONE", flush=True)
+ray.shutdown()
+"""
+
+
+def test_sigkill_mid_ingest_then_replay(tmp_path):
+    """north rule: kill the job mid-run, replay, final state must equal an
+    uninterrupted run's state."""
+    clean = _fresh(tmp_path, "clean")
+    ingest(clean, binlog_from_documents(SF, rounds=4))
+    h_expected = _state_hash(clean)
+
+    killed = _fresh(tmp_path, "killed")
+    script = tmp_path / "kill_script.py"
+    script.write_text(KILL_SCRIPT)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.Popen([sys.executable, str(script), killed, SF],
+                            env=env, stdout=subprocess.PIPE, text=True)
+    # wait for the run to actually start, then SIGKILL the whole job
+    line = proc.stdout.readline()
+    assert "START" in line
+    time.sleep(2.0)  # let it get into the merge/write phase
+    proc.kill()
+    proc.wait()
+
+    store = LakeStore(killed)
+    assert store.current_version() is None or store.current_version() >= 1
+
+    # replay from scratch (a restarted job)
+    ingest(killed, binlog_from_documents(SF, rounds=4))
+    assert _state_hash(killed) == h_expected
