@@ -107,6 +107,29 @@ def hash_exchange(ds, pid_col: str, num_partitions: int,
     return [o for o in out if o is not None]
 
 
+class Broadcast:
+    """Broadcast a small object once (``ray.put``) and fetch it lazily in
+    each task (``.get()`` is a local object-store read after the first
+    fetch on a node).  Cheaper than an actor pool when per-actor state is
+    just a lookup table and batches are few."""
+
+    def __init__(self, obj: Any):
+        self.ref = ray.put(obj)
+        self._cache = None
+
+    def get(self) -> Any:
+        if self._cache is None:
+            self._cache = ray.get(self.ref)
+        return self._cache
+
+    def __getstate__(self):
+        return {"ref": self.ref}
+
+    def __setstate__(self, state):
+        self.ref = state["ref"]
+        self._cache = None
+
+
 @ray.remote
 def _combine(combine_fn: Callable[[pa.Table], pa.Table], *tables: pa.Table):
     live = [t for t in tables if t is not None and t.num_rows]

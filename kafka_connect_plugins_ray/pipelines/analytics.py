@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..exchange import tree_aggregate
+from ..exchange import Broadcast, tree_aggregate
 from ..sources.readers import read_table
 
 
@@ -105,27 +105,24 @@ def customer_order_stats(sf_dir: str) -> pa.Table:
     order = np.argsort(cust.column("c_custkey").to_numpy())
     keys = cust.column("c_custkey").to_numpy()[order]
     segs = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)[order]
-    ref = ray.put((keys, segs))
+    side = Broadcast((keys, segs))  # ray.put once; lazy local get per task
     combine = _regroup(["c_mktsegment"], ["total_price", "order_count"])
 
-    class Lookup:
-        def __init__(self):
-            self.keys, self.segs = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ck = t.column("o_custkey").to_numpy()
-            idx = np.searchsorted(self.keys, ck)
-            idx = np.clip(idx, 0, len(self.keys) - 1)
-            seg = np.where(self.keys[idx] == ck, self.segs[idx], None)
-            t = pa.table({
-                "c_mktsegment": pa.array(seg, pa.string()),
-                "total_price": t["o_totalprice"],
-                "order_count": pa.array(np.ones(t.num_rows, np.int64)),
-            })
-            return combine(t)
+    def lookup(t: pa.Table) -> pa.Table:
+        lkeys, lsegs = side.get()
+        ck = t.column("o_custkey").to_numpy()
+        idx = np.searchsorted(lkeys, ck)
+        idx = np.clip(idx, 0, len(lkeys) - 1)
+        seg = np.where(lkeys[idx] == ck, lsegs[idx], None)
+        t = pa.table({
+            "c_mktsegment": pa.array(seg, pa.string()),
+            "total_price": t["o_totalprice"],
+            "order_count": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        return combine(t)
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 4))
+    partials = ds.map_batches(lookup, batch_format="pyarrow")
     out = tree_aggregate(partials, combine)
     return _round_cols(out, ["total_price"])
 

@@ -29,6 +29,15 @@ from ..stages.slack_reshape import SlackIntegrationPayload
 from ..stages.soft_delete import SoftDeleteToTombstone
 from ..stages.unquote_key import UnquoteRecordKey
 from . import analytics
+from . import streaming as _streaming
+
+
+def _q_asof_join(sf_dir: str):
+    return _streaming.asof_join_events(sf_dir)
+
+
+def _q_sessionize(sf_dir: str):
+    return _streaming.sessionize_events(sf_dir)
 from .cdc_ingest import ingest, read_lake
 from .dedup import exact_dedup, minhash_lsh_pairs, simhash_signatures
 from .multimodal import decode_documents
@@ -759,6 +768,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "doc_fingerprint_winnow": q_fingerprint_winnow,
         "multimodal_decode": q_multimodal,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
         "pricing_summary": analytics.pricing_summary,
         "top_revenue_orders": analytics.top_revenue_orders,
         "customer_order_stats": analytics.customer_order_stats,
@@ -791,6 +802,8 @@ def build_oracles() -> dict[str, str]:
         "doc_fingerprint": FINGERPRINT_ORACLE,
         # doc_fingerprint_winnow: rolling-hash winnowing, not SQL-expressible
         "multimodal_decode": MULTIMODAL_ORACLE,
+        "asof_join": _streaming.ASOF_ORACLE,
+        "sessionize": _streaming.SESSIONIZE_ORACLE.format(gap_us=30 * 60 * 1_000_000),
         "pricing_summary": PRICING_ORACLE,
         "top_revenue_orders": TOP_REVENUE_ORACLE,
         "customer_order_stats": CUSTOMER_ORDER_ORACLE,

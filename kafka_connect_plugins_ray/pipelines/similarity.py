@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..exchange import tree_aggregate
+from ..exchange import Broadcast, tree_aggregate
 
 
 def _to_matrix(embeddings: pd.Series) -> np.ndarray:
@@ -50,18 +50,27 @@ def _topk_frame(qids, sims: np.ndarray, cand_ids: np.ndarray, k: int) -> pd.Data
 
 
 class _BatchTopK:
-    """Actor stage: fetches the broadcast query matrix once per actor."""
+    """Stateless task stage: the broadcast query matrix is fetched lazily
+    from the local object store on first use in each worker."""
 
-    def __init__(self, query_ref, k: int):
-        self.qids, q = ray.get(query_ref)
-        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    def __init__(self, side: Broadcast, k: int):
+        self.side = side
         self.k = k
+        self._qn = None
+        self._qids = None
+
+    def _queries(self):
+        if self._qn is None:
+            self._qids, q = self.side.get()
+            self._qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        return self._qids, self._qn
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        qids, qn = self._queries()
         c = _to_matrix(batch["embedding"])
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
-        sims = self.qn @ cn.T
-        return _topk_frame(self.qids, sims, batch["vec_id"].to_numpy(), self.k)
+        sims = qn @ cn.T
+        return _topk_frame(qids, sims, batch["vec_id"].to_numpy(), self.k)
 
 
 def _combine_topk(k: int):
@@ -88,10 +97,9 @@ def _round_score(t: pa.Table) -> pa.Table:
 
 def knn_bruteforce(candidates: "rd.Dataset", query_ids: np.ndarray,
                    query_matrix: np.ndarray, k: int = 5) -> pa.Table:
-    query_ref = ray.put((query_ids, query_matrix))
+    side = Broadcast((query_ids, query_matrix))
     per_batch = candidates.map_batches(
-        _BatchTopK, fn_constructor_args=(query_ref, k),
-        batch_format="pandas", batch_size=4096, concurrency=(1, 8),
+        _BatchTopK(side, k), batch_format="pandas", batch_size=4096,
     )
     # per-batch candidates are tiny (queries × k per block): tree-combine
     out = tree_aggregate(per_batch, _combine_topk(k))
@@ -115,36 +123,32 @@ def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
     assignment is one pass, probing touches ~1/2^planes of the corpus."""
     hasher = _HyperplaneHasher(dim=query_matrix.shape[1], n_planes=n_planes)
     qbuckets = hasher.bucket(query_matrix.astype(np.float64))
-    query_ref = ray.put((query_ids, query_matrix, qbuckets))
+    side = Broadcast((query_ids, query_matrix, qbuckets))
 
-    class BucketTopK:
-        def __init__(self):
-            self.qids, q, self.qb = ray.get(query_ref)
-            self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            self.hasher = _HyperplaneHasher(dim=q.shape[1], n_planes=n_planes)
+    def bucket_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, q, qb_all = side.get()
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        c = _to_matrix(batch["embedding"])
+        cb = hasher.bucket(c)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        frames = []
+        ids = batch["vec_id"].to_numpy()
+        for qi, (qid, qb) in enumerate(zip(qids, qb_all)):
+            mask = cb == qb
+            if not mask.any():
+                continue
+            sims = (qn[qi:qi + 1] @ cn[mask].T)
+            frames.append(_topk_frame([qid], sims, ids[mask], k))
+        if not frames:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            })
+        return pd.concat(frames, ignore_index=True)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            c = _to_matrix(batch["embedding"])
-            cb = self.hasher.bucket(c)
-            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
-            frames = []
-            ids = batch["vec_id"].to_numpy()
-            for qi, (qid, qb) in enumerate(zip(self.qids, self.qb)):
-                mask = cb == qb
-                if not mask.any():
-                    continue
-                sims = (self.qn[qi:qi + 1] @ cn[mask].T)
-                frames.append(_topk_frame([qid], sims, ids[mask], k))
-            if not frames:
-                return pd.DataFrame({
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "score": pd.Series([], dtype="float64"),
-                })
-            return pd.concat(frames, ignore_index=True)
-
-    per_batch = candidates.map_batches(BucketTopK, batch_format="pandas",
-                                       batch_size=4096, concurrency=(1, 8))
+    per_batch = candidates.map_batches(bucket_topk, batch_format="pandas",
+                                       batch_size=4096)
     out = tree_aggregate(per_batch, _combine_topk(k))
     if out is None:
         return pa.table({"query_id": pa.array([], pa.int64()),

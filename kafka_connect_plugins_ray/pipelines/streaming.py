@@ -1,0 +1,126 @@
+"""Stream-shaped operators over the ordered, partitioned event log:
+as-of join and gap-based sessionization.
+
+Ray Data has no event-time windows; per ray_guide.md the shape is: treat
+``events`` as a keyed log, hash-exchange by key bucket, and apply the
+order-sensitive kernel (pandas ``merge_asof`` / gap detection over the
+sorted group) inside each partition.  Ordering assumption: events of one
+key are wholly contained in one exchange partition; order is established
+by sorting within the partition (no cross-partition order is needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..exchange import hash_exchange
+from ..sources.readers import read_table
+
+BUCKETS = 16
+
+
+def _with_bucket(t: pa.Table, key: str, buckets: int) -> pa.Table:
+    k = pc.cast(t[key], pa.int64())
+    pid = pc.cast(
+        pc.subtract(k, pc.multiply(pc.divide(k, buckets), buckets)),
+        pa.int32())
+    return t.append_column("bucket", pid)
+
+
+def asof_join_events(sf_dir: str, *, left_type: str = "purchase",
+                     right_type: str = "click",
+                     buckets: int = BUCKETS) -> pa.Table:
+    """For every ``left_type`` event, the most recent prior-or-equal
+    ``right_type`` event of the same user (classic as-of join).
+
+    Columns: event_id, user_id, ts (left), click_event_id, click_ts.
+    """
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+    ds = ds.map_batches(
+        lambda t: _with_bucket(
+            t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array([left_type, right_type]))),
+            "user_id", buckets),
+        batch_format="pyarrow")
+
+    def join_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        df = t.to_pandas()
+        left = df[df["event_type"] == left_type].sort_values("ts")
+        right = df[df["event_type"] == right_type].sort_values("ts")
+        right = right.rename(columns={"event_id": "click_event_id",
+                                      "ts": "click_ts"})
+        if left.empty:
+            return None
+        merged = pd.merge_asof(
+            left, right[["user_id", "click_event_id", "click_ts"]],
+            left_on="ts", right_on="click_ts", by="user_id",
+            direction="backward")
+        out = merged[["event_id", "user_id", "ts", "click_event_id",
+                      "click_ts"]]
+        out = out.astype({"click_event_id": "float64"})  # nullable int -> f64
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    shards = hash_exchange(ds, "bucket", buckets, join_bucket)
+    if not shards:
+        return pa.table({})
+    return pa.concat_tables(shards, promote_options="permissive")
+
+
+ASOF_ORACLE = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT event_id AS click_event_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts,
+       CAST(r.click_event_id AS DOUBLE) AS click_event_id, r.click_ts
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND r.click_ts <= l.ts
+"""
+
+
+def sessionize_events(sf_dir: str, *, gap_minutes: int = 30,
+                      buckets: int = BUCKETS) -> pa.Table:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_minutes``.  Returns per-user session stats."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ds = ds.map_batches(lambda t: _with_bucket(t, "user_id", buckets),
+                        batch_format="pyarrow")
+
+    def sessions(pid: int, t: pa.Table) -> "pa.Table | None":
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ts_us = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = ts_us.sub(ts_us.shift()).gt(gap_us)
+        df["session_start"] = (new_user | gap)
+        df["session_id"] = df["session_start"].cumsum()
+        g = df.groupby("user_id")
+        out = pd.DataFrame({
+            "user_id": g.size().index.astype("int64"),
+            "n_sessions": g["session_start"].sum().astype("int64").values,
+            "n_events": g.size().astype("int64").values,
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    shards = hash_exchange(ds, "bucket", buckets, sessions)
+    if not shards:
+        return pa.table({})
+    return pa.concat_tables(shards, promote_options="permissive")
+
+
+SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS session_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       sum(session_start)::BIGINT AS n_sessions,
+       count(*) AS n_events
+FROM o GROUP BY user_id
+"""
