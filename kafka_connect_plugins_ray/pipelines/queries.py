@@ -41,7 +41,12 @@ def _q_sessionize(sf_dir: str):
 from .cdc_ingest import ingest, read_lake
 from .dedup import exact_dedup, minhash_lsh_pairs, simhash_signatures
 from .multimodal import decode_documents
-from .similarity import knn_bruteforce, knn_lsh, load_queries
+from .similarity import (
+    embedding_neardup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+    load_queries,
+)
 from .text import Fingerprint, LangId, QualityScore, token_count_batch
 
 # --------------------------------------------------------------------------
@@ -601,6 +606,25 @@ def q_knn_lsh(sf_dir: str) -> "rd.Dataset":
     return knn_lsh(cands, qids, qmat, k=5)
 
 
+def q_dedup_embedding(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    cands = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(cands, ids, mat, threshold=0.4)
+
+
+DEDUP_EMBEDDING_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
 def q_lang_id(sf_dir: str) -> "rd.Dataset":
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(LangId(), batch_format="pandas")
@@ -762,6 +786,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_knn,
         "ann_cosine_lsh": q_knn_lsh,
+        "dedup_embedding_cosine": q_dedup_embedding,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
@@ -796,6 +821,7 @@ def build_oracles() -> dict[str, str]:
         # dedup_minhash_lsh / dedup_simhash: sketch-based, not SQL-expressible
         "ann_cosine_topk": KNN_ORACLE,
         # ann_cosine_lsh: approximate — recall measured in tests instead
+        "dedup_embedding_cosine": DEDUP_EMBEDDING_ORACLE,
         "lang_id": LANG_ID_ORACLE,
         "text_quality": TEXT_QUALITY_ORACLE,
         "token_count": TOKEN_COUNT_ORACLE,

@@ -157,6 +157,50 @@ def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
     return _round_score(out)
 
 
+def embedding_neardup_pairs(candidates: "rd.Dataset", corpus_ids: np.ndarray,
+                            corpus_matrix: np.ndarray,
+                            threshold: float = 0.4) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: every (a, b) with
+    cosine >= threshold and a < b.
+
+    The corpus matrix is broadcast once; each batch does one matmul
+    against it.  O(N^2) scoring — the correct scale path swaps the
+    broadcast side for LSH/IVF buckets (``knn_lsh``'s hasher) so only
+    bucket-mates are scored; this exact form doubles as the oracle-checked
+    baseline."""
+    side = Broadcast((corpus_ids,
+                      corpus_matrix / np.linalg.norm(corpus_matrix, axis=1,
+                                                     keepdims=True)))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, cn = side.get()
+        m = _to_matrix(batch["embedding"])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ cn.T
+        bids = batch["vec_id"].to_numpy()
+        rows_a, rows_b, score = [], [], []
+        for i, a in enumerate(bids):
+            mask = (sims[i] >= threshold) & (ids > a)
+            for j in np.nonzero(mask)[0]:
+                rows_a.append(int(a))
+                rows_b.append(int(ids[j]))
+                score.append(float(sims[i, j]))
+        return pd.DataFrame({
+            "vec_a": pd.Series(rows_a, dtype="int64"),
+            "vec_b": pd.Series(rows_b, dtype="int64"),
+            "score": pd.Series(score, dtype="float64"),
+        })
+
+    per_batch = candidates.map_batches(pairs, batch_format="pandas",
+                                       batch_size=4096)
+    out = tree_aggregate(per_batch, lambda t: t)
+    if out is None:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    return _round_score(out)
+
+
 def load_queries(path: str, max_qid: int) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side load of the (tiny) query set: vec_id < max_qid."""
     import pyarrow.parquet as pq

@@ -183,3 +183,29 @@ def test_schema_stable_across_batches():
     s2 = a(_batch([None])).schema
     assert s1.names == s2.names
     assert [f.type for f in s1] == [f.type for f in s2]
+
+
+def test_schema_plan_cache_two_schemas():
+    # the reference's LRU schema cache handles multiple input schemas per
+    # instance (RedShiftComplexDataTypeTransformer.kt:35,182-198): one
+    # transform instance must flatten distinct schemas independently
+    other_t = pa.struct([
+        pa.field("x", pa.int64()),
+        pa.field("inner", pa.struct([("y", pa.string())])),
+    ])
+    t2 = pa.table({
+        "partition": pa.array([0], pa.int32()),
+        "offset": pa.array([1], pa.int64()),
+        "ts": pa.array([None], pa.int64()),
+        "key": pa.array([None], pa.string()),
+        "value": pa.array([{"x": 7, "inner": {"y": "z"}}], type=other_t),
+    })
+    f = RedshiftFlatten(body_field=None)  # schema 2 has no 'body'
+    out1 = f(_batch([FULL_VALUE]))
+    out2 = f(t2)
+    out1b = f(_batch([FULL_VALUE]))  # cache hit after schema switch
+    assert "body_email" in out1.column_names
+    assert out2.column("x").to_pylist() == [7]
+    assert out2.column("inner_y").to_pylist() == ["z"]
+    assert out1.schema.names == out1b.schema.names
+    assert len(f._plan_cache) == 2

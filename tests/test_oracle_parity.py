@@ -15,7 +15,9 @@ import sys
 sys.path.insert(0, "/root/repo")
 from __ray_entry__ import entry, oracle_sql, queries  # noqa: E402
 
-SF = "/root/testdata/sf0.001"
+import os as _os
+
+SF = _os.environ.get("KCP_TEST_SF", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
