@@ -18,6 +18,7 @@ import json
 from typing import Any
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(obj: Any) -> Any:
@@ -44,21 +45,120 @@ def column_to_canonical_json(col: "pa.Array | pa.ChunkedArray",
                              null_literal: "str | None" = None) -> pa.Array:
     """Serialize each element of a (possibly nested) column to canonical JSON.
 
-    Per-row Python on the *minority* complex columns only (lists/maps/structs);
-    scalar columns never go through here.  ``null_literal`` replaces null
-    elements (e.g. '"[]"' semantics are handled by the caller, which knows
-    the schema default)."""
+    Vectorized Arrow path (``_json_vectorized``) for the common shapes —
+    strings, ints, bools, list<...>, map<string, ...>, all-scalar structs —
+    with a per-row Python fallback for floats (repr fidelity), rows needing
+    string escaping, and exotic nesting.  ``null_literal`` replaces null
+    top-level elements (e.g. the '"[]"' artifact is chosen by the caller,
+    which knows the schema default)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    empty_map = pa.types.is_map(col.type)
-    out: list[str | None] = []
-    for v in col.to_pylist():
-        if v is None:
-            out.append(null_literal)
+
+    ser = _json_vectorized(col)
+    if ser is None:
+        empty_map = pa.types.is_map(col.type)
+        out: list[str | None] = []
+        for v in col.to_pylist():
+            if v is None:
+                out.append(null_literal)
+            else:
+                out.append(canonical_json_dumps(v))
+        # map [] round-trips as {} at the row level; an empty map serializes
+        # as [] through _normalize's tuple detection, fix up:
+        if empty_map:
+            out = ["{}" if s == "[]" else s for s in out]
+        return pa.array(out, type=pa.string())
+
+    if null_literal is not None:
+        ser = pc.fill_null(ser, null_literal)
+    return ser
+
+
+# --------------------------------------------------------------------------
+# vectorized encoder
+# --------------------------------------------------------------------------
+
+_NEEDS_ESCAPE = r'["\\\x00-\x1f]'
+
+
+def _scalar_to_json_strings(arr: pa.Array, quote: bool) -> "pa.Array | None":
+    """Element-wise JSON text for a scalar array; None => unsupported or
+    needs the python fallback.  Null elements become the literal 'null'."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        if arr.null_count != len(arr):
+            needs = pc.any(pc.match_substring_regex(arr, _NEEDS_ESCAPE)).as_py()
+            if needs:
+                return None  # rare: fall back for the whole column
+        if quote:
+            out = pc.binary_join_element_wise('"', arr, '"', "")
         else:
-            out.append(canonical_json_dumps(v))
-    # map [] round-trips as {} at the row level; handled in _normalize only
-    # when tuples are present — an empty map serializes as [] there, fix up:
-    if empty_map:
-        out = ["{}" if s == "[]" else s for s in out]
-    return pa.array(out, type=pa.string())
+            out = arr
+        return pc.fill_null(out, "null")
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        return pc.fill_null(pc.cast(arr, pa.string()), "null")
+    return None  # floats (repr fidelity), timestamps, ... -> python
+
+
+def _join_per_parent(offsets: pa.Array, parts: pa.Array, open_ch: str,
+                     close_ch: str, validity_src: pa.Array) -> pa.Array:
+    import pyarrow.compute as pc
+
+    lists = pa.ListArray.from_arrays(offsets, parts)
+    joined = pc.binary_join(lists, ",")
+    wrapped = pc.binary_join_element_wise(open_ch, joined, close_ch, "")
+    return pc.if_else(pc.is_valid(validity_src),
+                      wrapped, pa.nulls(len(validity_src), pa.string()))
+
+
+def _json_vectorized(col: pa.Array) -> "pa.Array | None":
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        la = col
+        values_json = _json_vectorized(la.values)
+        if values_json is None:
+            values_json = _scalar_to_json_strings(la.values, quote=True)
+        else:
+            values_json = pc.fill_null(values_json, "null")
+        if values_json is None:
+            return None
+        return _join_per_parent(la.offsets, values_json, "[", "]", la)
+    if pa.types.is_map(t):
+        ma = col
+        keys_json = _scalar_to_json_strings(ma.keys, quote=True)
+        items_json = _json_vectorized(ma.items)
+        if items_json is None:
+            items_json = _scalar_to_json_strings(ma.items, quote=True)
+        else:
+            items_json = pc.fill_null(items_json, "null")
+        if keys_json is None or items_json is None:
+            return None
+        entries = pc.binary_join_element_wise(
+            keys_json, ":", items_json, "")
+        return _join_per_parent(ma.offsets, entries, "{", "}", ma)
+    if pa.types.is_struct(t):
+        parts = None
+        for i in range(t.num_fields):
+            f = t.field(i)
+            child = pc.struct_field(col, [f.name])
+            child_json = _json_vectorized(child)
+            if child_json is None:
+                child_json = _scalar_to_json_strings(child, quote=True)
+            else:
+                child_json = pc.fill_null(child_json, "null")
+            if child_json is None:
+                return None
+            piece = pc.binary_join_element_wise(
+                f'"{f.name}":', child_json, "")
+            parts = piece if parts is None else pc.binary_join_element_wise(
+                parts, ",", piece, "")
+        if parts is None:
+            parts = pa.array(["" ] * len(col), pa.string())
+        wrapped = pc.binary_join_element_wise("{", parts, "}", "")
+        return pc.if_else(pc.is_valid(col), wrapped,
+                          pa.nulls(len(col), pa.string()))
+    return None

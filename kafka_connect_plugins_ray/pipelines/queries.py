@@ -60,6 +60,19 @@ def cdc_lww_state(sf_dir: str) -> "rd.Dataset":
     return read_lake(lake)
 
 
+def cdc_full_state(sf_dir: str) -> "rd.Dataset":
+    """The full envelope+SMT-chain pipeline (cdc_full.py) must converge to
+    the SAME final table as the pre-projected flagship — deletes travel as
+    body.deleted_at soft-deletes through SoftDeleteToTombstone instead of a
+    pre-computed op column, so this checks the whole reference EP1 path
+    against the SQL oracle."""
+    from .cdc_full import full_cdc_ingest
+
+    lake = tempfile.mkdtemp(prefix="kcp_lake_full_")
+    full_cdc_ingest(lake, sf_dir)
+    return read_lake(lake)
+
+
 CDC_ORACLE = """
 SELECT 'repo-' || (doc_id % 50) AS repo,
        'src/doc_' || doc_id || '.txt' AS path,
@@ -769,6 +782,7 @@ FROM events GROUP BY 1, 2
 def build_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_state": cdc_lww_state,
+        "cdc_full_state": cdc_full_state,
         "unquote_key": q_unquote_key,
         "soft_delete_to_tombstone": q_soft_delete,
         "json_to_hex": q_json_to_hex,
@@ -805,6 +819,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 def build_oracles() -> dict[str, str]:
     return {
         "cdc_lww_state": CDC_ORACLE,
+        "cdc_full_state": CDC_ORACLE,
         "unquote_key": UNQUOTE_ORACLE,
         "soft_delete_to_tombstone": SOFT_DELETE_ORACLE,
         "json_to_hex": JSON_TO_HEX_ORACLE,

@@ -61,15 +61,18 @@ def _expand_batch(t: pa.Table, rounds: int, with_metadata: bool,
     is_delete = seq == nu  # the trailing event (only exists when has_delete)
     lsn = base_lsn + doc * stride + seq
 
-    repo = pa.array([f"repo-{v}" for v in (doc % REPO_BUCKETS)], pa.string())
-    path = pa.array([f"src/doc_{v}.txt" for v in doc], pa.string())
-    commits = pa.array(
-        [
-            f"c{s:06d}-" + hashlib.md5(f"{dv}:{s}".encode()).hexdigest()[:8]
-            for dv, s in zip(doc, seq)
-        ],
+    doc_str = pa.array(doc.astype(str), pa.string())
+    repo = pc.binary_join_element_wise(
+        "repo-", pa.array((doc % REPO_BUCKETS).astype(str), pa.string()), "")
+    path = pc.binary_join_element_wise("src/doc_", doc_str, ".txt", "")
+    # the md5 commit suffix is inherently per-event; zero-pad seq vectorized
+    seq_pad = pc.utf8_lpad(pa.array(seq.astype(str), pa.string()), 6, "0")
+    md5 = hashlib.md5
+    suffix = pa.array(
+        [md5(b"%d:%d" % (dv, s)).hexdigest()[:8] for dv, s in zip(doc, seq)],
         pa.string(),
     )
+    commits = pc.binary_join_element_wise("c", seq_pad, "-", suffix, "")
 
     text = pc.take(t.column("text"), pa.array(row_idx, pa.int64()))
     lang = pc.take(t.column("lang"), pa.array(row_idx, pa.int64()))

@@ -154,3 +154,22 @@ def test_deletes_remove_keys(tmp_path):
     assert "src/doc_0.txt" not in paths  # doc_id 0 -> deleted
     assert "src/doc_17.txt" not in paths
     assert "src/doc_1.txt" in paths
+
+
+def test_non_additive_evolution_rejected(tmp_path):
+    # type-conflicting schema change (content: string -> int64) must fail
+    # loudly, not corrupt the lake (north rule: additive evolution only)
+    import pyarrow.compute as pc_
+
+    lake = _lake(tmp_path, "conflict")
+    ingest(lake, binlog_from_documents(SF))
+    bad = binlog_from_documents(SF, rounds=1, base_lsn=10_000).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("content"), "content",
+            pc_.cast(pc_.utf8_length(t["content"]), pa.int64())),
+        batch_format="pyarrow")
+    with pytest.raises(Exception):
+        ingest(lake, bad)
+    # the failed cycle must not have been committed
+    from kafka_connect_plugins_ray.state.manifest import LakeStore
+    assert LakeStore(lake).current().version == 1
