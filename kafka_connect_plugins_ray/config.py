@@ -37,6 +37,7 @@ from .stages.json_to_hex import JsonToHex
 from .stages.modify_partition import ModifyPartition
 from .stages.slack_reshape import SlackIntegrationPayload
 from .stages.soft_delete import SoftDeleteToTombstone
+from .stages.timestamp_converter import TimestampConverter
 from .stages.unquote_key import UnquoteRecordKey
 
 _PLACEHOLDER = re.compile(r"\$\{([a-zA-Z0-9_-]+):([^}]*)\}")
@@ -105,6 +106,7 @@ REGISTRY: dict[str, Any] = {
     "ExtractField": ExtractField,
     "InsertField": InsertField,
     "RegexRouter": RegexRouter,
+    "TimestampConverter": TimestampConverter,
     # the reference's Kotlin class names (README.md connector configs)
     f"{_PKG}.UnquoteRecordKey": UnquoteRecordKey,
     f"{_PKG}.SoftDeleteToTombstoneTransformer": SoftDeleteToTombstone,
@@ -133,6 +135,8 @@ _PROP_MAP: dict[type, dict[str, str]] = {
                   "offset.field": "offset_field",
                   "timestamp.field": "timestamp_field"},
     RegexRouter: {"regex": "regex", "replacement": "replacement"},
+    TimestampConverter: {"field": "field", "target.type": "target_type",
+                         "format": "format"},
 }
 
 _LIST_PROPS = {"exclude", "include", "fields"}

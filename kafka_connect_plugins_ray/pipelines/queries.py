@@ -565,6 +565,37 @@ FROM events
 """
 
 
+def q_timestamp_converter(sf_dir: str) -> "rd.Dataset":
+    from ..stages.timestamp_converter import TimestampConverter
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def build(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "ts_str": ts_to_epoch_ms(t["ts"])})
+
+    to_str = TimestampConverter("ts_str", target_type="string",
+                                value_col="__none__")
+    to_unix = TimestampConverter("ts_unix", target_type="unix",
+                                 value_col="__none__")
+
+    def convert(t: pa.Table) -> pa.Table:
+        t = to_str(t)
+        t = t.append_column("ts_unix", t["ts_str"])
+        return to_unix(t)
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    return built.map_batches(convert, batch_format="pyarrow")
+
+
+TIMESTAMP_CONVERTER_ORACLE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       CAST(epoch_us(ts) // 1000000 * 1000 AS BIGINT) AS ts_unix
+FROM events
+"""
+
+
 def q_dedup_exact(sf_dir: str) -> "rd.Dataset":
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(docs)
@@ -795,6 +826,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "extract_field": q_extract_field,
         "insert_field": q_insert_field,
         "regex_router": q_regex_router,
+        "timestamp_converter": q_timestamp_converter,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -832,6 +864,7 @@ def build_oracles() -> dict[str, str]:
         "extract_field": EXTRACT_FIELD_ORACLE,
         "insert_field": INSERT_FIELD_ORACLE,
         "regex_router": REGEX_ROUTER_ORACLE,
+        "timestamp_converter": TIMESTAMP_CONVERTER_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
         # dedup_minhash_lsh / dedup_simhash: sketch-based, not SQL-expressible
         "ann_cosine_topk": KNN_ORACLE,

@@ -1,0 +1,87 @@
+"""TimestampConverter — Kafka's standard SMT (public
+org.apache.kafka.connect.transforms.TimestampConverter semantics, subset):
+convert a timestamp field between unix epoch-millis and formatted strings.
+
+Supported ``target.type``: "unix" (int64 epoch-millis) and "string" (with a
+strftime ``format``).  Vectorized via Arrow casts + ``pc.strftime`` /
+``pc.strptime``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import VALUE
+
+
+class TimestampConverter:
+    def __init__(self, field: str, target_type: str = "string",
+                 format: str = "%Y-%m-%d %H:%M:%S", value_col: str = VALUE):
+        if target_type not in ("string", "unix"):
+            raise ValueError("target_type must be 'string' or 'unix'")
+        self.field = field
+        self.target_type = target_type
+        self.format = format
+        self.value_col = value_col
+
+    def _convert(self, arr):
+        t = arr.type
+        if self.target_type == "string":
+            from ..schema import ts_to_epoch_ms
+
+            if pa.types.is_integer(t):  # epoch millis
+                ms = pc.cast(arr, pa.int64())
+            elif pa.types.is_timestamp(t):
+                ms = ts_to_epoch_ms(arr)
+            else:
+                raise TypeError(f"cannot convert {t} to formatted string")
+            # Arrow's strftime %S prints fractional digits for sub-second
+            # units; truncate to seconds precision for wall-clock formats
+            ts = pc.cast(pc.divide(ms, 1000), pa.timestamp("s"))
+            return pc.strftime(ts, format=self.format)
+        # -> unix epoch millis
+        if pa.types.is_integer(t):
+            return pc.cast(arr, pa.int64())
+        if pa.types.is_timestamp(t):
+            from ..schema import ts_to_epoch_ms
+
+            return ts_to_epoch_ms(arr)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            ts = pc.strptime(arr, format=self.format, unit="ms")
+            return pc.cast(ts, pa.int64())
+        raise TypeError(f"cannot convert {t} to unix millis")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        value = (batch.column(self.value_col)
+                 if self.value_col in batch.column_names else None)
+        if value is not None and pa.types.is_struct(value.type):
+            idx = value.type.get_field_index(self.field)
+            if idx < 0:
+                raise KeyError(f"field '{self.field}' not in value schema")
+            if isinstance(value, pa.ChunkedArray):
+                value = value.combine_chunks()
+            fields, arrays = [], []
+            for i in range(value.type.num_fields):
+                f = value.type.field(i)
+                arr = pc.struct_field(value, [f.name])
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if f.name == self.field:
+                    arr = self._convert(arr)
+                    f = pa.field(f.name, arr.type, f.nullable)
+                fields.append(f)
+                arrays.append(arr)
+            mask = pc.is_null(value)
+            new_value = pa.StructArray.from_arrays(
+                arrays, fields=fields,
+                mask=mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask)
+            i = batch.column_names.index(self.value_col)
+            return batch.set_column(
+                i, pa.field(self.value_col, new_value.type), new_value)
+        # flat-column mode: the field is a top-level column
+        if self.field not in batch.column_names:
+            raise KeyError(f"column '{self.field}' not in batch")
+        i = batch.column_names.index(self.field)
+        converted = self._convert(batch.column(self.field))
+        return batch.set_column(i, pa.field(self.field, converted.type), converted)

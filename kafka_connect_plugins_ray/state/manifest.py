@@ -23,7 +23,13 @@ identical final table state (the north rule's kill-and-replay sha256 gate).
 The manifest records the input high-water LSN (resume = replay events with
 ``lsn > high_water``) and per-partition lineage/metrics
 (rows, bytes, upserts, deletes, input lsn range, parent version).
-"""
+
+The design follows the published Delta Lake transaction-log pattern
+(Armbrust et al., VLDB 2020): table state is defined solely by the last
+committed log entry; data files are immutable and only ever referenced,
+never mutated.  Single-writer assumption: one ingest job per lake at a
+time (concurrent committers would need a CAS on CURRENT — on a real
+object store, a conditional put)."""
 
 from __future__ import annotations
 

@@ -165,3 +165,30 @@ def test_config_provider_json_file(tmp_path):
 def test_config_provider_missing_env_raises():
     with pytest.raises(KeyError):
         resolve_config_providers({"x": "${env:KCP_DOES_NOT_EXIST_42}"})
+
+
+def test_timestamp_converter_struct_roundtrip():
+    from kafka_connect_plugins_ray.stages.timestamp_converter import (
+        TimestampConverter,
+    )
+    t = pa.table({
+        "value": pa.array(
+            [{"created": 1713922160000, "x": "a"}, None],
+            type=pa.struct([("created", pa.int64()), ("x", pa.string())])),
+    })
+    out = TimestampConverter("created", target_type="string")(t)
+    rows = out.column("value").to_pylist()
+    assert rows[0]["created"] == "2024-04-24 01:29:20"
+    assert rows[1] is None  # tombstone preserved
+    back = TimestampConverter("created", target_type="unix")(out)
+    assert back.column("value").to_pylist()[0]["created"] == 1713922160000
+
+
+def test_timestamp_converter_unknown_field_raises():
+    from kafka_connect_plugins_ray.stages.timestamp_converter import (
+        TimestampConverter,
+    )
+    t = pa.table({"value": pa.array([{"a": 1}],
+                                    type=pa.struct([("a", pa.int64())]))})
+    with pytest.raises(KeyError):
+        TimestampConverter("nope")(t)

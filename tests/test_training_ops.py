@@ -181,3 +181,8 @@ def test_tree_aggregate_sums():
     out = tree_aggregate(ds, combine, fanin=3)
     rows = {r["g"]: r["x"] for r in out.to_pylist()}
     assert rows == {"a": 500, "b": 500}
+
+
+def test_hex_encode_slice_with_nulls():
+    arr = pa.array(["aa", None, "bb", "cc", None], pa.string()).slice(1, 3)
+    assert hex_encode_array(arr).to_pylist() == [None, "6262", "6363"]
