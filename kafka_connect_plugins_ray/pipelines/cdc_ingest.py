@@ -209,10 +209,15 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     return manifest
 
 
-def read_lake(lake_root: str, columns: "list[str] | None" = None) -> "rd.Dataset":
-    """Dataset over the currently committed lake state."""
+def read_lake(lake_root: str, columns: "list[str] | None" = None,
+              version: "int | None" = None) -> "rd.Dataset":
+    """Dataset over the committed lake state.
+
+    ``version`` reads a historical snapshot (time travel): any manifest
+    version that has not been garbage-collected is readable, because data
+    files are immutable and only ever referenced by manifests."""
     store = LakeStore(lake_root)
-    manifest = store.current()
+    manifest = store.current() if version is None else store.read_manifest(version)
     if manifest is None or not manifest.files:
         return rd.from_arrow(pa.table({}))
     paths = [store.abspath(rel) for rel in manifest.files.values()]
