@@ -127,6 +127,30 @@ def customer_order_stats(sf_dir: str) -> pa.Table:
     return _round_cols(out, ["total_price"])
 
 
+def events_hopping(sf_dir: str, hop_us: int = 1_800_000_000) -> pa.Table:
+    """Hopping (sliding) window aggregate: 1-hour windows every 30 min —
+    each event lands in exactly two windows (size = 2 x hop).  The window
+    replication happens vectorized inside the partial stage, so the tree
+    combine sees one row per (user, window) per block."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    combine = _regroup(["user_id", "win"], ["sum_value", "n_events"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        w0 = pc.divide(us, hop_us)
+        ones = pa.array(np.ones(t.num_rows, np.int64))
+        a = pa.table({"user_id": t["user_id"], "win": w0,
+                      "sum_value": t["value"], "n_events": ones})
+        b = pa.table({"user_id": t["user_id"],
+                      "win": pc.subtract(w0, 1),
+                      "sum_value": t["value"], "n_events": ones})
+        return combine(pa.concat_tables([a, b]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = tree_aggregate(partials, combine)
+    return _round_cols(out, ["sum_value"])
+
+
 def events_hourly(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour window aggregate per user (event-stream shape)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])

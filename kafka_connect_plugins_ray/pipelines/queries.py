@@ -90,6 +90,31 @@ WHERE doc_id % 17 <> 0
 # --------------------------------------------------------------------------
 
 
+def cdc_content_sha(sf_dir: str) -> "rd.Dataset":
+    """The input_hint's per-row invariant, surfaced directly: sha256 of
+    every surviving row's content in the final lake state."""
+    from ..functions.hashing import sha256_hex_array
+
+    state = cdc_lww_state(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"], "path": t["path"],
+            "content_sha256": sha256_hex_array(t["content"]),
+        })
+
+    return state.map_batches(project, batch_format="pyarrow")
+
+
+CDC_CONTENT_SHA_ORACLE = """
+SELECT 'repo-' || (doc_id % 50) AS repo,
+       'src/doc_' || doc_id || '.txt' AS path,
+       sha256(text || '#v' || (doc_id % 3)) AS content_sha256
+FROM documents
+WHERE doc_id % 17 <> 0
+"""
+
+
 def q_unquote_key(sf_dir: str) -> "rd.Dataset":
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
 
@@ -809,11 +834,21 @@ SELECT user_id, epoch_us(ts) // 3600000000 AS win,
 FROM events GROUP BY 1, 2
 """
 
+EVENTS_HOPPING_ORACLE = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1800000000 AS w0, value FROM events),
+     x AS (SELECT user_id, w0 AS win, value FROM e
+           UNION ALL
+           SELECT user_id, w0 - 1 AS win, value FROM e)
+SELECT user_id, win, round(sum(value), 2) AS sum_value, count(*) AS n_events
+FROM x GROUP BY 1, 2
+"""
+
 
 def build_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_full_state": cdc_full_state,
+        "cdc_content_sha": cdc_content_sha,
         "unquote_key": q_unquote_key,
         "soft_delete_to_tombstone": q_soft_delete,
         "json_to_hex": q_json_to_hex,
@@ -845,6 +880,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": analytics.top_revenue_orders,
         "customer_order_stats": analytics.customer_order_stats,
         "events_hourly": analytics.events_hourly,
+        "events_hopping": analytics.events_hopping,
     }
 
 
@@ -852,6 +888,7 @@ def build_oracles() -> dict[str, str]:
     return {
         "cdc_lww_state": CDC_ORACLE,
         "cdc_full_state": CDC_ORACLE,
+        "cdc_content_sha": CDC_CONTENT_SHA_ORACLE,
         "unquote_key": UNQUOTE_ORACLE,
         "soft_delete_to_tombstone": SOFT_DELETE_ORACLE,
         "json_to_hex": JSON_TO_HEX_ORACLE,
@@ -882,4 +919,5 @@ def build_oracles() -> dict[str, str]:
         "top_revenue_orders": TOP_REVENUE_ORACLE,
         "customer_order_stats": CUSTOMER_ORDER_ORACLE,
         "events_hourly": EVENTS_HOURLY_ORACLE,
+        "events_hopping": EVENTS_HOPPING_ORACLE,
     }
