@@ -48,19 +48,56 @@ from ..state.manifest import LakeStore, Manifest, _atomic_write
 DEFAULT_NUM_PARTITIONS = 32
 
 
-def _last_per_key(t: pa.Table, key_cols: Sequence[str]) -> pa.Table:
-    """t must already be sorted by (key_cols..., order_cols...); keep the
-    last row of each key run (vectorized boundary detection)."""
+def _key_boundaries(t: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
+    """Indices of the LAST row of each key run in a key-sorted table."""
     n = t.num_rows
-    if n == 0:
-        return t
     change = np.zeros(n, dtype=bool)
     change[-1] = True
     for k in key_cols:
         col = t.column(k)
         a, b = col.slice(0, n - 1), col.slice(1)
         change[:-1] |= np.asarray(pc.not_equal(a, b).combine_chunks().fill_null(True))
-    return t.take(pa.array(np.nonzero(change)[0], pa.int64()))
+    return np.nonzero(change)[0]
+
+
+def _last_per_key(t: pa.Table, key_cols: Sequence[str]) -> pa.Table:
+    """t must already be sorted by (key_cols..., order_cols...); keep the
+    last row of each key run (vectorized boundary detection)."""
+    if t.num_rows == 0:
+        return t
+    return t.take(pa.array(_key_boundaries(t, key_cols), pa.int64()))
+
+
+# per-batch partial-LWW bookkeeping columns (see ingest(pre_reduce=...))
+_META_IN_ROWS = "_kcp_in_rows"
+_META_LSN_MIN = "_kcp_lsn_min"
+_META_LSN_MAX = "_kcp_lsn_max"
+_META_COLS = (_META_IN_ROWS, _META_LSN_MIN, _META_LSN_MAX)
+
+
+def _partial_lww(t: pa.Table, key_cols: list[str], order_cols: list[str],
+                 lsn_col: str) -> pa.Table:
+    """Map-side combiner: reduce a batch to its last event per key, while
+    tracking per-key collapsed-row counts and lsn ranges so lineage and the
+    high-water offset still reflect the FULL input stream."""
+    if t.num_rows == 0:
+        for name, typ in ((_META_IN_ROWS, pa.int64()),
+                          (_META_LSN_MIN, pa.int64()),
+                          (_META_LSN_MAX, pa.int64())):
+            t = t.append_column(name, pa.nulls(0, typ))
+        return t
+    t = t.sort_by([(c, "ascending") for c in list(key_cols) + list(order_cols)])
+    last_idx = _key_boundaries(t, key_cols)
+    starts = np.concatenate(([0], last_idx[:-1] + 1))
+    counts = last_idx - starts + 1
+    lsn = t.column(lsn_col).to_numpy()
+    lsn_max = np.maximum.reduceat(lsn, starts)
+    lsn_min = np.minimum.reduceat(lsn, starts)
+    reduced = t.take(pa.array(last_idx, pa.int64()))
+    reduced = reduced.append_column(_META_IN_ROWS, pa.array(counts, pa.int64()))
+    reduced = reduced.append_column(_META_LSN_MIN, pa.array(lsn_min, pa.int64()))
+    reduced = reduced.append_column(_META_LSN_MAX, pa.array(lsn_max, pa.int64()))
+    return reduced
 
 
 class MergeGroup:
@@ -80,9 +117,17 @@ class MergeGroup:
 
     def __call__(self, pid: int, group: pa.Table) -> dict:
         events = group.drop_columns(["partition_id"])
-        input_rows = events.num_rows
-        lsn_min = pc.min(events.column(self.lsn_col)).as_py()
-        lsn_max = pc.max(events.column(self.lsn_col)).as_py()
+        if _META_IN_ROWS in events.column_names:
+            # pre-reduced input: lineage/offsets come from the combiner's
+            # bookkeeping (they reflect the full unreduced stream)
+            input_rows = pc.sum(events.column(_META_IN_ROWS)).as_py() or 0
+            lsn_min = pc.min(events.column(_META_LSN_MIN)).as_py()
+            lsn_max = pc.max(events.column(_META_LSN_MAX)).as_py()
+            events = events.drop_columns(list(_META_COLS))
+        else:
+            input_rows = events.num_rows
+            lsn_min = pc.min(events.column(self.lsn_col)).as_py()
+            lsn_max = pc.max(events.column(self.lsn_col)).as_py()
 
         events = events.sort_by(
             [(c, "ascending") for c in self.key_cols + self.order_cols]
@@ -137,13 +182,23 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
            order_cols: Sequence[str] = ("commit", "lsn"),
            lsn_col: str = "lsn", op_col: str = "op",
            num_partitions: int = DEFAULT_NUM_PARTITIONS,
-           resume: bool = True) -> Manifest:
+           resume: bool = True, pre_reduce: bool = True) -> Manifest:
     """One ingest cycle; returns the committed manifest.
 
     ``resume=True`` skips events at or below the current manifest's
     high-water LSN, so feeding the same binlog twice (kill-and-replay) is a
     no-op the second time; the LWW merge additionally makes any *partial*
     replay idempotent.
+
+    ``pre_reduce=True`` applies the LWW reduction *per batch before the
+    exchange* (the map-side combiner): taking the max-(commit, lsn) event
+    per key is associative, so the partial is lossless — only one row per
+    key per batch ever shuffles, which both shrinks the exchange volume
+    (by the per-key update factor) and bounds hot-key skew: a key with a
+    million updates contributes one row per input block, not a million
+    rows to one merge task.  The high-water LSN is still computed over the
+    *unreduced* stream (``lsn_max`` tracking rides along as a column) so
+    resume semantics are unchanged.
     """
     store = LakeStore(lake_root)
     parent = store.current()
@@ -167,6 +222,13 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     events = events.map_batches(
         AssignPartition(key_cols, num_partitions), batch_format="pyarrow"
     )
+    if pre_reduce:
+        kc, oc = list(key_cols), list(order_cols)
+
+        def combiner(t: pa.Table) -> pa.Table:
+            return _partial_lww(t, kc, oc, lsn_col)
+
+        events = events.map_batches(combiner, batch_format="pyarrow")
 
     merge = MergeGroup(
         lake_root, parent.files if parent else {}, version,
