@@ -205,6 +205,53 @@ def verify_jaccard(pairs: pa.Table, texts_by_id: dict[int, str],
     })
 
 
+def connected_components(pairs: pa.Table) -> dict[int, int]:
+    """Union-find over candidate pairs (driver-side — the pair set is the
+    LSH candidate output, provably small relative to the corpus; for pair
+    sets beyond driver memory, iterate min-label propagation with the hash
+    exchange instead).  Returns doc_id -> cluster representative (min id)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("doc_a").to_pylist(),
+                    pairs.column("doc_b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def minhash_dedup_keep(docs: "rd.Dataset", **lsh_kwargs) -> "rd.Dataset":
+    """End-to-end near-dup REMOVAL: LSH candidate pairs -> connected
+    components -> keep each cluster's min doc_id -> anti-filter the corpus
+    (drop-set broadcast into a vectorized map_batches filter)."""
+    import pyarrow.compute as pc
+    import ray
+
+    pairs = minhash_lsh_pairs(docs, **lsh_kwargs)
+    comp = connected_components(pairs)
+    drop = sorted(d for d, rep in comp.items() if d != rep)
+    drop_ref = ray.put(np.asarray(drop, dtype=np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop_ids = ray.get(drop_ref)
+        if drop_ids.size == 0:
+            return batch
+        ids = batch.column("doc_id").to_numpy()
+        idx = np.searchsorted(drop_ids, ids)
+        idx = np.clip(idx, 0, drop_ids.size - 1)
+        mask = drop_ids[idx] != ids
+        return batch.filter(pa.array(mask))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 class SimHasher:
     """64-bit SimHash over word features, vectorized per batch."""
 

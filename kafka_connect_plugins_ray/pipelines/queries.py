@@ -638,6 +638,15 @@ def q_dedup_minhash(sf_dir: str) -> "rd.Dataset":
     return minhash_lsh_pairs(docs)
 
 
+def q_dedup_minhash_keep(sf_dir: str) -> "rd.Dataset":
+    from .dedup import minhash_dedup_keep
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = minhash_dedup_keep(docs)
+    return kept.map_batches(lambda t: t.select(["doc_id"]),
+                            batch_format="pyarrow")
+
+
 def q_dedup_simhash(sf_dir: str) -> "rd.Dataset":
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_signatures(docs)
@@ -864,6 +873,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "timestamp_converter": q_timestamp_converter,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_knn,
         "ann_cosine_lsh": q_knn_lsh,

@@ -186,3 +186,22 @@ def test_tree_aggregate_sums():
 def test_hex_encode_slice_with_nulls():
     arr = pa.array(["aa", None, "bb", "cc", None], pa.string()).slice(1, 3)
     assert hex_encode_array(arr).to_pylist() == [None, "6262", "6363"]
+
+
+def test_minhash_dedup_keep_removes_cluster_members():
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        connected_components,
+        minhash_dedup_keep,
+    )
+    ds, _ = _docs_ds()
+    kept = minhash_dedup_keep(ds)
+    ids = sorted(kept.to_pandas()["doc_id"].tolist())
+    # docs 0,1,2 form one near-dup cluster -> keep 0; 3 and 4 unrelated
+    assert ids == [0, 3, 4]
+
+    comp = connected_components(pa.table({
+        "doc_a": pa.array([1, 2, 5], pa.int64()),
+        "doc_b": pa.array([2, 3, 6], pa.int64()),
+    }))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
