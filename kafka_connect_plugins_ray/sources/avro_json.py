@@ -1,0 +1,120 @@
+"""Avro-schema-driven loader for Mongo/BSON-flavored JSON documents.
+
+Re-realizes the conversion path the reference's tests use
+(``BsonValueToSchemaAndValue`` from mongo-kafka-connect, see
+RedShiftComplexDataTypeTransformerTest.kt:206-213 and
+SlackIntegrationPayloadTransformerTest.kt:241-246): a BSON document is
+projected onto the Connect schema derived from an Avro schema.  Observable
+conversion rules (pinned by the reference fixtures):
+
+- fields absent from the document -> null (transform-side defaults apply
+  later, not here);
+- document keys absent from the schema -> dropped;
+- a STRING-typed field receiving a nested document/array -> the BSON
+  relaxed-JSON text of it (this is where the ``{"string": "..."}``
+  Avro-union artifacts and ``{"$symbol": "active"}`` encodings become
+  literal strings — they are DATA, not transform behavior);
+- ``{"$date": n}`` under a long field -> epoch millis; ``{"$oid": s}``
+  under a string field -> the hex string;
+- Avro nullable unions ``["null", X]`` -> nullable X; records -> structs
+  (defaults carried via field metadata, schema.field_with_default);
+- map values are coerced to the declared value type (ints under
+  ``map<string,string>`` become "0" — pinned by the Redshift goldens).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pyarrow as pa
+
+from ..schema import field_with_default
+
+
+def _relaxed_json(value: Any) -> str:
+    # bson's relaxed JSON writer spacing == json.dumps defaults (", ", ": ")
+    return json.dumps(value)
+
+
+def avro_to_arrow(avro_type: Any) -> tuple[pa.DataType, bool]:
+    """Avro type -> (arrow type, nullable)."""
+    if isinstance(avro_type, list):  # union; only ["null", X] is used
+        nn = [t for t in avro_type if t != "null"]
+        if len(nn) != 1:
+            raise ValueError(f"unsupported union {avro_type}")
+        typ, _ = avro_to_arrow(nn[0])
+        return typ, True
+    if isinstance(avro_type, dict):
+        t = avro_type["type"]
+        if t == "record":
+            fields = []
+            for f in avro_type["fields"]:
+                ftyp, fnull = avro_to_arrow(f["type"])
+                fields.append(field_with_default(
+                    f["name"], ftyp, default=f.get("default"),
+                    nullable=fnull or f.get("default", "nodef") is None))
+            return pa.struct(fields), False
+        if t == "array":
+            ityp, _ = avro_to_arrow(avro_type["items"])
+            return pa.list_(ityp), False
+        if t == "map":
+            vtyp, _ = avro_to_arrow(avro_type["values"])
+            return pa.map_(pa.string(), vtyp), False
+        return avro_to_arrow(t)
+    prim = {
+        "string": pa.string(), "boolean": pa.bool_(), "long": pa.int64(),
+        "int": pa.int32(), "float": pa.float32(), "double": pa.float64(),
+        "bytes": pa.binary(),
+    }
+    if avro_type in prim:
+        return prim[avro_type], False
+    raise ValueError(f"unsupported avro type {avro_type!r}")
+
+
+def convert_document(doc: Any, typ: pa.DataType) -> Any:
+    """Project a parsed BSON-ish JSON value onto an arrow type."""
+    if doc is None:
+        return None
+    if pa.types.is_struct(typ):
+        if not isinstance(doc, dict):
+            raise TypeError(f"expected document for {typ}, got {type(doc)}")
+        return {
+            typ.field(i).name: convert_document(
+                doc.get(typ.field(i).name), typ.field(i).type)
+            for i in range(typ.num_fields)
+        }
+    if pa.types.is_list(typ):
+        return [convert_document(v, typ.value_type) for v in doc]
+    if pa.types.is_map(typ):
+        return [(str(k), convert_document(v, typ.item_type))
+                for k, v in doc.items()]
+    if pa.types.is_string(typ):
+        if isinstance(doc, dict):
+            if set(doc) == {"$oid"}:
+                return doc["$oid"]
+            return _relaxed_json(doc)
+        if isinstance(doc, list):
+            return _relaxed_json(doc)
+        if isinstance(doc, str):
+            return doc
+        return str(doc)
+    if pa.types.is_integer(typ):
+        if isinstance(doc, dict) and set(doc) == {"$date"}:
+            return int(doc["$date"])
+        return int(doc)
+    if pa.types.is_boolean(typ):
+        return bool(doc)
+    if pa.types.is_floating(typ):
+        return float(doc)
+    return doc
+
+
+def load_fixture(avro_schema_path: str, doc_path: str) -> tuple[pa.DataType, dict]:
+    """(arrow value type, converted value) for one fixture document."""
+    with open(avro_schema_path) as f:
+        schema = json.load(f)
+    typ, _ = avro_to_arrow(schema)
+    with open(doc_path) as f:
+        doc = json.load(f)
+    return typ, convert_document(doc, typ)
