@@ -60,12 +60,36 @@ class MinHasher:
         return prod.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for text in batch["text"].astype(str):
-            sh = _word_shingles(_tokenize(text), self.shingle_k)
-            sigs.append(self.signature(sh))
+        # all docs' shingles concatenated once; per-permutation min via
+        # reduceat over doc boundaries (vectorized across the whole batch,
+        # memory bounded to one permutation row at a time)
+        shingle_sets = [
+            _word_shingles(_tokenize(text), self.shingle_k)
+            for text in batch["text"].astype(str)
+        ]
+        counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+        nonempty = counts > 0
+        total = int(counts.sum())
+        if total == 0:
+            out = batch[["doc_id"]].copy()
+            out["sig"] = [self.signature(set()).tobytes()] * len(batch)
+            return out
+        x = np.empty(total, dtype=np.uint64)
+        pos = 0
+        for s in shingle_sets:
+            if s:
+                x[pos:pos + len(s)] = np.fromiter(s, dtype=np.uint64,
+                                                  count=len(s))
+                pos += len(s)
+        starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+        sigs = np.full((len(batch), self.num_perm),
+                       np.iinfo(np.uint64).max, dtype=np.uint64)
+        ne_rows = np.nonzero(nonempty)[0]
+        for j in range(self.num_perm):
+            hj = (self.a[j] * x + self.b[j]) % _MERSENNE
+            sigs[ne_rows, j] = np.minimum.reduceat(hj, starts)
         out = batch[["doc_id"]].copy()
-        out["sig"] = [s.tobytes() for s in sigs]
+        out["sig"] = [row.tobytes() for row in sigs]
         return out
 
 

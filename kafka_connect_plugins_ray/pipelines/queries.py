@@ -703,6 +703,22 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 
+def q_hll_distinct(sf_dir: str) -> pa.Table:
+    """Approximate distinct users via mergeable HLL sketches (rows-only:
+    approximate by construction; the test asserts <2% error vs exact)."""
+    from .sketches import hll_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    return pa.table({"distinct_users_estimate": pa.array([round(est)], pa.int64())})
+
+
+def q_sample(sf_dir: str) -> "rd.Dataset":
+    """Seeded sampling — deterministic across runs (rows-only check)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs.random_sample(0.2, seed=7)
+
+
 def q_lang_id(sf_dir: str) -> "rd.Dataset":
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(LangId(), batch_format="pandas")
@@ -878,6 +894,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q_knn,
         "ann_cosine_lsh": q_knn_lsh,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "hll_distinct_users": q_hll_distinct,
+        "sample_documents": q_sample,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_count": q_token_count,

@@ -205,3 +205,33 @@ def test_minhash_dedup_keep_removes_cluster_members():
     }))
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[5] == comp[6] == 5
+
+
+def test_hll_distinct_accuracy():
+    from kafka_connect_plugins_ray.pipelines.sketches import HLL, hll_distinct
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 40_000, 120_000)  # heavy duplication
+    exact = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(8)
+    est = hll_distinct(ds, "v", p=12)
+    assert abs(est - exact) / exact < 0.02
+
+    # mergeability: union of two sketches == sketch of union
+    import hashlib
+    def hashes(a):
+        return np.array([int.from_bytes(hashlib.blake2b(str(x).encode(),
+                        digest_size=8).digest(), "big") for x in a],
+                        dtype=np.uint64)
+    a, b = HLL(10), HLL(10)
+    a.add_hashes(hashes(range(0, 5000)))
+    b.add_hashes(hashes(range(2500, 7500)))
+    u = HLL(10)
+    u.add_hashes(hashes(range(0, 7500)))
+    assert a.merge(b).estimate() == u.estimate()
+
+
+def test_seeded_sample_deterministic():
+    from kafka_connect_plugins_ray.pipelines.queries import q_sample
+    a = sorted(q_sample("/root/testdata/sf0.001").to_pandas()["doc_id"])
+    b = sorted(q_sample("/root/testdata/sf0.001").to_pandas()["doc_id"])
+    assert a == b and 0 < len(a) < 500
