@@ -99,7 +99,10 @@ def hash_exchange(ds, pid_col: str, num_partitions: int,
         parts_by_pid = [tuple(split_refs)]
     else:
         parts_by_pid = list(zip(*split_refs))
-    reducer = _reduce_partition.options(num_cpus=reduce_num_cpus)
+    # retry_exceptions: reduce fns write deterministically-named files via
+    # tmp+rename, so re-running one after a transient failure is safe
+    reducer = _reduce_partition.options(num_cpus=reduce_num_cpus,
+                                        retry_exceptions=True, max_retries=3)
     out = ray.get([
         reducer.remote(reduce_fn, pid, *parts_by_pid[pid])
         for pid in range(num_partitions)

@@ -109,3 +109,53 @@ def test_sigkill_mid_ingest_then_replay(tmp_path):
     # replay from scratch (a restarted job)
     ingest(killed, binlog_from_documents(SF, rounds=4))
     assert _state_hash(killed) == h_expected
+
+
+def test_merge_task_retry_idempotent(tmp_path):
+    """A merge task that crashes after writing its partition file and is
+    retried must leave the identical final state (deterministic names +
+    tmp+rename = idempotent retries)."""
+    import ray
+
+    from kafka_connect_plugins_ray.exchange import hash_exchange
+    from kafka_connect_plugins_ray.pipelines.cdc_ingest import MergeGroup
+    from kafka_connect_plugins_ray.sources.binlog import binlog_from_documents
+    from kafka_connect_plugins_ray.stages.modify_partition import AssignPartition
+
+    lake = _fresh(tmp_path, "retry")
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    inner = MergeGroup(lake, {}, 1, ["repo", "path"], ["commit", "lsn"],
+                       "lsn", "op")
+
+    class FlakyMerge:
+        """Fails the FIRST attempt of partition 0 after the file write."""
+
+        def __init__(self, merge, marker_dir):
+            self.merge = merge
+            self.marker_dir = marker_dir
+
+        def __call__(self, pid, table):
+            out = self.merge(pid, table)
+            marker = os.path.join(self.marker_dir, f"p{pid}")
+            if pid == 0 and not os.path.exists(marker):
+                open(marker, "w").close()
+                raise RuntimeError("injected post-write crash")
+            return out
+
+    ev = binlog_from_documents(SF).map_batches(
+        AssignPartition(("repo", "path"), 8), batch_format="pyarrow")
+    lineage = hash_exchange(ev, "partition_id", 8,
+                            FlakyMerge(inner, str(marker_dir)))
+    assert len(lineage) == 8  # retry succeeded
+    assert os.path.exists(os.path.join(str(marker_dir), "p0"))
+
+    # state equals a clean run's state
+    from kafka_connect_plugins_ray.state.manifest import Manifest, LakeStore
+    store = LakeStore(lake)
+    files = {int(r["partition_id"]): r["file"] for r in lineage}
+    store.commit(Manifest(version=1, parent=None, high_water_lsn=1997,
+                          files=files, partitions={}, num_partitions=8))
+    clean = _fresh(tmp_path, "retry_clean")
+    ingest(clean, binlog_from_documents(SF), num_partitions=8)
+    assert _state_hash(lake) == _state_hash(clean)
