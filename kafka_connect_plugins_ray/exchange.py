@@ -86,19 +86,23 @@ def hash_exchange(ds, pid_col: str, num_partitions: int,
     so the transient object count (splits × P) stays bounded — per-object
     fixed costs dominate wall time when blocks are small (measured: 64
     blocks × 32 partitions = 2k objects cost ~3 s extra vs 16 × 32)."""
-    split = ray.remote(num_returns=num_partitions)(_split_by_pid)
     refs = list(ds.to_arrow_refs())
-    max_splits = max(1, max_objects // max(num_partitions, 1))
+    if num_partitions == 1:
+        # degenerate exchange: no split needed, one reduce over all blocks
+        reducer = _reduce_partition.options(num_cpus=reduce_num_cpus,
+                                            retry_exceptions=True,
+                                            max_retries=3)
+        out = ray.get([reducer.remote(reduce_fn, 0, *refs)])
+        return [o for o in out if o is not None]
+    split = ray.remote(num_returns=num_partitions)(_split_by_pid)
+    max_splits = max(1, max_objects // num_partitions)
     if len(refs) > max_splits:
         per = (len(refs) + max_splits - 1) // max_splits
         groups = [refs[i:i + per] for i in range(0, len(refs), per)]
     else:
         groups = [[r] for r in refs]
     split_refs = [split.remote(pid_col, num_partitions, *g) for g in groups]
-    if num_partitions == 1:
-        parts_by_pid = [tuple(split_refs)]
-    else:
-        parts_by_pid = list(zip(*split_refs))
+    parts_by_pid = list(zip(*split_refs))
     # retry_exceptions: reduce fns write deterministically-named files via
     # tmp+rename, so re-running one after a transient failure is safe
     reducer = _reduce_partition.options(num_cpus=reduce_num_cpus,

@@ -235,3 +235,12 @@ def test_seeded_sample_deterministic():
     a = sorted(q_sample("/root/testdata/sf0.001").to_pandas()["doc_id"])
     b = sorted(q_sample("/root/testdata/sf0.001").to_pandas()["doc_id"])
     assert a == b and 0 < len(a) < 500
+
+
+def test_hash_exchange_single_partition():
+    t = pa.table({"v": pa.array(range(100), pa.int64()),
+                  "partition_id": pa.array([0] * 100, pa.int32())})
+    ds = rd.from_arrow(t).repartition(5)
+    res = hash_exchange(ds, "partition_id", 1,
+                        lambda pid, tbl: (pid, tbl.num_rows))
+    assert res == [(0, 100)]
