@@ -78,13 +78,17 @@ def resolve_config_providers(config: dict[str, Any],
     def resolve_value(v: Any) -> Any:
         if not isinstance(v, str):
             return v
+        # each iteration substitutes EVERY placeholder currently present
+        # (so max_depth bounds nesting depth, not placeholder count)
         for _ in range(max_depth):
-            m = _PLACEHOLDER.search(v)
-            if not m:
+            if not _PLACEHOLDER.search(v):
                 return v
-            v = (v[: m.start()]
-                 + _resolve_one(m.group(1), m.group(2))
-                 + v[m.end():])
+            v = _PLACEHOLDER.sub(
+                lambda m: _resolve_one(m.group(1), m.group(2)), v)
+        if _PLACEHOLDER.search(v):
+            raise ValueError(
+                f"config placeholders still unresolved after {max_depth} "
+                f"nesting levels: {v!r}")
         return v
 
     return {k: resolve_value(v) for k, v in config.items()}

@@ -48,7 +48,14 @@ def _split_by_pid(pid_col: str, num_partitions: int, *blocks: pa.Table):
         return tuple([None] * num_partitions)
     block = (live[0] if len(live) == 1
              else pa.concat_tables(live, promote_options="permissive"))
-    pid = block.column(pid_col).to_numpy()
+    pid_col_arr = block.column(pid_col)
+    if pid_col_arr.null_count:
+        # a null routing key would silently vanish (NaN sorts past every
+        # boundary); fail loudly like the reference's ModifyPartition does
+        raise ValueError(
+            f"{pid_col_arr.null_count} rows have a null '{pid_col}' "
+            "partition id — null routing keys are not allowed")
+    pid = pid_col_arr.to_numpy()
     order = np.argsort(pid, kind="stable")
     sorted_tbl = block.take(pa.array(order, type=pa.int64()))
     spid = pid[order]
@@ -87,6 +94,8 @@ def hash_exchange(ds, pid_col: str, num_partitions: int,
     fixed costs dominate wall time when blocks are small (measured: 64
     blocks × 32 partitions = 2k objects cost ~3 s extra vs 16 × 32)."""
     refs = list(ds.to_arrow_refs())
+    if not refs:
+        return []
     if num_partitions == 1:
         # degenerate exchange: no split needed, one reduce over all blocks
         reducer = _reduce_partition.options(num_cpus=reduce_num_cpus,

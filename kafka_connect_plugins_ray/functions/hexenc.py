@@ -32,7 +32,9 @@ def _hex_chunk(arr: pa.Array) -> pa.Array:
     out = np.empty(sub.size * 2, dtype=np.uint8)
     out[0::2] = _HEXTAB[sub >> 4]
     out[1::2] = _HEXTAB[sub & 0x0F]
-    new_offsets = ((offsets - offsets[0]) * 2).astype(np.int64 if sub.size * 2 > 2**31 - 1 else np.int32)
+    # widen BEFORE doubling: int32 offsets on a >1 GiB chunk would wrap
+    wide = (offsets.astype(np.int64) - np.int64(offsets[0])) * 2
+    new_offsets = wide if sub.size * 2 > 2**31 - 1 else wide.astype(np.int32)
 
     validity_buf = None
     null_count = arr.null_count

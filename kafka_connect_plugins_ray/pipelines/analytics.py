@@ -25,10 +25,15 @@ from ..exchange import Broadcast, tree_aggregate
 from ..sources.readers import read_table
 
 
-def _round_cols(t: pa.Table, cols: list[str], ndigits: int = 2) -> pa.Table:
+def _round_cols(t: "pa.Table | None", cols: list[str], ndigits: int = 2) -> pa.Table:
     # half_towards_infinity == DuckDB round() (half away from zero for
-    # positives); pyarrow defaults to half_to_even
+    # positives); pyarrow defaults to half_to_even.  A None/column-less
+    # table (zero-block input) passes through as an empty table.
+    if t is None:
+        return pa.table({})
     for c in cols:
+        if c not in t.column_names:
+            continue
         i = t.column_names.index(c)
         t = t.set_column(
             i, c,
@@ -90,6 +95,8 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
     partials = ds.map_batches(partial, batch_format="pyarrow")
     summed = tree_aggregate(partials, _regroup(["l_orderkey"], ["revenue"]))
     summed = _round_cols(summed, ["revenue"])
+    if "revenue" not in summed.column_names:
+        return summed  # zero-block input
     order = pc.sort_indices(summed, sort_keys=[("revenue", "descending"),
                                                ("l_orderkey", "ascending")])
     return summed.take(order[:k])

@@ -55,7 +55,10 @@ class MinHasher:
         if not shingles:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-        # (a*x + b) mod M for each permutation — vectorized outer product
+        # NOTE: a*x wraps mod 2^64 before the Mersenne mod — a deliberate
+        # wrapping multiply-add family (fast, deterministic, adequate
+        # min-wise uniformity for LSH bucketing), NOT the exact mod-p
+        # universal family; identical arithmetic in __call__.
         prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return prod.min(axis=1)
 
@@ -157,6 +160,10 @@ def exact_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS) -> pa.Tabl
             .select(["text_hash", "keep_doc_id", "n_dups"])
 
     shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return pa.table({"text_hash": pa.array([], pa.string()),
+                         "keep_doc_id": pa.array([], pa.int64()),
+                         "n_dups": pa.array([], pa.int64())})
     return pa.concat_tables(shards, promote_options="permissive")
 
 

@@ -35,10 +35,12 @@ def _topk_frame(qids, sims: np.ndarray, cand_ids: np.ndarray, k: int) -> pd.Data
                              for c in rows})
     for qi, qid in enumerate(qids):
         s = sims[qi]
-        # argpartition then exact ordering (score desc, neighbor_id asc)
-        idx = np.argpartition(-s, k_eff - 1)[:k_eff]
-        order = np.lexsort((cand_ids[idx], -s[idx]))
-        for j in idx[order]:
+        # full lexsort (score desc, neighbor_id asc) — argpartition's
+        # arbitrary tie handling at the k-th slot could keep the wrong
+        # neighbor of an equal-score pair; batches are <= a few thousand
+        # candidates so the full sort is cheap
+        order = np.lexsort((cand_ids, -s))[:k_eff]
+        for j in order:
             rows["query_id"].append(int(qid))
             rows["neighbor_id"].append(int(cand_ids[j]))
             rows["score"].append(float(s[j]))
@@ -103,6 +105,10 @@ def knn_bruteforce(candidates: "rd.Dataset", query_ids: np.ndarray,
     )
     # per-batch candidates are tiny (queries × k per block): tree-combine
     out = tree_aggregate(per_batch, _combine_topk(k))
+    if out is None:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     return _round_score(out)
 
 

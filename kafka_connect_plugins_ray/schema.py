@@ -36,12 +36,24 @@ OP_DELETE = "delete"
 DEFAULT_META_KEY = b"connect.default"
 
 
+def floor_div_int(col, divisor: int):
+    """Floor division for int64 columns (``pc.divide`` truncates toward
+    zero, which is wrong for negative epochs — pre-1970 timestamps)."""
+    import pyarrow.compute as pc
+
+    q = pc.divide(col, divisor)
+    r = pc.subtract(col, pc.multiply(q, divisor))
+    needs_fix = pc.and_(pc.less(col, 0), pc.not_equal(r, 0))
+    return pc.if_else(needs_fix, pc.subtract(q, 1), q)
+
+
 def ts_to_epoch_ms(col):
     """Convert a timestamp (any unit) or integer column to int64 epoch-millis.
 
     A plain ``cast(ts, timestamp("ms"))`` raises on sub-millisecond values
     ("would lose data"); CDC timestamps are epoch-millis in the reference
-    envelope, so truncate explicitly.
+    envelope, so floor explicitly (floor, not truncate, so pre-1970 values
+    land on the correct millisecond).
     """
     import pyarrow.compute as pc
 
@@ -52,7 +64,7 @@ def ts_to_epoch_ms(col):
             return pc.multiply(as_int, 1000)
         if divisor == 1:
             return as_int
-        return pc.divide(as_int, divisor)
+        return floor_div_int(as_int, divisor)
     return pc.cast(col, pa.int64())
 
 

@@ -37,11 +37,10 @@ class Chain:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # zero-row batches still flow through every transform so an emptied
+        # block carries the same OUTPUT schema as every other block
         for t in self.transforms:
             batch = t(batch)
-            if batch.num_rows == 0:
-                # keep schema; nothing more to do for this block
-                return batch
         return batch
 
 

@@ -241,13 +241,13 @@ class RegexRouter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         topic = batch.column(self.topic_col)
-        anchored = self.regex
-        if not anchored.startswith("^"):
-            anchored = "^" + anchored
-        if not anchored.endswith("$"):
-            anchored = anchored + "$"
-        # RE2 group refs use \1; translate java/py $1 style
-        repl = re.sub(r"\$(\d)", r"\\\1", self.replacement)
+        # full-match semantics like Kafka's matcher.matches(): wrap the
+        # pattern in a NON-CAPTURING group before anchoring so alternation
+        # ('a|b') and trailing escaped '$' anchor correctly; group numbers
+        # are unaffected by (?:...)
+        anchored = f"^(?:{self.regex})$"
+        # RE2 group refs use \1; translate java-style $1 (multi-digit too)
+        repl = re.sub(r"\$(\d+)", r"\\\1", self.replacement)
         routed = pc.replace_substring_regex(topic, pattern=anchored,
                                             replacement=repl)
         i = batch.column_names.index(self.topic_col)

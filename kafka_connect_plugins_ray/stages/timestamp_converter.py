@@ -37,8 +37,11 @@ class TimestampConverter:
             else:
                 raise TypeError(f"cannot convert {t} to formatted string")
             # Arrow's strftime %S prints fractional digits for sub-second
-            # units; truncate to seconds precision for wall-clock formats
-            ts = pc.cast(pc.divide(ms, 1000), pa.timestamp("s"))
+            # units; floor to seconds precision for wall-clock formats
+            # (floor, not truncate: negative epochs round down)
+            from ..schema import floor_div_int
+
+            ts = pc.cast(floor_div_int(ms, 1000), pa.timestamp("s"))
             return pc.strftime(ts, format=self.format)
         # -> unix epoch millis
         if pa.types.is_integer(t):

@@ -40,7 +40,10 @@ def _state_table(lake_root) -> pa.Table:
     ds = read_lake(lake_root)
     batches = ds.to_arrow_refs()
     import ray
-    tables = [t for t in ray.get(batches) if t.num_rows]
+    all_tables = ray.get(batches)
+    tables = [t for t in all_tables if t.num_rows]
+    if not tables:  # fully-deleted lake: empty state with schema if any
+        return all_tables[0] if all_tables else pa.table({})
     return pa.concat_tables(tables, promote_options="permissive")
 
 

@@ -53,9 +53,12 @@ def test_lww_matches_reference_reducer(tmp_path_factory, events):
     try:
         ds = rd.from_arrow(pa.Table.from_pandas(events, preserve_index=False))
         ingest(lake, ds, num_partitions=4)
-        got = (_state_table(lake).to_pandas()
-               .sort_values(["repo", "path"]).reset_index(drop=True))
+        got = _state_table(lake).to_pandas()
         exp = _reference_lww(events)
+        if len(exp) == 0:
+            assert len(got) == 0  # fully-deleted key space
+            return
+        got = got.sort_values(["repo", "path"]).reset_index(drop=True)
         got = got[exp.columns.tolist()]
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     finally:

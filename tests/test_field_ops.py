@@ -192,3 +192,23 @@ def test_timestamp_converter_unknown_field_raises():
                                     type=pa.struct([("a", pa.int64())]))})
     with pytest.raises(KeyError):
         TimestampConverter("nope")(t)
+
+
+def test_regex_router_alternation_full_match():
+    # '^a|b$' mis-anchoring would rewrite 'ax'; full-match must not
+    t = pa.table({"topic": pa.array(["ax", "a", "b"]),
+                  "value": pa.array([1, 2, 3], pa.int64())})
+    from kafka_connect_plugins_ray.stages.field_ops import RegexRouter
+    out = RegexRouter("a|b", "r")(t)
+    assert out.column("topic").to_pylist() == ["ax", "r", "r"]
+
+
+def test_timestamp_converter_pre_1970():
+    from kafka_connect_plugins_ray.stages.timestamp_converter import (
+        TimestampConverter,
+    )
+    t = pa.table({"created": pa.array([-500, 0, 1500], pa.int64())})
+    out = TimestampConverter("created", target_type="string",
+                             value_col="__none__")(t)
+    assert out.column("created").to_pylist() == [
+        "1969-12-31 23:59:59", "1970-01-01 00:00:00", "1970-01-01 00:00:01"]
