@@ -124,10 +124,15 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("events_hourly", Q.analytics.events_hourly)
     consume("dedup_exact", Q.q_dedup_exact)
     consume("dedup_minhash_lsh", Q.q_dedup_minhash)
+    consume("dedup_embedding_cosine", Q.q_dedup_embedding)
     consume("ann_cosine_topk", Q.q_knn)
     consume("lang_id", Q.q_lang_id)
     consume("doc_fingerprint", Q.q_fingerprint)
     consume("multimodal_decode", Q.q_multimodal)
+    consume("asof_join", Q._q_asof_join)
+    consume("sessionize", Q._q_sessionize)
+    consume("timestamp_converter", Q.q_timestamp_converter)
+    consume("hll_distinct_users", Q.q_hll_distinct)
 
     ray.shutdown()
     return {
