@@ -46,6 +46,9 @@ def main(argv: "list[str] | None" = None) -> int:
     pi.add_argument("--config", help="Connect-style transform-chain JSON")
     pi.add_argument("--full", action="store_true",
                     help="envelope + SMT chain headline pipeline")
+    pi.add_argument("--cycles", type=int, default=1,
+                    help="tail-follow mode: run N ingest cycles, each over "
+                         "the next deterministic binlog segment")
 
     ps = sub.add_parser("show", help="print the current manifest")
     ps.add_argument("--lake", required=True)
@@ -81,23 +84,33 @@ def main(argv: "list[str] | None" = None) -> int:
             from .pipelines.cdc_ingest import ingest
             from .sources.binlog import binlog_from_documents
 
-            if args.full:
-                m = full_cdc_ingest(args.lake, args.sf_dir, rounds=args.rounds,
-                                    num_partitions=args.partitions)
-            else:
-                transforms = None
-                if args.config:
-                    from .config import build_chain
+            transforms = None
+            if args.config and not args.full:
+                from .config import build_chain
 
-                    with open(args.config) as f:
-                        transforms = [build_chain(json.load(f))]
-                m = ingest(args.lake,
-                           binlog_from_documents(args.sf_dir, rounds=args.rounds),
-                           transforms=transforms,
-                           num_partitions=args.partitions)
-            print(json.dumps({"version": m.version,
-                              "high_water_lsn": m.high_water_lsn,
-                              "partitions": len(m.files)}))
+                with open(args.config) as f:
+                    transforms = [build_chain(json.load(f))]
+            # tail-follow: each cycle ingests the next lsn segment, the
+            # streaming-batch operational mode (micro-batched changelog tail)
+            for cycle in range(args.cycles):
+                base = cycle * 10_000_000
+                if args.full:
+                    from .pipelines.cdc_full import full_cdc_events
+
+                    m = ingest(args.lake,
+                               full_cdc_events(args.sf_dir, rounds=args.rounds,
+                                               base_lsn=base),
+                               num_partitions=args.partitions)
+                else:
+                    m = ingest(args.lake,
+                               binlog_from_documents(args.sf_dir,
+                                                     rounds=args.rounds,
+                                                     base_lsn=base),
+                               transforms=transforms,
+                               num_partitions=args.partitions)
+                print(json.dumps({"version": m.version,
+                                  "high_water_lsn": m.high_water_lsn,
+                                  "partitions": len(m.files)}))
         elif args.cmd == "repartition":
             from .pipelines.maintenance import repartition_lake
 

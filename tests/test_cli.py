@@ -43,3 +43,13 @@ def test_cli_full_pipeline(tmp_path, capsys):
                  "/root/testdata/sf0.001", "--full"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["version"] == 1
+
+
+def test_cli_tail_follow_cycles(tmp_path, capsys):
+    lake = str(tmp_path / "tail")
+    assert main(["ingest", "--lake", lake, "--sf-dir",
+                 "/root/testdata/sf0.001", "--cycles", "3",
+                 "--partitions", "8"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [m["version"] for m in lines] == [1, 2, 3]
+    assert lines[2]["high_water_lsn"] > lines[0]["high_water_lsn"]

@@ -209,3 +209,21 @@ def test_schema_plan_cache_two_schemas():
     assert out2.column("inner_y").to_pylist() == ["z"]
     assert out1.schema.names == out1b.schema.names
     assert len(f._plan_cache) == 2
+
+
+def test_deeply_nested_flatten():
+    deep_t = pa.struct([("a", pa.struct([("b", pa.struct([
+        ("c", pa.struct([("d", pa.string())])),
+        ("e", pa.int64()),
+    ]))]))])
+    t = pa.table({
+        "partition": pa.array([0], pa.int32()),
+        "offset": pa.array([1], pa.int64()),
+        "ts": pa.array([None], pa.int64()),
+        "key": pa.array([None], pa.string()),
+        "value": pa.array([{"a": {"b": {"c": {"d": "x"}, "e": 9}}}],
+                          type=deep_t),
+    })
+    out = RedshiftFlatten(body_field=None)(t)
+    assert out.column("a_b_c_d").to_pylist() == ["x"]
+    assert out.column("a_b_e").to_pylist() == [9]
