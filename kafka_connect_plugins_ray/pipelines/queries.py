@@ -499,7 +499,7 @@ def q_mask_field(sf_dir: str) -> "rd.Dataset":
 
 
 MASK_FIELD_ORACLE = """
-SELECT c_custkey, '' AS name, 0.0 AS acctbal, c_mktsegment AS mktsegment
+SELECT c_custkey, '' AS name, CAST(0.0 AS DOUBLE) AS acctbal, c_mktsegment AS mktsegment
 FROM customer
 """
 
@@ -665,7 +665,8 @@ KNN_ORACLE = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
      c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
      s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
-                  list_cosine_similarity(q.qe, c.embedding) AS sim
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[])) AS sim
            FROM q CROSS JOIN c),
      r AS (SELECT query_id, neighbor_id, sim,
                   row_number() OVER (PARTITION BY query_id
@@ -697,9 +698,11 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
 
 DEDUP_EMBEDDING_ORACLE = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS score
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
 
 
