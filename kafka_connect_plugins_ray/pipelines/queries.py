@@ -30,14 +30,6 @@ from ..stages.soft_delete import SoftDeleteToTombstone
 from ..stages.unquote_key import UnquoteRecordKey
 from . import analytics
 from . import streaming as _streaming
-
-
-def _q_asof_join(sf_dir: str):
-    return _streaming.asof_join_events(sf_dir)
-
-
-def _q_sessionize(sf_dir: str):
-    return _streaming.sessionize_events(sf_dir)
 from .cdc_ingest import ingest, read_lake
 from .dedup import exact_dedup, minhash_lsh_pairs, simhash_signatures
 from .multimodal import decode_documents
@@ -48,6 +40,14 @@ from .similarity import (
     load_queries,
 )
 from .text import Fingerprint, LangId, QualityScore, token_count_batch
+
+
+def _q_asof_join(sf_dir: str):
+    return _streaming.asof_join_events(sf_dir)
+
+
+def _q_sessionize(sf_dir: str):
+    return _streaming.sessionize_events(sf_dir)
 
 # --------------------------------------------------------------------------
 # flagship: CDC LWW ingest into a copy-on-write lake

@@ -83,3 +83,13 @@ def test_null_value_serializes_as_null_literal():
     out = JsonToHex()(_batch([None, "x"]))
     hexes = out.column("json_hex").to_pylist()
     assert _unhex(hexes[0]) == "null" and hexes[1] == "78"
+
+
+def test_5mb_payload_round_trip():
+    # the reference's documented Redshift VARBYTE ceiling (README.md:58-63,
+    # JsonToHexTransformer.kt:21): a single ~5MB JSON payload
+    payload = json.dumps({"blob": "x" * (5 * 1024 * 1024 - 20)})
+    out = JsonToHex()(_batch([payload]))
+    h = out.column("json_hex").to_pylist()[0]
+    assert len(h) == 2 * len(payload)
+    assert _unhex(h) == payload
