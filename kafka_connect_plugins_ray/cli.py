@@ -80,20 +80,27 @@ def main(argv: "list[str] | None" = None) -> int:
     ray, owns_session = _ray_session()
     try:
         if args.cmd == "ingest":
-            from .pipelines.cdc_full import full_cdc_ingest
             from .pipelines.cdc_ingest import ingest
             from .sources.binlog import binlog_from_documents
+            from .state.manifest import LakeStore
 
+            if args.config and args.full:
+                raise SystemExit(
+                    "--config and --full are mutually exclusive (--full "
+                    "uses the fixed envelope SMT chain)")
             transforms = None
-            if args.config and not args.full:
+            if args.config:
                 from .config import build_chain
 
                 with open(args.config) as f:
                     transforms = [build_chain(json.load(f))]
-            # tail-follow: each cycle ingests the next lsn segment, the
-            # streaming-batch operational mode (micro-batched changelog tail)
-            for cycle in range(args.cycles):
-                base = cycle * 10_000_000
+            # tail-follow: each cycle ingests the next lsn segment
+            # (micro-batched changelog tail); the segment base continues
+            # from the committed high-water so restarts don't overlap or
+            # no-op
+            for _ in range(args.cycles):
+                cur = LakeStore(args.lake).current()
+                base = (cur.high_water_lsn + 1) if cur else 0
                 if args.full:
                     from .pipelines.cdc_full import full_cdc_events
 

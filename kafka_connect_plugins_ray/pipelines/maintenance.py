@@ -38,13 +38,18 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
 
     keep: set[int] = set()
     referenced: set[str] = set()
-    v = current
+    # the CURRENT manifest must be readable — treating it as missing would
+    # make `referenced` empty and delete every live data file
+    m = store.read_manifest(current)
+    keep.add(current)
+    referenced.update(m.files.values())
+    v = m.parent
     while v is not None and len(keep) < keep_versions:
-        keep.add(v)
         try:
             m = store.read_manifest(v)
         except FileNotFoundError:
-            break
+            break  # parent already GC'd — fine
+        keep.add(v)
         referenced.update(m.files.values())
         v = m.parent
 

@@ -12,7 +12,7 @@ max; estimate = alpha * m^2 / sum(2^-reg) with small-range correction.
 
 from __future__ import annotations
 
-import hashlib
+
 
 import numpy as np
 import pyarrow as pa
@@ -67,13 +67,13 @@ class HLL:
 
 
 def _hash_column(col: pa.Array) -> np.ndarray:
-    vals = col.to_pylist()
-    out = np.empty(len(vals), dtype=np.uint64)
-    for i, v in enumerate(vals):
-        b = str(v).encode("utf-8")
-        out[i] = int.from_bytes(
-            hashlib.blake2b(b, digest_size=8).digest(), "big")
-    return out
+    """blake2b-64 per non-null value (nulls excluded, matching SQL
+    COUNT(DISTINCT) semantics).  Reuses dedup.hash64's hash family."""
+    from .dedup import hash64
+
+    vals = [v for v in col.to_pylist() if v is not None]
+    return np.fromiter((hash64(str(v)) for v in vals), dtype=np.uint64,
+                       count=len(vals))
 
 
 def hll_distinct(ds, column: str, p: int = 12) -> float:
@@ -94,4 +94,6 @@ def hll_distinct(ds, column: str, p: int = 12) -> float:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     merged = tree_aggregate(partials, combine)
+    if merged is None:
+        return 0.0
     return HLL.from_bytes(merged.column("sketch").to_pylist()[0]).estimate()

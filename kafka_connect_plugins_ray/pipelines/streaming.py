@@ -23,9 +23,13 @@ BUCKETS = 16
 
 
 def _with_bucket(t: pa.Table, key: str, buckets: int) -> pa.Table:
+    from ..schema import floor_div_int
+
     k = pc.cast(t[key], pa.int64())
+    # floor-mod: truncating division would give NEGATIVE buckets for
+    # negative keys, which the exchange cannot route
     pid = pc.cast(
-        pc.subtract(k, pc.multiply(pc.divide(k, buckets), buckets)),
+        pc.subtract(k, pc.multiply(floor_div_int(k, buckets), buckets)),
         pa.int32())
     return t.append_column("bucket", pid)
 
@@ -96,7 +100,6 @@ def sessionize_events(sf_dir: str, *, gap_minutes: int = 30,
         new_user = df["user_id"].ne(df["user_id"].shift())
         gap = ts_us.sub(ts_us.shift()).gt(gap_us)
         df["session_start"] = (new_user | gap)
-        df["session_id"] = df["session_start"].cumsum()
         g = df.groupby("user_id")
         out = pd.DataFrame({
             "user_id": g.size().index.astype("int64"),

@@ -96,8 +96,10 @@ def _atomic_write(path: str, data: "str | bytes"):
 
 class LakeStore:
     def __init__(self, root: str):
+        # no makedirs here: read-only paths (show/gc on a mistyped lake
+        # path) must not fabricate directories; writers create dirs via
+        # _atomic_write / the merge tasks
         self.root = root
-        os.makedirs(root, exist_ok=True)
 
     def _current_path(self) -> str:
         return os.path.join(self.root, "CURRENT")

@@ -53,3 +53,25 @@ def test_cli_tail_follow_cycles(tmp_path, capsys):
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert [m["version"] for m in lines] == [1, 2, 3]
     assert lines[2]["high_water_lsn"] > lines[0]["high_water_lsn"]
+
+
+def test_cli_restart_continues_from_high_water(tmp_path, capsys):
+    lake = str(tmp_path / "restart")
+    main(["ingest", "--lake", lake, "--sf-dir", "/root/testdata/sf0.001",
+          "--cycles", "2", "--partitions", "8"])
+    first = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    # a NEW cli invocation must continue the lsn space, not no-op
+    main(["ingest", "--lake", lake, "--sf-dir", "/root/testdata/sf0.001",
+          "--partitions", "8"])
+    nxt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert nxt["version"] == 3
+    assert nxt["high_water_lsn"] > first[-1]["high_water_lsn"]
+
+
+def test_cli_full_and_config_mutually_exclusive(tmp_path):
+    import pytest
+    cfg = tmp_path / "c.json"
+    cfg.write_text("{}")
+    with pytest.raises(SystemExit):
+        main(["ingest", "--lake", str(tmp_path / "x"), "--full",
+              "--config", str(cfg)])

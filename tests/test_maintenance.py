@@ -159,3 +159,20 @@ def test_merge_task_retry_idempotent(tmp_path):
     clean = _fresh(tmp_path, "retry_clean")
     ingest(clean, binlog_from_documents(SF), num_partitions=8)
     assert _state_hash(lake) == _state_hash(clean)
+
+
+def test_gc_aborts_on_missing_current_manifest(tmp_path):
+    lake = _fresh(tmp_path, "gc_abort")
+    ingest(lake, binlog_from_documents(SF))
+    os.unlink(os.path.join(lake, "manifest-v1.json"))
+    with pytest.raises(FileNotFoundError):
+        gc(lake, keep_versions=1)
+    # data files untouched
+    assert os.path.isdir(os.path.join(lake, "data/v1"))
+
+
+def test_show_does_not_create_lake_dir(tmp_path):
+    from kafka_connect_plugins_ray.cli import main
+    bogus = str(tmp_path / "no_such_lake")
+    assert main(["show", "--lake", bogus]) == 0
+    assert not os.path.exists(bogus)
