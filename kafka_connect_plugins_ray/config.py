@@ -37,6 +37,7 @@ from .stages.json_to_hex import JsonToHex
 from .stages.modify_partition import ModifyPartition
 from .stages.slack_reshape import SlackIntegrationPayload
 from .stages.soft_delete import SoftDeleteToTombstone
+from .stages.cast_fields import CastFields
 from .stages.timestamp_converter import TimestampConverter
 from .stages.unquote_key import UnquoteRecordKey
 
@@ -111,6 +112,7 @@ REGISTRY: dict[str, Any] = {
     "InsertField": InsertField,
     "RegexRouter": RegexRouter,
     "TimestampConverter": TimestampConverter,
+    "Cast": CastFields,
     # the reference's Kotlin class names (README.md connector configs)
     f"{_PKG}.UnquoteRecordKey": UnquoteRecordKey,
     f"{_PKG}.SoftDeleteToTombstoneTransformer": SoftDeleteToTombstone,
@@ -141,6 +143,7 @@ _PROP_MAP: dict[type, dict[str, str]] = {
     RegexRouter: {"regex": "regex", "replacement": "replacement"},
     TimestampConverter: {"field": "field", "target.type": "target_type",
                          "format": "format"},
+    CastFields: {"spec": "spec"},
 }
 
 _LIST_PROPS = {"exclude", "include", "fields"}

@@ -169,11 +169,17 @@ def exact_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS) -> pa.Tabl
 
 def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
                       num_bands: int = 16, shingle_k: int = 3,
-                      num_buckets: int = DEDUP_BUCKETS) -> pa.Table:
+                      num_buckets: int = DEDUP_BUCKETS,
+                      max_bucket_size: int = 2000) -> pa.Table:
     """Candidate near-dup pairs via MinHash+LSH: signatures per batch →
     (band, band_hash, doc_id) rows → hash exchange on band_hash → pair
     generation inside each (band, band_hash) bucket → pair dedup across
-    bands.  Pair blowup is bounded by LSH bucket sizes."""
+    bands.  Pair blowup is bounded by LSH bucket sizes; a degenerate
+    bucket (boilerplate-dominated shingles) larger than
+    ``max_bucket_size`` is skipped rather than generating O(n^2) pairs —
+    its members almost certainly collide in OTHER bands too, and the cap
+    keeps worst-case work bounded (no silent cap: skips are counted in
+    the task log)."""
     sigs = docs.map_batches(MinHasher(num_perm, shingle_k=shingle_k),
                             batch_format="pandas", batch_size=2048)
     explode = BandExplode(num_bands)
@@ -188,11 +194,17 @@ def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
         df = t.to_pandas()
-        frames = [
-            _candidate_pairs(g)
-            for _, g in df.groupby(["band_id", "band_hash"], sort=False)
-        ]
-        frames = [f for f in frames if len(f)]
+        frames, skipped = [], 0
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            if g["doc_id"].nunique() > max_bucket_size:
+                skipped += 1
+                continue
+            p = _candidate_pairs(g)
+            if len(p):
+                frames.append(p)
+        if skipped:
+            print(f"[minhash-lsh] bucket {pid}: skipped {skipped} "
+                  f"oversized LSH buckets (> {max_bucket_size} docs)")
         if not frames:
             return None
         return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),

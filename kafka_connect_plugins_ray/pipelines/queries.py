@@ -621,6 +621,35 @@ FROM events
 """
 
 
+def q_cast_fields(sf_dir: str) -> "rd.Dataset":
+    from ..stages.cast_fields import CastFields
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def build(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "custkey_str": t["o_custkey"],
+            "price_int": t["o_totalprice"],
+            "has_price": t["o_totalprice"],
+        })
+
+    cast = CastFields("custkey_str:string,price_int:int64,has_price:boolean",
+                      value_col="__none__")
+    built = ds.map_batches(build, batch_format="pyarrow")
+    return built.map_batches(cast, batch_format="pyarrow")
+
+
+CAST_FIELDS_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_custkey AS VARCHAR) AS custkey_str,
+       CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+       (o_totalprice <> 0) AS has_price
+FROM orders
+"""
+
+
 def q_dedup_exact(sf_dir: str) -> "rd.Dataset":
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(docs)
@@ -890,6 +919,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "insert_field": q_insert_field,
         "regex_router": q_regex_router,
         "timestamp_converter": q_timestamp_converter,
+        "cast_fields": q_cast_fields,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_minhash_keep": q_dedup_minhash_keep,
@@ -933,6 +963,7 @@ def build_oracles() -> dict[str, str]:
         "insert_field": INSERT_FIELD_ORACLE,
         "regex_router": REGEX_ROUTER_ORACLE,
         "timestamp_converter": TIMESTAMP_CONVERTER_ORACLE,
+        "cast_fields": CAST_FIELDS_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
         # dedup_minhash_lsh / dedup_simhash: sketch-based, not SQL-expressible
         "ann_cosine_topk": KNN_ORACLE,

@@ -1,0 +1,81 @@
+"""Cast — Kafka's standard Cast SMT (public
+org.apache.kafka.connect.transforms.Cast semantics, subset): cast value
+fields (or whole flat columns) to target primitive types.
+
+``spec`` mirrors the Connect property format: ``"field1:int32,field2:string"``.
+Supported targets: int8 int16 int32 int64 float32 float64 boolean string.
+Numeric→boolean is value != 0; →string uses Arrow's cast formatting.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import VALUE
+
+_TYPES = {
+    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+    "int64": pa.int64(), "float32": pa.float32(), "float64": pa.float64(),
+    "boolean": pa.bool_(), "string": pa.string(),
+}
+
+
+def parse_spec(spec: str) -> dict[str, pa.DataType]:
+    out = {}
+    for part in spec.split(","):
+        name, _, typ = part.strip().partition(":")
+        if typ not in _TYPES:
+            raise ValueError(f"unsupported cast target '{typ}' for '{name}'")
+        out[name] = _TYPES[typ]
+    return out
+
+
+def _cast_arr(arr, target: pa.DataType):
+    if pa.types.is_boolean(target) and not pa.types.is_boolean(arr.type):
+        return pc.not_equal(arr, 0)
+    if pa.types.is_integer(target) and pa.types.is_floating(arr.type):
+        # Kafka's Cast truncates via Java narrowing; Arrow needs the
+        # explicit allow-truncate option
+        return pc.cast(arr, target, safe=False)
+    return pc.cast(arr, target)
+
+
+class CastFields:
+    def __init__(self, spec: str, value_col: str = VALUE):
+        self.targets = parse_spec(spec)
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        value = (batch.column(self.value_col)
+                 if self.value_col in batch.column_names else None)
+        if value is not None and pa.types.is_struct(value.type):
+            if isinstance(value, pa.ChunkedArray):
+                value = value.combine_chunks()
+            fields, arrays = [], []
+            for i in range(value.type.num_fields):
+                f = value.type.field(i)
+                arr = pc.struct_field(value, [f.name])
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if f.name in self.targets:
+                    arr = _cast_arr(arr, self.targets[f.name])
+                    f = pa.field(f.name, arr.type, f.nullable)
+                fields.append(f)
+                arrays.append(arr)
+            mask = pc.is_null(value)
+            new_value = pa.StructArray.from_arrays(
+                arrays, fields=fields,
+                mask=mask.combine_chunks() if isinstance(mask, pa.ChunkedArray)
+                else mask)
+            i = batch.column_names.index(self.value_col)
+            return batch.set_column(
+                i, pa.field(self.value_col, new_value.type), new_value)
+        # flat-column mode
+        for name, target in self.targets.items():
+            if name not in batch.column_names:
+                raise KeyError(f"cast field '{name}' not in batch")
+            i = batch.column_names.index(name)
+            arr = _cast_arr(batch.column(name), target)
+            batch = batch.set_column(i, pa.field(name, arr.type), arr)
+        return batch

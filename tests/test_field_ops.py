@@ -212,3 +212,30 @@ def test_timestamp_converter_pre_1970():
                              value_col="__none__")(t)
     assert out.column("created").to_pylist() == [
         "1969-12-31 23:59:59", "1970-01-01 00:00:00", "1970-01-01 00:00:01"]
+
+
+def test_cast_fields_struct_and_config():
+    from kafka_connect_plugins_ray.stages.cast_fields import CastFields
+    t = pa.table({
+        "value": pa.array(
+            [{"n": 42, "f": 2.9, "b": 0}, None],
+            type=pa.struct([("n", pa.int64()), ("f", pa.float64()),
+                            ("b", pa.int64())])),
+    })
+    out = CastFields("n:string,f:int32,b:boolean")(t)
+    rows = out.column("value").to_pylist()
+    assert rows[0] == {"n": "42", "f": 2, "b": False}  # truncating narrowing
+    assert rows[1] is None
+    # config-registered
+    chain = build_chain({
+        "transforms": "C",
+        "transforms.C.type": "Cast",
+        "transforms.C.spec": "n:string",
+    })
+    assert chain(t).column("value").to_pylist()[0]["n"] == "42"
+
+
+def test_cast_fields_bad_spec_raises():
+    from kafka_connect_plugins_ray.stages.cast_fields import CastFields
+    with pytest.raises(ValueError):
+        CastFields("x:decimal")
