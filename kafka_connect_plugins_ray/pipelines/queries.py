@@ -650,6 +650,68 @@ FROM orders
 """
 
 
+def q_filter_records(sf_dir: str) -> "rd.Dataset":
+    """Filter SMT: drop tombstones (value<10 soft-deleted via the chain),
+    then keep only 'click'/'view' topics via the topic predicate."""
+    from ..stages.filter_records import FilterRecords
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        body = pa.StructArray.from_arrays(
+            [t["value"].combine_chunks()], names=["v"])
+        val = pc.if_else(pc.less(t["value"], 10.0),
+                         pa.nulls(n, type=body.type), body)
+        topic = pc.binary_join_element_wise("ev.", t["event_type"], "")
+        return pa.table({"event_id": t["event_id"], "topic": topic,
+                         "value": val})
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    no_tombstones = built.map_batches(FilterRecords(is_tombstone=True),
+                                      batch_format="pyarrow")
+    kept = no_tombstones.map_batches(
+        FilterRecords(topic_regex=r"ev\.(click|view)", negate=True),
+        batch_format="pyarrow")
+    return kept.map_batches(lambda t: t.select(["event_id", "topic"]),
+                            batch_format="pyarrow")
+
+
+FILTER_RECORDS_ORACLE = """
+SELECT event_id, 'ev.' || event_type AS topic
+FROM events
+WHERE value >= 10 AND event_type IN ('click', 'view')
+"""
+
+
+def q_value_to_key(sf_dir: str) -> "rd.Dataset":
+    from ..stages.filter_records import ValueToKey
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def build(t: pa.Table) -> pa.Table:
+        value = pa.StructArray.from_arrays(
+            [t["user_id"].combine_chunks(), t["event_type"].combine_chunks()],
+            names=["user_id", "event_type"])
+        return pa.table({"event_id": t["event_id"], "value": value})
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(ValueToKey(["user_id"]), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "key_user_id": pc.struct_field(t["key"], ["user_id"]),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+VALUE_TO_KEY_ORACLE = """
+SELECT event_id, user_id AS key_user_id FROM events
+"""
+
+
 def q_dedup_exact(sf_dir: str) -> "rd.Dataset":
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(docs)
@@ -920,6 +982,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "regex_router": q_regex_router,
         "timestamp_converter": q_timestamp_converter,
         "cast_fields": q_cast_fields,
+        "filter_records": q_filter_records,
+        "value_to_key": q_value_to_key,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_minhash_keep": q_dedup_minhash_keep,
@@ -964,6 +1028,8 @@ def build_oracles() -> dict[str, str]:
         "regex_router": REGEX_ROUTER_ORACLE,
         "timestamp_converter": TIMESTAMP_CONVERTER_ORACLE,
         "cast_fields": CAST_FIELDS_ORACLE,
+        "filter_records": FILTER_RECORDS_ORACLE,
+        "value_to_key": VALUE_TO_KEY_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
         # dedup_minhash_lsh / dedup_simhash: sketch-based, not SQL-expressible
         "ann_cosine_topk": KNN_ORACLE,

@@ -1,0 +1,110 @@
+"""Filter + predicates and ValueToKey — Kafka standard SMTs.
+
+- ``FilterRecords``: drops (or keeps) records matching a predicate —
+  Kafka's Filter SMT with its bundled predicates
+  (TopicNameMatches, RecordIsTombstone, HasHeaderKey) plus a
+  ``field_equals`` convenience.  Vectorized: one boolean mask per batch.
+- ``ValueToKey``: replace the record key with a struct of value fields —
+  Kafka's ValueToKey SMT (the key-extraction companion to ExtractField).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import KEY, TOPIC, VALUE
+
+
+class FilterRecords:
+    """``predicate`` one of: topic_regex=<re>, is_tombstone=True,
+    has_header_key=<k>, field_equals=("path.to.field", value).
+    ``negate=True`` keeps only matching records (Filter drops matches by
+    default, like Kafka's Filter+predicate)."""
+
+    def __init__(self, *, topic_regex: "str | None" = None,
+                 is_tombstone: bool = False,
+                 has_header_key: "str | None" = None,
+                 field_equals: "tuple[str, object] | None" = None,
+                 negate: bool = False,
+                 value_col: str = VALUE, topic_col: str = TOPIC,
+                 headers_col: str = "headers"):
+        if sum(x is not None and x is not False for x in
+               (topic_regex, is_tombstone or None, has_header_key,
+                field_equals)) != 1:
+            raise ValueError("exactly one predicate must be set")
+        self.topic_regex = topic_regex
+        self.is_tombstone = is_tombstone
+        self.has_header_key = has_header_key
+        self.field_equals = field_equals
+        self.negate = negate
+        self.value_col = value_col
+        self.topic_col = topic_col
+        self.headers_col = headers_col
+
+    def _mask(self, batch: pa.Table):
+        n = batch.num_rows
+        if self.topic_regex is not None:
+            return pc.match_substring_regex(
+                batch.column(self.topic_col), f"^(?:{self.topic_regex})$")
+        if self.is_tombstone:
+            if self.value_col not in batch.column_names:
+                return pa.array([True] * n)
+            return pc.is_null(batch.column(self.value_col))
+        if self.has_header_key is not None:
+            key = self.has_header_key
+            col = batch.column(self.headers_col)
+            vals = [any(k == key for k, _ in (entries or []))
+                    for entries in
+                    (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                     else col).to_pylist()]
+            return pa.array(vals, pa.bool_())
+        path, expected = self.field_equals
+        from ..functions.dotpath import struct_field_path
+
+        resolved = struct_field_path(batch.column(self.value_col),
+                                     path.split("."))
+        return pc.equal(resolved, expected)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(self._mask(batch), False)
+        keep = mask if self.negate else pc.invert(mask)
+        return batch.filter(keep)
+
+
+class ValueToKey:
+    """Replace the key with a struct of the named value fields
+    (Kafka's ValueToKey)."""
+
+    def __init__(self, fields: list[str], key_col: str = KEY,
+                 value_col: str = VALUE):
+        if not fields:
+            raise ValueError("ValueToKey requires at least one field")
+        self.fields = list(fields)
+        self.key_col = key_col
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        value = batch.column(self.value_col)
+        if not pa.types.is_struct(value.type):
+            raise TypeError("ValueToKey requires a struct value")
+        if isinstance(value, pa.ChunkedArray):
+            value = value.combine_chunks()
+        arrays, fields = [], []
+        for name in self.fields:
+            if value.type.get_field_index(name) < 0:
+                raise KeyError(f"value field '{name}' not in schema")
+            arr = pc.struct_field(value, [name])
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arrays.append(arr)
+            fields.append(pa.field(name, arr.type))
+        mask = pc.is_null(value)
+        key = pa.StructArray.from_arrays(
+            arrays, fields=fields,
+            mask=mask.combine_chunks() if isinstance(mask, pa.ChunkedArray)
+            else mask)
+        if self.key_col in batch.column_names:
+            i = batch.column_names.index(self.key_col)
+            return batch.set_column(i, pa.field(self.key_col, key.type), key)
+        return batch.append_column(pa.field(self.key_col, key.type), key)

@@ -239,3 +239,36 @@ def test_cast_fields_bad_spec_raises():
     from kafka_connect_plugins_ray.stages.cast_fields import CastFields
     with pytest.raises(ValueError):
         CastFields("x:decimal")
+
+
+def test_filter_records_predicates():
+    from kafka_connect_plugins_ray.stages.filter_records import FilterRecords
+    t = pa.table({
+        "topic": pa.array(["a.x", "b.y", "a.z"]),
+        "headers": pa.array([[("k", "1")], [], [("j", "2")]],
+                            pa.map_(pa.string(), pa.string())),
+        "value": pa.array([{"s": "keep"}, None, {"s": "drop"}],
+                          type=pa.struct([("s", pa.string())])),
+    })
+    assert FilterRecords(is_tombstone=True)(t).num_rows == 2
+    assert FilterRecords(topic_regex="a\\..*")(t).column("topic").to_pylist() == ["b.y"]
+    assert FilterRecords(topic_regex="a\\..*", negate=True)(t).num_rows == 2
+    assert FilterRecords(has_header_key="k")(t).num_rows == 2
+    assert FilterRecords(field_equals=("s", "drop"))(t).num_rows == 2
+    with pytest.raises(ValueError):
+        FilterRecords()
+    with pytest.raises(ValueError):
+        FilterRecords(is_tombstone=True, topic_regex="x")
+
+
+def test_value_to_key():
+    from kafka_connect_plugins_ray.stages.filter_records import ValueToKey
+    t = pa.table({
+        "value": pa.array([{"id": "a", "n": 1}, None],
+                          type=pa.struct([("id", pa.string()),
+                                          ("n", pa.int64())])),
+    })
+    out = ValueToKey(["id", "n"])(t)
+    assert out.column("key").to_pylist() == [{"id": "a", "n": 1}, None]
+    with pytest.raises(KeyError):
+        ValueToKey(["nope"])(t)
