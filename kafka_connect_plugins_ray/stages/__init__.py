@@ -5,6 +5,16 @@ from .json_to_hex import JsonToHex
 from .modify_partition import ModifyPartition, AssignPartition
 from .slack_reshape import SlackIntegrationPayload
 from .flatten import RedshiftFlatten, ClickHouseFlatten
+from .field_ops import (
+    ExtractField,
+    InsertField,
+    MaskField,
+    RegexRouter,
+    ReplaceField,
+)
+from .cast_fields import CastFields
+from .filter_records import FilterRecords, ValueToKey
+from .timestamp_converter import TimestampConverter
 
 __all__ = [
     "Transform",
@@ -18,4 +28,13 @@ __all__ = [
     "SlackIntegrationPayload",
     "RedshiftFlatten",
     "ClickHouseFlatten",
+    "ReplaceField",
+    "MaskField",
+    "ExtractField",
+    "InsertField",
+    "RegexRouter",
+    "CastFields",
+    "FilterRecords",
+    "ValueToKey",
+    "TimestampConverter",
 ]
