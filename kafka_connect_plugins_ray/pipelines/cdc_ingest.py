@@ -43,7 +43,7 @@ from ..exchange import hash_exchange
 from ..schema import unify_tables
 from ..stages.base import Chain
 from ..stages.modify_partition import AssignPartition
-from ..state.manifest import LakeStore, Manifest, _atomic_write
+from ..state.manifest import LakeStore, Manifest
 
 DEFAULT_NUM_PARTITIONS = 32
 

@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..exchange import hash_exchange, tree_aggregate
+from ..exchange import hash_exchange
 
 _MERSENNE = (1 << 61) - 1
 DEDUP_BUCKETS = 32  # hash-exchange fan-out for bucketed wide steps

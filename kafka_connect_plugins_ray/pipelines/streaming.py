@@ -11,7 +11,7 @@ by sorting within the partition (no cross-partition order is needed).
 
 from __future__ import annotations
 
-import numpy as np
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -37,7 +37,7 @@ import json
 import os
 import tempfile
 from dataclasses import dataclass, field
-from typing import Any
+
 
 
 @dataclass
