@@ -173,3 +173,26 @@ def test_clickhouse_flatten_reference_v2_null_body():
     assert row["metadata_service"] == "Default-Service"
     assert row["id"] == "c63526f8-dec7-4ef8-96d8-18756076f064"
     assert row["_kafka_metadata_timestamp"] is None
+
+
+def test_avro_json_loader_edges():
+    from kafka_connect_plugins_ray.sources.avro_json import (
+        avro_to_arrow,
+        convert_document,
+    )
+    import pyarrow as pa
+    typ, nullable = avro_to_arrow(["null", {"type": "record", "name": "r",
+                                            "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": ["null", {"type": "long",
+                                        "logicalType": "timestamp-millis"}],
+         "default": None},
+    ]}])
+    assert nullable and pa.types.is_struct(typ)
+    out = convert_document(
+        {"s": {"$oid": "624d2da5"}, "d": {"$date": 123}, "extra": 1}, typ)
+    assert out == {"s": "624d2da5", "d": 123}  # $oid/$date unwrapped, extra dropped
+    assert convert_document(None, typ) is None
+    # doc-valued string field -> relaxed JSON text
+    out2 = convert_document({"s": {"a": 1}, "d": None}, typ)
+    assert out2["s"] == '{"a": 1}'
