@@ -147,6 +147,27 @@ def run_bench(headline_only: bool = False) -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print per-stage ds.stats() of the headline pipeline's map phase —
+    the measurement loop used to keep wall time on useful compute."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kafka_connect_plugins_ray.pipelines.cdc_full import full_cdc_events
+    from kafka_connect_plugins_ray.stages.modify_partition import AssignPartition
+
+    ev = full_cdc_events(SF_DIR, rounds=BINLOG_ROUNDS).map_batches(
+        AssignPartition(("repo", "path"), 32), batch_format="pyarrow")
+    ev = ev.materialize()
+    print(ev.stats())
+    ray.shutdown()
+
+
 def cpu_calibration(ncpu: int) -> float:
     """Pure-CPU ray-task wall time for a fixed 32-task workload — what the
     HOST can deliver at this parallelism, independent of any data engine."""
@@ -218,6 +239,8 @@ def main():
             "sf": SF_DIR,
             "events": rs[1]["events"],
         }))
+    elif "--stats" in sys.argv:
+        run_stats()
     elif "--headline-only" in sys.argv:
         r = run_bench(headline_only=True)
         print(json.dumps(r))

@@ -244,3 +244,39 @@ def test_hash_exchange_single_partition():
     res = hash_exchange(ds, "partition_id", 1,
                         lambda pid, tbl: (pid, tbl.num_rows))
     assert res == [(0, 100)]
+
+
+def test_apply_chain_stateful_actor_pool():
+    from kafka_connect_plugins_ray.stages import (
+        RedshiftFlatten,
+        SoftDeleteToTombstone,
+        apply_chain,
+    )
+    t = pa.table({
+        "partition": pa.array([0, 0], pa.int32()),
+        "offset": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([None, None], pa.int64()),
+        "key": pa.array(["a", "b"], pa.string()),
+        "value": pa.array(
+            [{"body": {"deleted_at": None, "x": "live"}},
+             {"body": {"deleted_at": 5, "x": "dead"}}],
+            type=pa.struct([("body", pa.struct([
+                ("deleted_at", pa.int64()), ("x", pa.string())]))])),
+    })
+    ds = rd.from_arrow(t)
+    out = apply_chain(ds, [SoftDeleteToTombstone, RedshiftFlatten],
+                      stateful=True, concurrency=(1, 2)).to_pandas()
+    out = out.sort_values("topic_key").reset_index(drop=True)
+    assert out["tombstone"].tolist() == [False, True]
+    assert out["body_x"].tolist()[0] == "live"
+    assert out["body_x"].isna().tolist()[1]
+
+
+def test_broadcast_pickles_without_cache():
+    import pickle
+    from kafka_connect_plugins_ray.exchange import Broadcast
+    b = Broadcast({"k": 1})
+    assert b.get() == {"k": 1}
+    b2 = pickle.loads(pickle.dumps(b))
+    assert b2._cache is None  # cache dropped; refetches from object store
+    assert b2.get() == {"k": 1}
