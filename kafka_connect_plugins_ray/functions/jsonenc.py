@@ -78,24 +78,32 @@ def column_to_canonical_json(col: "pa.Array | pa.ChunkedArray",
 # vectorized encoder
 # --------------------------------------------------------------------------
 
-_NEEDS_ESCAPE = r'["\\\x00-\x1f]'
+_NEEDS_CONTROL_ESCAPE = r"[\x00-\x1f]"
 
 
 def _scalar_to_json_strings(arr: pa.Array, quote: bool) -> "pa.Array | None":
     """Element-wise JSON text for a scalar array; None => unsupported or
-    needs the python fallback.  Null elements become the literal 'null'."""
+    needs the python fallback.  Null elements become the literal 'null'.
+
+    Backslashes and double-quotes are escaped vectorized (two
+    replace_substring passes, backslash first); only control characters
+    (rare in text corpora) force the python fallback."""
     import pyarrow.compute as pc
 
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         if arr.null_count != len(arr):
-            needs = pc.any(pc.match_substring_regex(arr, _NEEDS_ESCAPE)).as_py()
-            if needs:
-                return None  # rare: fall back for the whole column
-        if quote:
-            out = pc.binary_join_element_wise('"', arr, '"', "")
+            if pc.any(pc.match_substring_regex(
+                    arr, _NEEDS_CONTROL_ESCAPE)).as_py():
+                return None  # rare: control chars -> python fallback
+            esc = pc.replace_substring(arr, "\\", "\\\\")
+            esc = pc.replace_substring(esc, '"', '\\"')
         else:
-            out = arr
+            esc = arr
+        if quote:
+            out = pc.binary_join_element_wise('"', esc, '"', "")
+        else:
+            out = esc
         return pc.fill_null(out, "null")
     if pa.types.is_integer(t) or pa.types.is_boolean(t):
         return pc.fill_null(pc.cast(arr, pa.string()), "null")

@@ -267,7 +267,7 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         schema=sorted(columns),
         num_partitions=num_partitions,
     )
-    store.commit(manifest)
+    store.commit(manifest, expected_parent=parent.version if parent else None)
     return manifest
 
 

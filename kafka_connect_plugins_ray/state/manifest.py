@@ -79,6 +79,13 @@ class Manifest:
         )
 
 
+_UNSET = object()
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
 def _atomic_write(path: str, data: "str | bytes"):
     mode = "wb" if isinstance(data, bytes) else "w"
     d = os.path.dirname(path)
@@ -127,8 +134,22 @@ class LakeStore:
     def abspath(self, rel: str) -> str:
         return os.path.join(self.root, rel)
 
-    def commit(self, manifest: Manifest):
-        """Steps 2+3 of the protocol: manifest write, then CURRENT swap."""
+    def commit(self, manifest: Manifest, *,
+               expected_parent: "int | None | object" = _UNSET):
+        """Steps 2+3 of the protocol: manifest write, then CURRENT swap.
+
+        ``expected_parent`` (pass the parent version the writer planned
+        against, or None for a fresh lake) adds a check-then-swap guard:
+        if another writer committed in between, raise instead of silently
+        clobbering their version.  Not a true CAS — on a real object
+        store use a conditional put — but it catches the common
+        double-writer mistake (single-writer is the documented contract)."""
+        if expected_parent is not _UNSET:
+            cur = self.current_version()
+            if cur != expected_parent:
+                raise ConcurrentCommitError(
+                    f"lake advanced to v{cur} while this ingest planned "
+                    f"against v{expected_parent} — concurrent writer?")
         _atomic_write(
             os.path.join(self.root, f"manifest-v{manifest.version}.json"),
             manifest.to_json(),

@@ -176,3 +176,21 @@ def test_show_does_not_create_lake_dir(tmp_path):
     bogus = str(tmp_path / "no_such_lake")
     assert main(["show", "--lake", bogus]) == 0
     assert not os.path.exists(bogus)
+
+
+def test_concurrent_commit_detected(tmp_path):
+    from kafka_connect_plugins_ray.state.manifest import (
+        ConcurrentCommitError,
+        Manifest,
+    )
+    lake = _fresh(tmp_path, "concurrent")
+    ingest(lake, binlog_from_documents(SF))
+    store = LakeStore(lake)
+    # another writer sneaks in a v2 commit
+    store.commit(Manifest(version=2, parent=1, high_water_lsn=99999,
+                          files={}, partitions={}, num_partitions=32))
+    # a writer that planned against v1 must refuse to clobber v2
+    with pytest.raises(ConcurrentCommitError):
+        store.commit(Manifest(version=2, parent=1, high_water_lsn=5,
+                              files={}, partitions={}, num_partitions=32),
+                     expected_parent=1)
