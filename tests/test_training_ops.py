@@ -280,3 +280,19 @@ def test_broadcast_pickles_without_cache():
     b2 = pickle.loads(pickle.dumps(b))
     assert b2._cache is None  # cache dropped; refetches from object store
     assert b2.get() == {"k": 1}
+
+
+def test_vectorized_json_escaping():
+    from kafka_connect_plugins_ray.functions.jsonenc import (
+        column_to_canonical_json,
+    )
+    import json as _json
+    col = pa.array([['a"b', "back\\slash", "plain"], None],
+                   type=pa.list_(pa.string()))
+    out = column_to_canonical_json(col, null_literal='"[]"').to_pylist()
+    assert _json.loads(out[0]) == ['a"b', "back\\slash", "plain"]
+    assert out[1] == '"[]"'
+    # control characters force the python fallback but stay correct
+    col2 = pa.array([["tab\there"]], type=pa.list_(pa.string()))
+    out2 = column_to_canonical_json(col2).to_pylist()
+    assert _json.loads(out2[0]) == ["tab\there"]
