@@ -30,11 +30,27 @@ def _tokenize(text: str) -> list[str]:
     return text.split()
 
 
-def _word_shingles(tokens: list[str], k: int = 3) -> set[int]:
+def _word_shingles(tokens: list[str], k: int = 3,
+                   memo: "dict[str, int] | None" = None) -> set[int]:
+    """Hash k-token shingles; ``memo`` caches shingle->hash across docs
+    (corpus vocabulary repeats heavily, so hits dominate at scale)."""
     if len(tokens) < k:
         joined = " ".join(tokens)
         return {hash64(joined)} if joined else set()
-    return {hash64(" ".join(tokens[i:i + k])) for i in range(len(tokens) - k + 1)}
+    if memo is None:
+        return {hash64(" ".join(tokens[i:i + k]))
+                for i in range(len(tokens) - k + 1)}
+    out = set()
+    get = memo.get
+    for i in range(len(tokens) - k + 1):
+        s = " ".join(tokens[i:i + k])
+        h = get(s)
+        if h is None:
+            h = hash64(s)
+            if len(memo) < 2_000_000:  # bound per-actor memory
+                memo[s] = h
+        out.add(h)
+    return out
 
 
 def hash64(s: str) -> int:
@@ -50,6 +66,7 @@ class MinHasher:
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
+        self._shingle_memo: dict[str, int] = {}
 
     def signature(self, shingles: set[int]) -> np.ndarray:
         if not shingles:
@@ -67,7 +84,8 @@ class MinHasher:
         # reduceat over doc boundaries (vectorized across the whole batch,
         # memory bounded to one permutation row at a time)
         shingle_sets = [
-            _word_shingles(_tokenize(text), self.shingle_k)
+            _word_shingles(_tokenize(text), self.shingle_k,
+                           memo=self._shingle_memo)
             for text in batch["text"].astype(str)
         ]
         counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
