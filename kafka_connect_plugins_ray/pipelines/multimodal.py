@@ -77,6 +77,73 @@ class FakeImageDecoder:
         )
 
 
+class FakeResize:
+    """STUB resize kernel: a real deployment calls PIL/libvips here; the
+    deterministic fake halves dimensions (floor) so the Ray-side plumbing
+    (schema in/out, vectorized metadata math) is real and testable."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = batch.column("media_meta")
+        new_meta = pa.StructArray.from_arrays(
+            [pc.struct_field(m, ["n_bytes"]).combine_chunks(),
+             pc.cast(pc.divide(pc.struct_field(m, ["width"]), 2),
+                     pa.int32()).combine_chunks(),
+             pc.cast(pc.divide(pc.struct_field(m, ["height"]), 2),
+                     pa.int32()).combine_chunks(),
+             pc.struct_field(m, ["n_frames"]).combine_chunks(),
+             pc.struct_field(m, ["sha256"]).combine_chunks()],
+            fields=[FakeImageDecoder.META_TYPE.field(i) for i in range(5)])
+        i = batch.column_names.index("media_meta")
+        return batch.set_column(
+            i, pa.field("media_meta", FakeImageDecoder.META_TYPE), new_meta)
+
+
+def sample_frames(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Frame sampling plumbing: expand each media row to one row per frame
+    (vectorized np.repeat/arange — the flat-map shape a video pipeline
+    needs).  Frame count comes from the decoded metadata; a real pipeline
+    would attach the decoded frame payload per row here."""
+    m = batch.column("media_meta")
+    n_frames = pc.struct_field(m, ["n_frames"]).to_numpy(zero_copy_only=False)
+    counts = n_frames.astype(np.int64)
+    total = int(counts.sum())
+    row_idx = np.repeat(np.arange(batch.num_rows), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    frame_idx = np.arange(total) - np.repeat(starts, counts)
+    ids = pc.take(batch.column(id_col), pa.array(row_idx, pa.int64()))
+    return pa.table({
+        id_col: ids,
+        "frame_idx": pa.array(frame_idx, pa.int32()),
+    })
+
+
+class FakeFeatureExtractor:
+    """STUB model-inference stage (actor pool in production: model loaded
+    once per actor in __init__).  The fake emits a deterministic 8-dim
+    embedding derived from the payload sha256 so downstream similarity
+    plumbing can run end-to-end without a real model."""
+
+    DIM = 8
+
+    def __init__(self):
+        # a real deployment loads the model here, once per actor
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = batch.column("media_meta")
+        shas = pc.struct_field(m, ["sha256"]).to_pylist()
+        embs = []
+        for s in shas:
+            if s is None:
+                embs.append(None)
+                continue
+            raw = bytes.fromhex(s)[: self.DIM]
+            embs.append([b / 255.0 for b in raw])
+        return batch.append_column(
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.array(embs, pa.list_(pa.float32())))
+
+
 def decode_documents(docs: "rd.Dataset", *, batch_size: int = 256,
                      concurrency=(1, 4)) -> "rd.Dataset":
     """documents → payload → actor-pool decode → flattened metadata."""

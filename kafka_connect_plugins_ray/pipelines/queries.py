@@ -906,6 +906,24 @@ def q_multimodal(sf_dir: str) -> "rd.Dataset":
         batch_format="pyarrow")
 
 
+def q_multimodal_frames(sf_dir: str) -> "rd.Dataset":
+    """Frame-sampling plumbing: one row per (doc, frame)."""
+    from .multimodal import attach_payload, FakeImageDecoder, sample_frames
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    decoded = docs.map_batches(attach_payload, batch_format="pyarrow") \
+        .map_batches(FakeImageDecoder(), batch_format="pyarrow")
+    return decoded.map_batches(sample_frames, batch_format="pyarrow")
+
+
+MULTIMODAL_FRAMES_ORACLE = """
+SELECT doc_id,
+       CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1)) AS INT)
+         AS frame_idx
+FROM documents
+"""
+
+
 MULTIMODAL_ORACLE = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -999,6 +1017,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "doc_fingerprint_winnow": q_fingerprint_winnow,
         "multimodal_decode": q_multimodal,
+        "multimodal_frames": q_multimodal_frames,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "pricing_summary": analytics.pricing_summary,
@@ -1041,6 +1060,7 @@ def build_oracles() -> dict[str, str]:
         "doc_fingerprint": FINGERPRINT_ORACLE,
         # doc_fingerprint_winnow: rolling-hash winnowing, not SQL-expressible
         "multimodal_decode": MULTIMODAL_ORACLE,
+        "multimodal_frames": MULTIMODAL_FRAMES_ORACLE,
         "asof_join": _streaming.ASOF_ORACLE,
         "sessionize": _streaming.SESSIONIZE_ORACLE.format(gap_us=30 * 60 * 1_000_000),
         "pricing_summary": PRICING_ORACLE,

@@ -296,3 +296,32 @@ def test_vectorized_json_escaping():
     col2 = pa.array([["tab\there"]], type=pa.list_(pa.string()))
     out2 = column_to_canonical_json(col2).to_pylist()
     assert _json.loads(out2[0]) == ["tab\there"]
+
+
+def test_multimodal_resize_and_features():
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        FakeFeatureExtractor,
+        FakeImageDecoder,
+        FakeResize,
+        attach_payload,
+        sample_frames,
+    )
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["abcd", "xyztuvw"], pa.string())})
+    decoded = FakeImageDecoder()(attach_payload(t))
+    resized = FakeResize()(decoded)
+    meta = resized.column("media_meta").to_pylist()
+    assert meta[0]["width"] == 2 and meta[0]["height"] == 2  # 4//2
+    assert meta[1]["width"] == 3  # 7//2
+
+    frames = sample_frames(decoded)
+    # n_frames = n_bytes % 30 + 1 = 5 and 8 -> 13 rows
+    assert frames.num_rows == 13
+    assert frames.column("frame_idx").to_pylist()[:5] == [0, 1, 2, 3, 4]
+
+    feats = FakeFeatureExtractor()(decoded)
+    embs = feats.column("embedding").to_pylist()
+    assert len(embs[0]) == 8 and all(0 <= v <= 1 for v in embs[0])
+    # deterministic
+    again = FakeFeatureExtractor()(decoded).column("embedding").to_pylist()
+    assert embs == again
