@@ -56,6 +56,12 @@ def _split_by_pid(pid_col: str, num_partitions: int, *blocks: pa.Table):
             f"{pid_col_arr.null_count} rows have a null '{pid_col}' "
             "partition id — null routing keys are not allowed")
     pid = pid_col_arr.to_numpy()
+    if len(pid) and (pid.min() < 0 or pid.max() >= num_partitions):
+        # searchsorted boundaries only cover [0, P) — an out-of-range pid
+        # would silently vanish; fail loudly like the null-key check above
+        raise ValueError(
+            f"'{pid_col}' values outside [0, {num_partitions}): "
+            f"min={pid.min()}, max={pid.max()}")
     order = np.argsort(pid, kind="stable")
     sorted_tbl = block.take(pa.array(order, type=pa.int64()))
     spid = pid[order]

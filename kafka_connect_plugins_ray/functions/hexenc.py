@@ -14,6 +14,10 @@ import pyarrow.compute as pc
 
 _HEXTAB = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
 
+# max total hex bytes representable with int32 offsets; tests monkeypatch
+# this down to exercise the large_string path on small data
+_SMALL_OFFSET_LIMIT = 2**31 - 1
+
 
 def _hex_chunk(arr: pa.Array) -> pa.Array:
     """Hex-encode one non-chunked binary/large-binary array via its buffers."""
@@ -34,7 +38,8 @@ def _hex_chunk(arr: pa.Array) -> pa.Array:
     out[1::2] = _HEXTAB[sub & 0x0F]
     # widen BEFORE doubling: int32 offsets on a >1 GiB chunk would wrap
     wide = (offsets.astype(np.int64) - np.int64(offsets[0])) * 2
-    new_offsets = wide if sub.size * 2 > 2**31 - 1 else wide.astype(np.int32)
+    large_out = sub.size * 2 > _SMALL_OFFSET_LIMIT
+    new_offsets = wide if large_out else wide.astype(np.int32)
 
     validity_buf = None
     null_count = arr.null_count
@@ -42,26 +47,34 @@ def _hex_chunk(arr: pa.Array) -> pa.Array:
         valid = np.asarray(pc.is_valid(arr))
         validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little"))
 
-    typ = pa.large_string() if new_offsets.dtype == np.int64 else pa.string()
-    cls = pa.LargeStringArray if new_offsets.dtype == np.int64 else pa.StringArray
-    res = cls.from_buffers(
+    cls = pa.LargeStringArray if large_out else pa.StringArray
+    # a >2 GiB hex result CANNOT be cast down to string (int32 offsets would
+    # overflow — ArrowInvalid), so the large path stays large_string and
+    # hex_encode_array promotes sibling chunks instead
+    return cls.from_buffers(
         len(arr),
         pa.py_buffer(new_offsets),
         pa.py_buffer(out),
         validity_buf,
         null_count,
     )
-    # For null rows the offsets still produce the hex of the underlying bytes
-    # region (usually empty); mask them properly:
-    return res if typ == pa.string() else res.cast(pa.string())
 
 
 def hex_encode_array(col: "pa.Array | pa.ChunkedArray") -> pa.ChunkedArray:
-    """Lowercase hex of the UTF-8 bytes of a string/binary column."""
+    """Lowercase hex of the UTF-8 bytes of a string/binary column.
+
+    Returns string chunks normally; if any chunk's hex output exceeds int32
+    offsets (>2 GiB) the whole result is promoted to large_string (casting a
+    large chunk DOWN would raise ArrowInvalid)."""
     if not (pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)):
         target = pa.large_binary() if pa.types.is_large_string(col.type) else pa.binary()
         col = pc.cast(col, target)
-    if isinstance(col, pa.ChunkedArray):
-        chunks = [_hex_chunk(c) for c in col.chunks]
-        return pa.chunked_array(chunks, type=pa.string()) if chunks else pa.chunked_array([], type=pa.string())
-    return pa.chunked_array([_hex_chunk(col)], type=pa.string())
+    raw = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    chunks = [_hex_chunk(c) for c in raw]
+    if not chunks:
+        return pa.chunked_array([], type=pa.string())
+    if any(pa.types.is_large_string(c.type) for c in chunks):
+        chunks = [c if pa.types.is_large_string(c.type)
+                  else c.cast(pa.large_string()) for c in chunks]
+        return pa.chunked_array(chunks, type=pa.large_string())
+    return pa.chunked_array(chunks, type=pa.string())

@@ -17,8 +17,9 @@ sort — measured ~10x slower; see that module for the scale notes).
 Inside each group (one lake partition): sort by (key..., order...), take the
 last event per key (LWW — exact dedup of replayed events falls out), apply
 tombstones, COW-merge with the partition's previous file (additive schema
-unification, null-fill), write ``data/v{V}/part-{pid}.parquet``
-deterministically.  Partitions untouched by the ingest carry forward their
+unification, null-fill), write ``data/v{V}-{attempt}/part-{pid}.parquet``
+(attempt-unique dir, deterministic names within the attempt).  Partitions
+untouched by the ingest carry forward their
 parent file references — copy-on-write at partition granularity.
 
 Ordering: no order survives a Ray shuffle, so order is re-established
@@ -102,14 +103,21 @@ def _partial_lww(t: pa.Table, key_cols: list[str], order_cols: list[str],
 
 class MergeGroup:
     """map_groups callable: merge one partition's new events with its
-    previous lake file and write the next version's file."""
+    previous lake file and write the next version's file.
+
+    ``data_dir`` is the attempt-scoped staging directory
+    (``data/v{V}-{attempt}``): unique per ingest attempt so two concurrent
+    writers planning the same version can never clobber each other's files
+    (the loser's ConcurrentCommitError leaves the winner's committed data
+    intact), while file names stay deterministic WITHIN the attempt so Ray
+    task retries remain idempotent (tmp + os.replace)."""
 
     def __init__(self, lake_root: str, parent_files: dict[int, str],
-                 version: int, key_cols: Sequence[str],
+                 data_dir: str, key_cols: Sequence[str],
                  order_cols: Sequence[str], lsn_col: str, op_col: str):
         self.lake_root = lake_root
         self.parent_files = parent_files
-        self.version = version
+        self.data_dir = data_dir
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
         self.lsn_col = lsn_col
@@ -155,7 +163,7 @@ class MergeGroup:
 
         merged = merged.sort_by([(c, "ascending") for c in self.key_cols])
 
-        rel = f"data/v{self.version}/part-{pid:05d}.parquet"
+        rel = f"{self.data_dir}/part-{pid:05d}.parquet"
         abspath = os.path.join(self.lake_root, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         tmp = abspath + f".tmp-{os.getpid()}"
@@ -230,8 +238,12 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
 
         events = events.map_batches(combiner, batch_format="pyarrow")
 
+    # attempt-scoped staging dir: unique per ingest() call (see MergeGroup)
+    import secrets
+
     merge = MergeGroup(
-        lake_root, parent.files if parent else {}, version,
+        lake_root, parent.files if parent else {},
+        f"data/v{version}-{secrets.token_hex(4)}",
         key_cols, order_cols, lsn_col, op_col,
     )
     # the ONE wide step: explicit two-stage hash exchange (see exchange.py

@@ -4,9 +4,11 @@ layout repartitioning.
 - ``gc``: a committed lake accumulates ``data/v*`` directories (COW never
   rewrites in place) plus orphans from crashed attempts.  GC keeps the
   files referenced by the last ``keep_versions`` committed manifests and
-  deletes everything else — safe because the manifest swap is the only
-  commit point, so anything unreferenced is either superseded or was never
-  committed.
+  deletes the rest, EXCEPT anything staged for a version newer than the
+  current committed one — that may belong to an in-flight ingest whose
+  commit has not landed yet (deleting it would let the commit reference
+  dead files).  Orphans from crashed attempts become collectible as soon
+  as a later commit advances CURRENT past their version.
 - ``repartition_lake``: rewrites the lake under a new ``crc32 % P`` layout
   (one exchange over the current state), committing a new manifest with
   the new pinned ``num_partitions``.  This is how a lake scales its
@@ -17,6 +19,7 @@ layout repartitioning.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 import pyarrow as pa
@@ -53,10 +56,18 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
         referenced.update(m.files.values())
         v = m.parent
 
+    def _dir_version(name: str) -> "int | None":
+        # "v{N}" (legacy) or "v{N}-{attempt}" staging dirs
+        m_ = re.match(r"^v(\d+)(?:-[0-9a-f]+)?$", name)
+        return int(m_.group(1)) if m_ else None
+
     data_root = os.path.join(lake_root, "data")
     removed_dirs: list[str] = []
     if os.path.isdir(data_root):
         for d in sorted(os.listdir(data_root)):
+            dv = _dir_version(d)
+            if dv is not None and dv > current:
+                continue  # possibly an in-flight ingest's staging dir
             full = os.path.join(data_root, d)
             rels = {f"data/{d}/{f}" for f in os.listdir(full)}
             if rels and rels.isdisjoint(referenced):
@@ -73,7 +84,7 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
     for f in sorted(os.listdir(lake_root)):
         if f.startswith("manifest-v") and f.endswith(".json"):
             mv = int(f[len("manifest-v"):-len(".json")])
-            if mv not in keep:
+            if mv not in keep and mv <= current:
                 os.unlink(os.path.join(lake_root, f))
                 removed_manifests.append(f)
 
@@ -97,10 +108,14 @@ def repartition_lake(lake_root: str, new_num_partitions: int,
 
     key_cols = list(key_cols)
 
+    import secrets
+
+    data_dir = f"data/v{version}-{secrets.token_hex(4)}"
+
     def rewrite(pid: int, table: pa.Table) -> dict:
         table = table.drop_columns(["partition_id"]).sort_by(
             [(c, "ascending") for c in key_cols])
-        rel = f"data/v{version}/part-{pid:05d}.parquet"
+        rel = f"{data_dir}/part-{pid:05d}.parquet"
         abspath = os.path.join(lake_root, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         tmp = abspath + f".tmp-{os.getpid()}"

@@ -104,7 +104,10 @@ def sample_frames(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     needs).  Frame count comes from the decoded metadata; a real pipeline
     would attach the decoded frame payload per row here."""
     m = batch.column("media_meta")
-    n_frames = pc.struct_field(m, ["n_frames"]).to_numpy(zero_copy_only=False)
+    # null media rows (e.g. undecodable payloads) contribute zero frames;
+    # without fill_null the NaN→int cast yields a huge negative repeat count
+    n_frames = pc.fill_null(pc.struct_field(m, ["n_frames"]), 0) \
+        .to_numpy(zero_copy_only=False)
     counts = n_frames.astype(np.int64)
     total = int(counts.sum())
     row_idx = np.repeat(np.arange(batch.num_rows), counts)

@@ -4,21 +4,25 @@ Kafka Connect's framework-held consumer offsets (SURVEY.md §3-4).
 A lake directory looks like:
 
     <root>/
-      data/v<version>/part-<pid>.parquet     # COW partition files
+      data/v<version>-<attempt>/part-<pid>.parquet  # COW partition files
       manifest-v<version>.json               # file list + lineage + offsets
       CURRENT                                # text file: committed version
 
 Commit protocol (the exactly-once core):
-1. merge tasks write partition files to deterministic paths
-   ``data/v{V}/part-{pid:05d}.parquet`` via tmp-file + ``os.replace``
-   (idempotent under Ray task retries);
+1. merge tasks write partition files to
+   ``data/v{V}-{attempt}/part-{pid:05d}.parquet`` via tmp-file +
+   ``os.replace`` — the attempt token is unique per ingest() call so two
+   writers racing on the same version can never overwrite each other's
+   staged files, while names are deterministic WITHIN the attempt so Ray
+   task retries stay idempotent;
 2. the driver writes ``manifest-v{V}.json`` (tmp + replace), then
 3. atomically swaps ``CURRENT`` -> V (tmp + replace).
 
 A crash anywhere before step 3 leaves CURRENT at the parent version; the
-orphaned v{V} files are never referenced, and a replay rewrites them
-byte-for-byte (deterministic names + deterministic content), yielding the
-identical final table state (the north rule's kill-and-replay sha256 gate).
+orphaned attempt dir is never referenced (gc collects it once CURRENT
+advances past V), and a replay restages under a fresh attempt dir with
+deterministic content, yielding the identical final table state (the north
+rule's kill-and-replay sha256 gate).
 
 The manifest records the input high-water LSN (resume = replay events with
 ``lsn > high_water``) and per-partition lineage/metrics
@@ -127,9 +131,6 @@ class LakeStore:
     def read_manifest(self, version: int) -> Manifest:
         with open(os.path.join(self.root, f"manifest-v{version}.json")) as f:
             return Manifest.from_json(f.read())
-
-    def data_file(self, version: int, pid: int) -> str:
-        return f"data/v{version}/part-{pid:05d}.parquet"
 
     def abspath(self, rel: str) -> str:
         return os.path.join(self.root, rel)

@@ -93,3 +93,24 @@ def test_5mb_payload_round_trip():
     h = out.column("json_hex").to_pylist()[0]
     assert len(h) == 2 * len(payload)
     assert _unhex(h) == payload
+
+
+def test_large_offset_path_returns_large_string(monkeypatch):
+    # force the >2GiB branch on small data: the result must stay
+    # large_string (casting down would raise ArrowInvalid at real scale)
+    from kafka_connect_plugins_ray.functions import hexenc
+
+    monkeypatch.setattr(hexenc, "_SMALL_OFFSET_LIMIT", 8)
+    col = pa.chunked_array([pa.array(["abcdef", None]), pa.array(["x"])],
+                           type=pa.string())
+    out = hexenc.hex_encode_array(col)
+    assert pa.types.is_large_string(out.type)
+    assert out.to_pylist() == ["616263646566", None, "78"]
+
+
+def test_small_offset_path_stays_string():
+    from kafka_connect_plugins_ray.functions import hexenc
+
+    out = hexenc.hex_encode_array(pa.array(["ab", None]))
+    assert pa.types.is_string(out.type)
+    assert out.to_pylist() == ["6162", None]

@@ -29,13 +29,20 @@ def test_gc_keeps_current_removes_old(tmp_path):
     ingest(lake, binlog_from_documents(SF, rounds=1, base_lsn=10_000))
     ingest(lake, binlog_from_documents(SF, rounds=2, base_lsn=20_000))
     h = _state_hash(lake)
-    # plant an orphan from a "crashed" attempt
-    orphan = os.path.join(lake, "data/v99")
+    # plant an orphan from a superseded "crashed" attempt (version <= current)
+    orphan = os.path.join(lake, "data/v2-deadbeef")
     os.makedirs(orphan)
     open(os.path.join(orphan, "part-00000.parquet"), "wb").write(b"x")
+    # and a staging dir for a version NEWER than current: a possibly
+    # in-flight ingest — gc must leave it alone
+    inflight = os.path.join(lake, "data/v99-cafe0000")
+    os.makedirs(inflight)
+    open(os.path.join(inflight, "part-00000.parquet"), "wb").write(b"y")
 
     summary = gc(lake, keep_versions=2)
-    assert "v99" in summary["removed_dirs"]
+    assert "v2-deadbeef" in summary["removed_dirs"]
+    assert "v99-cafe0000" not in summary["removed_dirs"]
+    assert os.path.isdir(inflight)
     assert summary["kept"] == [2, 3]
     assert _state_hash(lake) == h  # state untouched
     # old manifest gone, current still readable
@@ -167,8 +174,9 @@ def test_gc_aborts_on_missing_current_manifest(tmp_path):
     os.unlink(os.path.join(lake, "manifest-v1.json"))
     with pytest.raises(FileNotFoundError):
         gc(lake, keep_versions=1)
-    # data files untouched
-    assert os.path.isdir(os.path.join(lake, "data/v1"))
+    # data files untouched (v1's attempt-scoped staging dir still present)
+    import glob
+    assert glob.glob(os.path.join(lake, "data", "v1-*"))
 
 
 def test_show_does_not_create_lake_dir(tmp_path):

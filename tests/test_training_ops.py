@@ -325,3 +325,26 @@ def test_multimodal_resize_and_features():
     # deterministic
     again = FakeFeatureExtractor()(decoded).column("embedding").to_pylist()
     assert embs == again
+
+
+def test_hash_exchange_rejects_out_of_range_pid():
+    t = pa.table({"v": pa.array(range(10), pa.int64()),
+                  "partition_id": pa.array([0, 1, 2, 3, 9, 0, 1, 2, 3, -1],
+                                           pa.int32())})
+    ds = rd.from_arrow(t)
+    with pytest.raises(Exception, match="outside"):
+        hash_exchange(ds, "partition_id", 4, lambda pid, tbl: tbl.num_rows)
+
+
+def test_sample_frames_null_media_rows():
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        FakeImageDecoder,
+        attach_payload,
+        sample_frames,
+    )
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["abcd", None, "xy"], pa.string())})
+    decoded = FakeImageDecoder()(attach_payload(t))
+    frames = sample_frames(decoded)
+    # null payload -> null media_meta -> zero frames, no crash
+    assert set(frames.column("doc_id").to_pylist()) == {1, 3}
