@@ -39,29 +39,43 @@ def table_state_sha256(table: pa.Table, sort_keys: list[str]) -> str:
     return h.hexdigest()
 
 
-_MOD = (1 << 61) - 1
-_BASE = 1_000_003
+_BASE = np.uint64(1_000_003)
+
+
+def _base_powers(k: int) -> np.ndarray:
+    """[B^{k-1}, ..., B^1, B^0] with wrapping uint64 multiplies (array
+    cumprod — numpy scalar multiplies warn on overflow, arrays wrap)."""
+    p = np.ones(k, dtype=np.uint64)
+    if k > 1:
+        p[:-1] = np.cumprod(np.full(k - 1, _BASE, dtype=np.uint64))[::-1]
+    return p
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
 
 
 def rolling_fingerprints(text: str, k: int = 16) -> np.ndarray:
-    """Karp–Rabin hashes of all k-byte windows of ``text`` (mod 2^61-1).
-
-    Used for winnowing-style document fingerprints; returns an empty array
-    for texts shorter than ``k``."""
-    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.object_)
-    n = len(data)
+    """Karp–Rabin hashes of all k-byte windows of ``text`` (mod 2^64 —
+    numpy's natural wrapping arithmetic, so the whole window sweep is a
+    vectorized multiply-sum instead of the per-byte Python loop the
+    round-1 version used).  Memory is bounded by chunking the window
+    matrix; returns an empty array for texts shorter than ``k``."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = data.size
     if n < k:
         return np.empty(0, dtype=np.uint64)
-    # Python-int math via object dtype keeps exact mod-2^61-1 arithmetic.
-    h = 0
-    pow_k = pow(_BASE, k - 1, _MOD)
-    out = np.empty(n - k + 1, dtype=np.uint64)
-    for i in range(n):
-        if i >= k:
-            h = (h - int(data[i - k]) * pow_k) % _MOD
-        h = (h * _BASE + int(data[i])) % _MOD
-        if i >= k - 1:
-            out[i - k + 1] = h
+    pows = _POW_CACHE.get(k)
+    if pows is None:
+        pows = _POW_CACHE.setdefault(k, _base_powers(k))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(data, k)
+    m = n - k + 1
+    out = np.empty(m, dtype=np.uint64)
+    step = 1 << 16  # bound the materialized (windows × k) chunk to ~8 MB
+    for s in range(0, m, step):
+        w = win[s:s + step].astype(np.uint64)
+        out[s:s + step] = (w * pows[None, :]).sum(axis=1, dtype=np.uint64)
     return out
 
 

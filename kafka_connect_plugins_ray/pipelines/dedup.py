@@ -18,9 +18,11 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..exchange import hash_exchange
+from ..functions.vhash import hash64_column, mix_columns_u64, popcount64
 
 _MERSENNE = (1 << 61) - 1
 DEDUP_BUCKETS = 32  # hash-exchange fan-out for bucketed wide steps
@@ -114,27 +116,39 @@ class MinHasher:
         return out
 
 
-def _bands(sig_bytes: bytes, num_bands: int) -> list[bytes]:
-    sig = np.frombuffer(sig_bytes, dtype=np.uint64)
-    rows = len(sig) // num_bands
-    return [sig[i * rows:(i + 1) * rows].tobytes() for i in range(num_bands)]
-
-
 class BandExplode:
+    """Vectorized LSH banding: reshape the batch's signature matrix to
+    (docs, bands, rows_per_band), hash each band row with the numpy murmur
+    chain, and emit (doc_id, band_id, band_hash) via np.repeat/tile — no
+    per-row Python, and band hashes travel as int64 (8 bytes) rather than
+    hex strings (16+)."""
+
     def __init__(self, num_bands: int = 16):
         self.num_bands = num_bands
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
-            for b, chunk in enumerate(_bands(sig, self.num_bands)):
-                doc_ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "band_id": pd.Series([], dtype="int32"),
+                "band_hash": pd.Series([], dtype="int64"),
+            })
+        sigs = batch["sig"].tolist()  # equal-length bytes per doc
+        m = np.frombuffer(b"".join(sigs), dtype=np.uint64).reshape(n, -1)
+        num_perm = m.shape[1]
+        rows = num_perm // self.num_bands
+        bands = m.reshape(n, self.num_bands, rows)
+        # (docs*bands,) hash of each band's row values; salt with band_id so
+        # identical values in different bands never collide into one bucket
+        flat = bands.reshape(n * self.num_bands, rows)
+        band_ids = np.tile(np.arange(self.num_bands, dtype=np.uint64), n)
+        h = mix_columns_u64([band_ids] + [flat[:, r] for r in range(rows)])
         return pd.DataFrame({
-            "doc_id": pd.Series(doc_ids, dtype="int64"),
-            "band_id": pd.Series(band_ids, dtype="int32"),
-            "band_hash": pd.Series(band_hashes, dtype="object"),
+            "doc_id": pd.Series(np.repeat(batch["doc_id"].to_numpy(),
+                                          self.num_bands), dtype="int64"),
+            "band_id": pd.Series(band_ids.astype(np.int32), dtype="int32"),
+            "band_hash": pd.Series(h.astype(np.int64), dtype="int64"),
         })
 
 
@@ -149,38 +163,45 @@ def _candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def exact_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS) -> pa.Table:
-    """md5(text)-keyed exact dedup: keep min(doc_id), count duplicates.
+    """Content-keyed exact dedup: keep min(doc_id), count duplicates.
 
     Scale shape: per-batch partial (hash → min/count) shrinks each block to
-    its distinct hashes, then a hash exchange on the hash prefix co-locates
-    equal hashes for the exact group-reduce — no global sort, and each
-    bucket reduce sees only its shard."""
+    its distinct content hashes, then a hash exchange on the hash prefix
+    co-locates equal hashes for the exact group-reduce — no global sort,
+    and each bucket reduce sees only its shard.
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame({
-            "text_hash": batch["text"].astype(str).map(
-                lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
-            "keep_doc_id": batch["doc_id"].astype("int64"),
+    The content key is a dual-seed vectorized xxhash64 (functions/vhash —
+    128 effective bits, collision odds ~n²/2^129: negligible at 10^10
+    docs); the old per-row Python md5 was the round-1 review's flagged
+    hot-spot.  The hash is dropped from the output, so the SQL oracle can
+    simply ``GROUP BY text``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h1 = hash64_column(batch.column("text"), seed=0)
+        h2 = hash64_column(batch.column("text"), seed=1)
+        t = pa.table({
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "keep_doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
         })
-        g = df.groupby("text_hash", as_index=False).agg(
-            keep_doc_id=("keep_doc_id", "min"), n_dups=("keep_doc_id", "size"))
-        g["n_dups"] = g["n_dups"].astype("int64")
-        g["bucket"] = g["text_hash"].map(
-            lambda h: int(h[:8], 16) % num_buckets).astype("int32")
-        return g
+        g = t.group_by(["h1", "h2"]).aggregate([
+            ("keep_doc_id", "min"), ("keep_doc_id", "count")])
+        g = g.rename_columns(["h1", "h2", "keep_doc_id", "n_dups"])
+        bucket = (g.column("h1").to_numpy().view(np.uint64)
+                  % num_buckets).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
 
-    partials = docs.map_batches(partial, batch_format="pandas")
+    partials = docs.map_batches(partial, batch_format="pyarrow")
 
     def reduce_bucket(pid: int, t: pa.Table) -> pa.Table:
-        g = t.group_by("text_hash").aggregate([
+        g = t.group_by(["h1", "h2"]).aggregate([
             ("keep_doc_id", "min"), ("n_dups", "sum")])
-        return g.rename_columns(["text_hash", "keep_doc_id", "n_dups"]) \
-            .select(["text_hash", "keep_doc_id", "n_dups"])
+        g = g.rename_columns(["h1", "h2", "keep_doc_id", "n_dups"])
+        return g.select(["keep_doc_id", "n_dups"])
 
     shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
     if not shards:
-        return pa.table({"text_hash": pa.array([], pa.string()),
-                         "keep_doc_id": pa.array([], pa.int64()),
+        return pa.table({"keep_doc_id": pa.array([], pa.int64()),
                          "n_dups": pa.array([], pa.int64())})
     return pa.concat_tables(shards, promote_options="permissive")
 
@@ -204,8 +225,8 @@ def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
 
     def explode_with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         df = explode(batch)
-        df["bucket"] = df["band_hash"].map(
-            lambda h: int(h[:8], 16) % num_buckets).astype("int32")
+        df["bucket"] = (df["band_hash"].to_numpy().view(np.uint64)
+                        % num_buckets).astype("int32")
         return df
 
     exploded = sigs.map_batches(explode_with_bucket, batch_format="pandas")
@@ -288,14 +309,54 @@ def connected_components(pairs: pa.Table) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def minhash_dedup_keep(docs: "rd.Dataset", **lsh_kwargs) -> "rd.Dataset":
+def filter_pairs_identical_text(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table:
+    """Keep only candidate pairs whose two texts are byte-identical,
+    verified against the corpus.  The gather is bounded by the candidate
+    set (broadcast id membership filter, distributed scan, small driver
+    result) — this is the hard-verification step that turns probabilistic
+    LSH output into an exactly-checkable subset (the SQL oracle derives
+    the same pairs with a self-join on text equality)."""
+    import ray
+
+    if pairs.num_rows == 0:
+        return pairs
+    ids = np.unique(np.concatenate([
+        pairs.column("doc_a").to_numpy(), pairs.column("doc_b").to_numpy()]))
+    ref = ray.put(ids)
+
+    def gather(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        d = t.column("doc_id").to_numpy()
+        idx = np.clip(np.searchsorted(want, d), 0, want.size - 1)
+        return t.filter(pa.array(want[idx] == d)).select(["doc_id", "text"])
+
+    shards = [ray.get(r) for r in
+              docs.map_batches(gather, batch_format="pyarrow").to_arrow_refs()]
+    small = pa.concat_tables([s for s in shards if s.num_rows],
+                             promote_options="permissive")
+    texts = dict(zip(small.column("doc_id").to_pylist(),
+                     small.column("text").to_pylist()))
+    mask = [texts.get(a) is not None and texts.get(a) == texts.get(b)
+            for a, b in zip(pairs.column("doc_a").to_pylist(),
+                            pairs.column("doc_b").to_pylist())]
+    return pairs.filter(pa.array(mask))
+
+
+def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
+                       **lsh_kwargs) -> "rd.Dataset":
     """End-to-end near-dup REMOVAL: LSH candidate pairs -> connected
     components -> keep each cluster's min doc_id -> anti-filter the corpus
-    (drop-set broadcast into a vectorized map_batches filter)."""
+    (drop-set broadcast into a vectorized map_batches filter).
+
+    ``pair_filter(pairs, docs) -> pairs`` optionally narrows the candidate
+    set before clustering (e.g. ``filter_pairs_identical_text`` for the
+    exactly-verifiable dedup mode the SQL oracle checks)."""
     import pyarrow.compute as pc
     import ray
 
     pairs = minhash_lsh_pairs(docs, **lsh_kwargs)
+    if pair_filter is not None:
+        pairs = pair_filter(pairs, docs)
     comp = connected_components(pairs)
     drop = sorted(d for d, rep in comp.items() if d != rep)
     drop_ref = ray.put(np.asarray(drop, dtype=np.int64))
@@ -314,25 +375,39 @@ def minhash_dedup_keep(docs: "rd.Dataset", **lsh_kwargs) -> "rd.Dataset":
 
 
 class SimHasher:
-    """64-bit SimHash over word features, vectorized per batch."""
+    """64-bit SimHash over word features, vectorized across the whole
+    batch: all docs' tokens are hashed in one polars xxhash call, bit
+    scores accumulate via np.add.reduceat over doc boundaries, and the
+    sign→bit packing is one matmul-style reduction — no per-doc Python
+    beyond the tokenizer split."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_sig = []
-        for text in batch["text"].astype(str):
-            tokens = _tokenize(text)
-            if not tokens:
-                out_sig.append(0)
-                continue
-            hs = np.fromiter((hash64(t) for t in tokens), dtype=np.uint64,
-                             count=len(tokens))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            score = bits.sum(axis=0) * 2 - len(hs)  # +1 for set bits, -1 clear
-            sig = np.uint64(0)
-            for i in np.nonzero(score > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(i)
-            out_sig.append(int(sig))
+        text = batch["text"].astype(str)
+        tok_lists = text.str.split()
+        counts = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
         out = batch[["doc_id"]].copy()
-        out["simhash"] = pd.Series(out_sig, dtype="uint64").astype("int64")
+        total = int(counts.sum())
+        sig = np.zeros(len(batch), dtype=np.uint64)
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for toks in tok_lists:
+                if toks:
+                    flat[pos:pos + len(toks)] = toks
+                    pos += len(toks)
+            hs = hash64_column(pa.array(flat, pa.string()))
+            # bits: (tokens, 64) 0/1 -> per-doc column sums via reduceat
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            nonempty = counts > 0
+            starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+            sums = np.add.reduceat(bits, starts, axis=0)
+            score = sums * 2 - counts[nonempty, None]
+            packed = ((score > 0).astype(np.uint64)
+                      << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            sig[np.nonzero(nonempty)[0]] = packed
+        out["simhash"] = pd.Series(sig.view(np.int64), dtype="int64")
         return out
 
 
@@ -341,10 +416,17 @@ def simhash_signatures(docs: "rd.Dataset") -> "rd.Dataset":
 
 
 def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3,
-                      num_buckets: int = DEDUP_BUCKETS) -> pa.Table:
+                      num_buckets: int = DEDUP_BUCKETS,
+                      max_bucket_size: int = 2000) -> pa.Table:
     """Near-dup pairs by SimHash: bucket on each of four 16-bit bands (a
     pair within hamming<=3 of 64 bits must agree on >=1 band), verify
-    hamming distance inside buckets via a hash exchange on band value."""
+    hamming distance inside buckets via a hash exchange on band value.
+
+    A band bucket larger than ``max_bucket_size`` (degenerate input: one
+    boilerplate class collapsing to a single signature) is skipped with a
+    logged count instead of doing O(n²) work — same policy as
+    ``minhash_lsh_pairs``; in-bucket verification is a vectorized
+    XOR + LUT-popcount over the upper triangle, not a Python pair loop."""
     sigs = simhash_signatures(docs)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -367,25 +449,33 @@ def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3,
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
         df = t.to_pandas()
-        out_a, out_b, dist = [], [], []
+        frames, skipped = [], 0
         for _, g in df.groupby(["band_id", "band_val"], sort=False):
-            recs = list(zip(g["doc_id"], g["simhash"].to_numpy().astype(np.uint64)))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    (da, sa), (db, sb) = recs[i], recs[j]
-                    if da == db:
-                        continue
-                    d = int(bin(int(sa) ^ int(sb)).count("1"))
-                    if d <= max_hamming:
-                        a, b = (da, db) if da < db else (db, da)
-                        out_a.append(a)
-                        out_b.append(b)
-                        dist.append(d)
-        if not out_a:
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket_size:
+                skipped += 1
+                continue
+            sg = g["simhash"].to_numpy().astype(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            d = popcount64(sg[iu] ^ sg[ju])
+            keep = (d <= max_hamming) & (ids[iu] != ids[ju])
+            if not keep.any():
+                continue
+            a, b = ids[iu[keep]], ids[ju[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            frames.append(pa.table({
+                "doc_a": pa.array(lo, pa.int64()),
+                "doc_b": pa.array(hi, pa.int64()),
+                "hamming": pa.array(d[keep], pa.int64()),
+            }))
+        if skipped:
+            print(f"[simhash] bucket {pid}: skipped {skipped} oversized "
+                  f"band buckets (> {max_bucket_size} docs)")
+        if not frames:
             return None
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64()),
-                         "hamming": pa.array(dist, pa.int64())})
+        return pa.concat_tables(frames)
 
     shards = hash_exchange(exploded, "bucket", num_buckets, reduce_bucket)
     if not shards:

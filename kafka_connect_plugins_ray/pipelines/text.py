@@ -105,6 +105,59 @@ class Fingerprint:
         return out
 
 
+def winnow_equal_pairs(docs, num_buckets: int = 32,
+                       max_group: int = 2000) -> pa.Table:
+    """Pairs of docs whose winnowed fingerprints are EQUAL — the hard gate
+    for the winnowing operator: identical texts must produce identical
+    fingerprints (completeness is trivial determinism) and distinct texts
+    must not collide at corpus scale (soundness — a degenerate fingerprint
+    would spray extra pairs and fail the oracle's text-equality pair set).
+
+    Scale shape mirrors exact_dedup: per-batch fingerprints → hash exchange
+    on fp → per-bucket pair expansion within equal-fp groups (groups are
+    duplicate classes, tiny; oversized groups skipped with a log)."""
+    from ..exchange import hash_exchange
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        fp = text.map(lambda s: np.int64(
+            winnow_fingerprint(s) & 0x7FFFFFFFFFFFFFFF)).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "fp": pd.Series(fp, dtype="int64"),
+            "bucket": pd.Series((fp.view(np.uint64) % num_buckets)
+                                .astype(np.int32), dtype="int32"),
+        })
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        df = t.to_pandas()
+        frames, skipped = [], 0
+        for _, g in df.groupby("fp", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_group:
+                skipped += 1
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            frames.append(pa.table({"doc_a": pa.array(ids[iu], pa.int64()),
+                                    "doc_b": pa.array(ids[ju], pa.int64())}))
+        if skipped:
+            print(f"[winnow] bucket {pid}: skipped {skipped} oversized "
+                  f"fingerprint groups (> {max_group} docs)")
+        if not frames:
+            return None
+        return pa.concat_tables(frames)
+
+    shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    return pa.concat_tables(shards)
+
+
 def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
     text = batch["text"].astype(str)
     out = batch[["doc_id"]].copy()
