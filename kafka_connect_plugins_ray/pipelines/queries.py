@@ -892,14 +892,38 @@ FROM embeddings WHERE vec_id < 10
 
 
 def q_dedup_embedding(sf_dir: str) -> pa.Table:
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
-    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    """Exact cosine threshold join via block-pair tasks (no full-corpus
+    broadcast)."""
     cands = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(cands, ids, mat, threshold=0.4)
+    return embedding_neardup_pairs(cands, threshold=0.4)
+
+
+def q_dedup_embedding_lsh(sf_dir: str) -> pa.Table:
+    """The bucketed (approximate) near-dup path with a planted-duplicate
+    recall gate: corpus ∪ id-shifted copy of itself — every (v, v+OFFSET)
+    identical-vector pair shares every LSH bucket, so the output filtered
+    to planted pairs must be exactly one score-1.0 row per vector."""
+    from .similarity import embedding_neardup_pairs_lsh
+
+    cands = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def dup(t: pa.Table) -> pa.Table:
+        t = t.select(["vec_id", "embedding"])
+        t2 = pa.table({"vec_id": pc.add(t["vec_id"], DUP_OFFSET),
+                       "embedding": t["embedding"]})
+        return pa.concat_tables([t, t2])
+
+    union = cands.map_batches(dup, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs_lsh(union, threshold=0.99)
+    mask = pc.equal(pairs["vec_b"], pc.add(pairs["vec_a"], DUP_OFFSET))
+    return pairs.filter(mask)
+
+
+DEDUP_EMBEDDING_LSH_ORACLE = f"""
+SELECT vec_id AS vec_a, vec_id + {DUP_OFFSET} AS vec_b,
+       CAST(1.0 AS DOUBLE) AS score
+FROM embeddings
+"""
 
 
 DEDUP_EMBEDDING_ORACLE = """
@@ -1166,6 +1190,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q_knn,
         "ann_cosine_lsh": q_knn_lsh,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_lsh,
         "hll_distinct_users": q_hll_distinct,
         "sample_documents": q_sample,
         "lang_id": q_lang_id,
@@ -1213,6 +1238,7 @@ def build_oracles() -> dict[str, str]:
         "ann_cosine_topk": KNN_ORACLE,
         "ann_cosine_lsh": ANN_LSH_ORACLE,
         "dedup_embedding_cosine": DEDUP_EMBEDDING_ORACLE,
+        "dedup_embedding_cosine_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
         "hll_distinct_users": HLL_ORACLE,
         "sample_documents": SAMPLE_ORACLE,
         "lang_id": LANG_ID_ORACLE,

@@ -27,27 +27,32 @@ def _to_matrix(embeddings: pd.Series) -> np.ndarray:
 
 
 def _topk_frame(qids, sims: np.ndarray, cand_ids: np.ndarray, k: int) -> pd.DataFrame:
-    """Per-query top-k from a sims matrix (queries × candidates)."""
-    rows = {"query_id": [], "neighbor_id": [], "score": []}
-    k_eff = min(k, sims.shape[1])
-    if k_eff == 0:
-        return pd.DataFrame({c: pd.Series([], dtype="int64" if c != "score" else "float64")
-                             for c in rows})
-    for qi, qid in enumerate(qids):
-        s = sims[qi]
-        # full lexsort (score desc, neighbor_id asc) — argpartition's
-        # arbitrary tie handling at the k-th slot could keep the wrong
-        # neighbor of an equal-score pair; batches are <= a few thousand
-        # candidates so the full sort is cheap
-        order = np.lexsort((cand_ids, -s))[:k_eff]
-        for j in order:
-            rows["query_id"].append(int(qid))
-            rows["neighbor_id"].append(int(cand_ids[j]))
-            rows["score"].append(float(s[j]))
+    """Per-query top-k from a sims matrix (queries × candidates) — one
+    row-wise lexsort over the whole matrix, no per-query Python loop.
+    Full sort (score desc, neighbor_id asc) rather than argpartition:
+    argpartition's arbitrary tie handling at the k-th slot could keep the
+    wrong neighbor of an equal-score pair; batches are <= a few thousand
+    candidates so the sort is cheap."""
+    nq, nc = sims.shape
+    k_eff = min(k, nc)
+    if k_eff == 0 or nq == 0:
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        })
+    # argsort each row by (-score, neighbor_id): encode the tiebreak by
+    # lexsorting columns (cand_ids broadcast per row)
+    order = np.lexsort((np.broadcast_to(cand_ids, (nq, nc)), -sims), axis=1)
+    top = order[:, :k_eff]
+    rows = np.arange(nq)[:, None]
     return pd.DataFrame({
-        "query_id": pd.Series(rows["query_id"], dtype="int64"),
-        "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
-        "score": pd.Series(rows["score"], dtype="float64"),
+        "query_id": pd.Series(np.repeat(np.asarray(qids, dtype=np.int64),
+                                        k_eff), dtype="int64"),
+        "neighbor_id": pd.Series(cand_ids[top].ravel().astype(np.int64),
+                                 dtype="int64"),
+        "score": pd.Series(sims[rows, top].ravel().astype(np.float64),
+                           dtype="float64"),
     })
 
 
@@ -163,48 +168,158 @@ def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
     return _round_score(out)
 
 
-def embedding_neardup_pairs(candidates: "rd.Dataset", corpus_ids: np.ndarray,
-                            corpus_matrix: np.ndarray,
+def _norm_block(t: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _pairs_above(ids_a, mat_a, ids_b, mat_b, threshold,
+                 same_block: bool) -> "pa.Table | None":
+    """Vectorized threshold join between two normalized blocks; emits
+    (min_id, max_id, score) for distinct ids with cosine >= threshold."""
+    sims = mat_a @ mat_b.T
+    mask = sims >= threshold
+    if same_block:
+        # upper triangle only (each unordered pair once, no self pairs)
+        mask &= ids_a[:, None] < ids_b[None, :]
+    else:
+        mask &= ids_a[:, None] != ids_b[None, :]
+    ii, jj = np.nonzero(mask)
+    if ii.size == 0:
+        return None
+    a, b = ids_a[ii], ids_b[jj]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"vec_a": pa.array(lo.astype(np.int64), pa.int64()),
+                     "vec_b": pa.array(hi.astype(np.int64), pa.int64()),
+                     "score": pa.array(sims[ii, jj], pa.float64())})
+
+
+def embedding_neardup_pairs(candidates: "rd.Dataset",
                             threshold: float = 0.4) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs: every (a, b) with
+    """EXACT embedding-cosine near-duplicate pairs: every (a, b) with
     cosine >= threshold and a < b.
 
-    The corpus matrix is broadcast once; each batch does one matmul
-    against it.  O(N^2) scoring — the correct scale path swaps the
-    broadcast side for LSH/IVF buckets (``knn_lsh``'s hasher) so only
-    bucket-mates are scored; this exact form doubles as the oracle-checked
-    baseline."""
-    side = Broadcast((corpus_ids,
-                      corpus_matrix / np.linalg.norm(corpus_matrix, axis=1,
-                                                     keepdims=True)))
+    Scale shape: block-nested-loop join over the Dataset's own blocks —
+    one Ray task per upper-triangle block pair, each holding only TWO
+    blocks in memory (no full-corpus broadcast; the round-1 broadcast form
+    was review-flagged because the broadcast side doesn't exist at 100 TB).
+    O(N²) compute is inherent to an exact threshold join — the approximate
+    scale path is ``embedding_neardup_pairs_lsh``."""
+    import ray
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, cn = side.get()
-        m = _to_matrix(batch["embedding"])
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = mn @ cn.T
-        bids = batch["vec_id"].to_numpy()
-        rows_a, rows_b, score = [], [], []
-        for i, a in enumerate(bids):
-            mask = (sims[i] >= threshold) & (ids > a)
-            for j in np.nonzero(mask)[0]:
-                rows_a.append(int(a))
-                rows_b.append(int(ids[j]))
-                score.append(float(sims[i, j]))
-        return pd.DataFrame({
-            "vec_a": pd.Series(rows_a, dtype="int64"),
-            "vec_b": pd.Series(rows_b, dtype="int64"),
-            "score": pd.Series(score, dtype="float64"),
-        })
-
-    per_batch = candidates.map_batches(pairs, batch_format="pandas",
-                                       batch_size=4096)
-    out = tree_aggregate(per_batch, lambda t: t)
-    if out is None:
+    refs = list(candidates.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]),
+        batch_format="pyarrow").to_arrow_refs())
+    if not refs:
         return pa.table({"vec_a": pa.array([], pa.int64()),
                          "vec_b": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    return _round_score(out)
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: "pa.Table | None") -> "pa.Table | None":
+        if ta.num_rows == 0 or (tb is not None and tb.num_rows == 0):
+            return None
+        ids_a, mat_a = _norm_block(ta)
+        if tb is None:
+            return _pairs_above(ids_a, mat_a, ids_a, mat_a, threshold, True)
+        ids_b, mat_b = _norm_block(tb)
+        return _pairs_above(ids_a, mat_a, ids_b, mat_b, threshold, False)
+
+    futs = [block_pair.remote(refs[i], None) for i in range(len(refs))]
+    futs += [block_pair.remote(refs[i], refs[j])
+             for i in range(len(refs)) for j in range(i + 1, len(refs))]
+    parts = [p for p in ray.get(futs) if p is not None]
+    if not parts:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    return _round_score(pa.concat_tables(parts))
+
+
+def embedding_neardup_pairs_lsh(candidates: "rd.Dataset",
+                                threshold: float = 0.4,
+                                n_tables: int = 12,
+                                planes_per_table: int = 6,
+                                dim: int = 64,
+                                num_buckets: int = 32,
+                                max_bucket: int = 4000,
+                                seed: int = 23) -> pa.Table:
+    """APPROXIMATE near-dup pairs — the 100-TB path: multi-table random
+    hyperplane LSH (OR over ``n_tables`` tables of ``planes_per_table``
+    bits) buckets the corpus, a hash exchange co-locates bucket-mates, and
+    only bucket-mates are scored.  Recall for a pair at cosine θ is
+    1-(1-(1-acos(θ)/π)^b)^T; identical vectors always share every bucket
+    (the planted-duplicate gate).  Pairs found in several tables dedup via
+    a final small group-by."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, planes_per_table, dim)
+    side = Broadcast(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": t.column("embedding"),
+                             "table_id": pa.array([], pa.int32()),
+                             "bucket_key": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        pl = side.get()
+        ids = t.column("vec_id").to_numpy()
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        outs = []
+        for ti in range(n_tables):
+            bits = (m @ pl[ti].T) > 0
+            code = (bits * (1 << np.arange(planes_per_table))).sum(axis=1)
+            key = (np.int64(ti) << np.int64(32)) | code.astype(np.int64)
+            outs.append(pa.table({
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "embedding": t.column("embedding").combine_chunks(),
+                "table_id": pa.array(np.full(len(ids), ti, np.int32)),
+                "bucket_key": pa.array(key, pa.int64()),
+                "bucket": pa.array((key % num_buckets).astype(np.int32)),
+            }))
+        return pa.concat_tables(outs)
+
+    exploded = candidates.map_batches(
+        lambda t: bucketize(t.select(["vec_id", "embedding"])),
+        batch_format="pyarrow")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        df_keys = t.column("bucket_key").to_numpy()
+        order = np.argsort(df_keys, kind="stable")
+        t = t.take(pa.array(order, pa.int64()))
+        keys = df_keys[order]
+        bounds = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1],
+                                            [True])))[0]
+        frames, skipped = [], 0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            if e - s > max_bucket:
+                skipped += 1
+                continue
+            g = t.slice(s, e - s)
+            ids, mat = _norm_block(g)
+            p = _pairs_above(ids, mat, ids, mat, threshold, True)
+            if p is not None:
+                frames.append(p)
+        if skipped:
+            print(f"[emb-lsh] bucket {pid}: skipped {skipped} oversized "
+                  f"LSH buckets (> {max_bucket} vectors)")
+        if not frames:
+            return None
+        return pa.concat_tables(frames)
+
+    from ..exchange import hash_exchange
+
+    shards = hash_exchange(exploded, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    pairs = pa.concat_tables(shards)
+    g = pairs.group_by(["vec_a", "vec_b"]).aggregate([("score", "max")])
+    return _round_score(g.rename_columns(["vec_a", "vec_b", "score"]))
 
 
 def load_queries(path: str, max_qid: int) -> tuple[np.ndarray, np.ndarray]:

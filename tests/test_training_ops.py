@@ -350,3 +350,28 @@ def test_sample_frames_null_media_rows():
     frames = sample_frames(decoded)
     # null payload -> null media_meta -> zero frames, no crash
     assert set(frames.column("doc_id").to_pylist()) == {1, 3}
+
+
+def test_embedding_lsh_recall_vs_exact():
+    from kafka_connect_plugins_ray.pipelines.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+    rng = np.random.RandomState(11)
+    n, d = 300, 64
+    base = rng.randn(n, d)
+    # plant 20 near-dup rows: small perturbations of the first 20
+    near = base[:20] + 0.05 * rng.randn(20, d)
+    emb = np.vstack([base, near]).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(emb)), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })).repartition(4)
+    exact = embedding_neardup_pairs(ds, threshold=0.95)
+    approx = embedding_neardup_pairs_lsh(ds, threshold=0.95)
+    ep = set(zip(exact["vec_a"].to_pylist(), exact["vec_b"].to_pylist()))
+    ap = set(zip(approx["vec_a"].to_pylist(), approx["vec_b"].to_pylist()))
+    planted = {(i, n + i) for i in range(20)}
+    assert planted <= ep                     # exact finds all planted pairs
+    assert ap <= ep                          # approx is sound (no extras)
+    assert len(ap & planted) / len(planted) >= 0.8   # high recall
