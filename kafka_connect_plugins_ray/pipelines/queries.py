@@ -1089,11 +1089,11 @@ def q_multimodal(sf_dir: str) -> "rd.Dataset":
 
 def q_multimodal_frames(sf_dir: str) -> "rd.Dataset":
     """Frame-sampling plumbing: one row per (doc, frame)."""
-    from .multimodal import attach_payload, FakeImageDecoder, sample_frames
+    from .multimodal import attach_payload, BmpDecoder, sample_frames
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     decoded = docs.map_batches(attach_payload, batch_format="pyarrow") \
-        .map_batches(FakeImageDecoder(), batch_format="pyarrow")
+        .map_batches(BmpDecoder(), batch_format="pyarrow")
     return decoded.map_batches(sample_frames, batch_format="pyarrow")
 
 
@@ -1107,7 +1107,7 @@ FROM documents
 
 MULTIMODAL_ORACLE = """
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) + 54 AS n_bytes,
        (octet_length(encode(text)) % 640)::INT AS width,
        (octet_length(encode(text)) % 480)::INT AS height,
        (octet_length(encode(text)) % 30 + 1)::INT AS n_frames

@@ -18,7 +18,7 @@ from kafka_connect_plugins_ray.pipelines.dedup import (
     verify_jaccard,
 )
 from kafka_connect_plugins_ray.pipelines.multimodal import (
-    FakeImageDecoder,
+    BmpDecoder,
     decode_documents,
 )
 from kafka_connect_plugins_ray.pipelines.similarity import knn_bruteforce, knn_lsh
@@ -109,17 +109,37 @@ def test_knn_lsh_subset_of_bruteforce_scores():
     assert any((q, 10 + q) in lq for q in qids)
 
 
-def test_multimodal_stub_and_plumbing():
+def test_multimodal_real_bmp_decode():
+    # strict mode raises on non-BMP bytes (the explicit codec boundary)
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([b"JFIF not a bmp padded to len 54 xxxxxxxxxxxxxxxxxxxxxxxx"], pa.binary())})
     with pytest.raises(NotImplementedError):
-        FakeImageDecoder(strict=True)._decode(b"bytes")
+        BmpDecoder(strict=True)(bad)
     ds = rd.from_arrow(pa.table({
         "doc_id": pa.array([1, 2], pa.int64()),
         "text": pa.array(["abc", "defg"], pa.string()),
     }))
     out = decode_documents(ds).to_pandas().sort_values("doc_id")
-    assert out["n_bytes"].tolist() == [3, 4]
+    # n_bytes is the real container size: 54-byte header + payload
+    assert out["n_bytes"].tolist() == [57, 58]
+    # dims/frames parsed from actual little-endian header fields
     assert out["width"].tolist() == [3, 4]
+    assert out["height"].tolist() == [3, 4]
     assert out["n_frames"].tolist() == [4, 5]
+
+
+def test_bmp_container_is_wellformed():
+    import struct
+    from kafka_connect_plugins_ray.pipelines.multimodal import attach_payload
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["hello world"], pa.string())})
+    payload = attach_payload(t).column("payload").to_pylist()[0]
+    assert payload[:2] == b"BM"
+    assert struct.unpack_from("<I", payload, 2)[0] == len(payload)
+    assert struct.unpack_from("<i", payload, 18)[0] == 11 % 640
+    assert struct.unpack_from("<i", payload, 22)[0] == 11 % 480
+    assert struct.unpack_from("<H", payload, 6)[0] == 11 % 30 + 1
+    assert payload[54:] == b"hello world"
 
 
 def test_winnow_fingerprint_deterministic():
@@ -303,15 +323,15 @@ def test_vectorized_json_escaping():
 def test_multimodal_resize_and_features():
     from kafka_connect_plugins_ray.pipelines.multimodal import (
         FakeFeatureExtractor,
-        FakeImageDecoder,
-        FakeResize,
+        BmpDecoder,
+        MetaResize,
         attach_payload,
         sample_frames,
     )
     t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
                   "text": pa.array(["abcd", "xyztuvw"], pa.string())})
-    decoded = FakeImageDecoder()(attach_payload(t))
-    resized = FakeResize()(decoded)
+    decoded = BmpDecoder()(attach_payload(t))
+    resized = MetaResize()(decoded)
     meta = resized.column("media_meta").to_pylist()
     assert meta[0]["width"] == 2 and meta[0]["height"] == 2  # 4//2
     assert meta[1]["width"] == 3  # 7//2
@@ -340,13 +360,13 @@ def test_hash_exchange_rejects_out_of_range_pid():
 
 def test_sample_frames_null_media_rows():
     from kafka_connect_plugins_ray.pipelines.multimodal import (
-        FakeImageDecoder,
+        BmpDecoder,
         attach_payload,
         sample_frames,
     )
     t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
                   "text": pa.array(["abcd", None, "xy"], pa.string())})
-    decoded = FakeImageDecoder()(attach_payload(t))
+    decoded = BmpDecoder()(attach_payload(t))
     frames = sample_frames(decoded)
     # null payload -> null media_meta -> zero frames, no crash
     assert set(frames.column("doc_id").to_pylist()) == {1, 3}
