@@ -18,11 +18,13 @@ Shapes:
   textbook map-side split exchange.
 
   Partitioning assumptions (documented per SURVEY.md §2 custom-operator
-  rule): ``B × P`` object refs exist transiently (B input blocks).  With
-  128 MB blocks and P ≲ 4096 that is fine into the tens of TB; at 100 TB
-  either raise the block size, make the exchange hierarchical (exchange to
-  √P super-partitions, then fan out), or use Ray Data's push-based shuffle
-  on a real multi-node cluster where its constants amortize.
+  rule): ``B × P`` object refs exist transiently (B input blocks) in the
+  flat path, fine for P < 4096 with 128 MB blocks into the tens of TB.
+  For P ≥ 4096 the exchange automatically switches to the TWO-LEVEL √P
+  form (split to √P super-partitions, re-split each super, reduce) which
+  bounds transients at B√P + P — the 100-TB / P=16k shape.  On a real
+  multi-node cluster Ray Data's push-based shuffle is the alternative
+  once its constants amortize.
 
 - ``tree_aggregate(ds, partial_fn, combine_fn)``: per-block partials
   (already small: one row per group per block) are combined in a fan-in
@@ -39,13 +41,19 @@ import pyarrow as pa
 import ray
 
 
-def _split_by_pid(pid_col: str, num_partitions: int, *blocks: pa.Table):
+def _split_by_pid(pid_col: str, num_out: int, divisor: int, base: int,
+                  *blocks: pa.Table):
+    """Split blocks into ``num_out`` slices by slot = (pid - base) //
+    divisor.  The flat exchange uses (divisor=1, base=0); the hierarchical
+    exchange's stage 1 groups ``divisor`` consecutive pids per
+    super-partition, and its stage 2 re-splits one super's range
+    [base, base + num_out)."""
     live = [b for b in blocks
-            if b.num_rows and pid_col in b.column_names]
+            if b is not None and b.num_rows and pid_col in b.column_names]
     # Ray may pass empty blocks through upstream UDFs unchanged, so an
     # empty block can even lack the pid column — nothing to route.
     if not live:
-        return tuple([None] * num_partitions)
+        return tuple([None] * num_out) if num_out > 1 else None
     block = (live[0] if len(live) == 1
              else pa.concat_tables(live, promote_options="permissive"))
     pid_col_arr = block.column(pid_col)
@@ -56,20 +64,22 @@ def _split_by_pid(pid_col: str, num_partitions: int, *blocks: pa.Table):
             f"{pid_col_arr.null_count} rows have a null '{pid_col}' "
             "partition id — null routing keys are not allowed")
     pid = pid_col_arr.to_numpy()
-    if len(pid) and (pid.min() < 0 or pid.max() >= num_partitions):
-        # searchsorted boundaries only cover [0, P) — an out-of-range pid
-        # would silently vanish; fail loudly like the null-key check above
+    slot = (pid - base) // divisor
+    if len(slot) and (slot.min() < 0 or slot.max() >= num_out):
+        # searchsorted boundaries only cover [0, num_out) — an out-of-range
+        # pid would silently vanish; fail loudly like the null-key check
         raise ValueError(
-            f"'{pid_col}' values outside [0, {num_partitions}): "
-            f"min={pid.min()}, max={pid.max()}")
-    order = np.argsort(pid, kind="stable")
+            f"'{pid_col}' values outside [{base}, "
+            f"{base + num_out * divisor}): min={pid.min()}, max={pid.max()}")
+    order = np.argsort(slot, kind="stable")
     sorted_tbl = block.take(pa.array(order, type=pa.int64()))
-    spid = pid[order]
-    bounds = np.searchsorted(spid, np.arange(num_partitions + 1))
-    return tuple(
+    sslot = slot[order]
+    bounds = np.searchsorted(sslot, np.arange(num_out + 1))
+    out = tuple(
         sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
-        for i in range(num_partitions)
+        for i in range(num_out)
     )
+    return out if num_out > 1 else out[0]
 
 
 @ray.remote
@@ -88,27 +98,50 @@ def _reduce_partition(reduce_fn: Callable[[int, pa.Table], Any], pid: int,
 def hash_exchange(ds, pid_col: str, num_partitions: int,
                   reduce_fn: Callable[[int, pa.Table], Any],
                   reduce_num_cpus: float = 1,
-                  max_objects: int = 1024) -> list:
+                  max_objects: int = 1024,
+                  hierarchical_threshold: int = 4096,
+                  materialize: bool = True) -> list:
     """Run ``reduce_fn(pid, table_of_all_rows_with_that_pid)`` for every
     partition; returns the list of non-None reduce results (driver-side —
     intended for small per-partition outputs like lineage rows or
     aggregates; large outputs should be written to storage inside
-    ``reduce_fn``).
+    ``reduce_fn``).  With ``materialize=False`` the reduce results stay in
+    the object store and the list of ObjectRefs is returned instead — for
+    consumers (e.g. distributed connected components) where the driver
+    must never hold the full output.
 
     Input blocks are coalesced into at most ``max_objects / P`` split tasks
     so the transient object count (splits × P) stays bounded — per-object
     fixed costs dominate wall time when blocks are small (measured: 64
-    blocks × 32 partitions = 2k objects cost ~3 s extra vs 16 × 32)."""
+    blocks × 32 partitions = 2k objects cost ~3 s extra vs 16 × 32).
+
+    For ``P >= hierarchical_threshold`` the exchange automatically goes
+    TWO-LEVEL (the √P variant promised in round 1): stage 1 splits each
+    block group into S ≈ √P super-partitions (B×S objects), stage 2
+    re-splits each super into its ~√P final partitions (≤ P objects),
+    stage 3 reduces per partition — transient object count B√P + P
+    instead of B×P, which is what keeps a 100-TB run at P=16k from
+    flooding the object store with per-object fixed costs."""
     refs = list(ds.to_arrow_refs())
     if not refs:
         return []
+    reducer = _reduce_partition.options(num_cpus=reduce_num_cpus,
+                                        retry_exceptions=True, max_retries=3)
+    # retry_exceptions: reduce fns write deterministically-named files via
+    # tmp+rename, so re-running one after a transient failure is safe
     if num_partitions == 1:
         # degenerate exchange: no split needed, one reduce over all blocks
-        reducer = _reduce_partition.options(num_cpus=reduce_num_cpus,
-                                            retry_exceptions=True,
-                                            max_retries=3)
-        out = ray.get([reducer.remote(reduce_fn, 0, *refs)])
+        futs = [reducer.remote(reduce_fn, 0, *refs)]
+        if not materialize:
+            return futs
+        out = ray.get(futs)
         return [o for o in out if o is not None]
+
+    if num_partitions >= hierarchical_threshold:
+        return _hierarchical_exchange(refs, pid_col, num_partitions,
+                                      reduce_fn, reducer, max_objects,
+                                      materialize)
+
     split = ray.remote(num_returns=num_partitions)(_split_by_pid)
     max_splits = max(1, max_objects // num_partitions)
     if len(refs) > max_splits:
@@ -116,16 +149,59 @@ def hash_exchange(ds, pid_col: str, num_partitions: int,
         groups = [refs[i:i + per] for i in range(0, len(refs), per)]
     else:
         groups = [[r] for r in refs]
-    split_refs = [split.remote(pid_col, num_partitions, *g) for g in groups]
+    split_refs = [split.remote(pid_col, num_partitions, 1, 0, *g)
+                  for g in groups]
     parts_by_pid = list(zip(*split_refs))
-    # retry_exceptions: reduce fns write deterministically-named files via
-    # tmp+rename, so re-running one after a transient failure is safe
-    reducer = _reduce_partition.options(num_cpus=reduce_num_cpus,
-                                        retry_exceptions=True, max_retries=3)
-    out = ray.get([
+    futs = [
         reducer.remote(reduce_fn, pid, *parts_by_pid[pid])
         for pid in range(num_partitions)
-    ])
+    ]
+    if not materialize:
+        return futs
+    out = ray.get(futs)
+    return [o for o in out if o is not None]
+
+
+def _hierarchical_exchange(refs, pid_col: str, num_partitions: int,
+                           reduce_fn, reducer, max_objects: int,
+                           materialize: bool = True) -> list:
+    """Two-level √P exchange — see hash_exchange docstring."""
+    import math
+
+    S = max(2, math.isqrt(num_partitions - 1) + 1)
+    sub = (num_partitions + S - 1) // S  # pids per super-partition
+
+    # stage 1: block groups -> S super-partitions (slot = pid // sub)
+    split1 = ray.remote(num_returns=S)(_split_by_pid)
+    max_splits = max(1, max_objects // S)
+    if len(refs) > max_splits:
+        per = (len(refs) + max_splits - 1) // max_splits
+        groups = [refs[i:i + per] for i in range(0, len(refs), per)]
+    else:
+        groups = [[r] for r in refs]
+    split1_refs = [split1.remote(pid_col, S, sub, 0, *g) for g in groups]
+    parts_by_super = list(zip(*split1_refs))
+
+    # stage 2: each super -> its final partitions; stage 3: reduce per pid
+    jobs = []
+    for s in range(S):
+        lo = s * sub
+        cnt = min(sub, num_partitions - lo)
+        if cnt <= 0:
+            break
+        if cnt == 1:
+            jobs.append((lo, reducer.remote(reduce_fn, lo,
+                                            *parts_by_super[s])))
+            continue
+        split2 = ray.remote(num_returns=cnt)(_split_by_pid)
+        sub_parts = split2.remote(pid_col, cnt, 1, lo, *parts_by_super[s])
+        for k in range(cnt):
+            jobs.append((lo + k,
+                         reducer.remote(reduce_fn, lo + k, sub_parts[k])))
+    futs = [r for _, r in jobs]
+    if not materialize:
+        return futs
+    out = ray.get(futs)
     return [o for o in out if o is not None]
 
 

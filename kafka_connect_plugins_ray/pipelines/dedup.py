@@ -209,7 +209,8 @@ def exact_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS) -> pa.Tabl
 def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
                       num_bands: int = 16, shingle_k: int = 3,
                       num_buckets: int = DEDUP_BUCKETS,
-                      max_bucket_size: int = 2000) -> pa.Table:
+                      max_bucket_size: int = 2000,
+                      materialize: bool = True):
     """Candidate near-dup pairs via MinHash+LSH: signatures per batch →
     (band, band_hash, doc_id) rows → hash exchange on band_hash → pair
     generation inside each (band, band_hash) bucket → pair dedup across
@@ -249,6 +250,11 @@ def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
         return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
                                     preserve_index=False)
 
+    if not materialize:
+        # remote mode: pair shards stay in the object store (pairs found
+        # in several bands repeat across shards — fine for CC consumers)
+        return hash_exchange(exploded, "bucket", num_buckets, reduce_bucket,
+                             materialize=False)
     shards = hash_exchange(exploded, "bucket", num_buckets, reduce_bucket)
     if not shards:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -309,6 +315,136 @@ def connected_components(pairs: pa.Table) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _cc_table(node: np.ndarray, other: np.ndarray) -> "pa.Table | None":
+    if node.size == 0:
+        return None
+    return pa.table({"node": pa.array(node, pa.int64()),
+                     "other": pa.array(other, pa.int64())})
+
+
+def connected_components_distributed(pair_refs, num_buckets: int = 16,
+                                     max_rounds: int = 64) -> pa.Table:
+    """Distributed min-label propagation over sharded candidate pairs —
+    the scale path ``connected_components`` documents: the driver holds
+    only object refs and per-round changed-counts, never the pair set.
+
+    ``pair_refs``: list of ObjectRefs to (doc_a, doc_b) tables (e.g.
+    ``minhash_lsh_pairs(..., materialize=False)``); duplicate edges across
+    shards are harmless.  Each round is one bucketed message exchange:
+    every edge forwards its endpoint's current label to the other side,
+    labels take the min, convergence when no label changes (≤ cluster
+    diameter rounds; LSH dup-clusters are near-cliques, so 2-3 rounds in
+    practice).  Returns a (node, label) table — label = the component's
+    min doc_id."""
+    import ray
+
+    B = num_buckets
+
+    @ray.remote
+    def edge_split(*tables):
+        live = [t for t in tables if t is not None and t.num_rows]
+        if not live:
+            return tuple([None] * B)
+        t = pa.concat_tables(live, promote_options="permissive")
+        a = t.column("doc_a").to_numpy().astype(np.int64)
+        b = t.column("doc_b").to_numpy().astype(np.int64)
+        node = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        bucket = node % B
+        order = np.argsort(bucket, kind="stable")
+        node, other, bucket = node[order], other[order], bucket[order]
+        bounds = np.searchsorted(bucket, np.arange(B + 1))
+        return tuple(_cc_table(node[s:e], other[s:e])
+                     for s, e in zip(bounds[:-1], bounds[1:]))
+
+    @ray.remote
+    def concat_adj(*parts):
+        live = [p for p in parts if p is not None and p.num_rows]
+        if not live:
+            return None
+        t = pa.concat_tables(live)
+        # sort by node once so every round's label join is a merge
+        return t.take(pa.array(np.argsort(t.column("node").to_numpy(),
+                                          kind="stable"), pa.int64()))
+
+    @ray.remote
+    def init_labels(adj):
+        if adj is None:
+            return None
+        nodes = np.unique(adj.column("node").to_numpy())
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "label": pa.array(nodes, pa.int64())})
+
+    @ray.remote
+    def propagate(adj, labels):
+        if adj is None or labels is None:
+            return tuple([None] * B)
+        ln = labels.column("node").to_numpy()  # sorted unique
+        ll = labels.column("label").to_numpy()
+        n = adj.column("node").to_numpy()
+        o = adj.column("other").to_numpy()
+        lab = ll[np.searchsorted(ln, n)]
+        # shrink messages: min label per target within this shard
+        order = np.lexsort((lab, o))
+        o, lab = o[order], lab[order]
+        first = np.concatenate(([True], o[1:] != o[:-1]))
+        o, lab = o[first], lab[first]
+        bucket = o % B
+        order = np.argsort(bucket, kind="stable")
+        o, lab, bucket = o[order], lab[order], bucket[order]
+        bounds = np.searchsorted(bucket, np.arange(B + 1))
+        out = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e <= s:
+                out.append(None)
+            else:
+                out.append(pa.table({"node": pa.array(o[s:e], pa.int64()),
+                                     "label": pa.array(lab[s:e], pa.int64())}))
+        return tuple(out)
+
+    @ray.remote(num_returns=2)
+    def update(labels, *msgs):
+        live = [m for m in msgs if m is not None and m.num_rows]
+        if labels is None or not live:
+            return labels, 0
+        m = pa.concat_tables(live)
+        mn = m.column("node").to_numpy()
+        ml = m.column("label").to_numpy()
+        order = np.lexsort((ml, mn))
+        mn, ml = mn[order], ml[order]
+        first = np.concatenate(([True], mn[1:] != mn[:-1]))
+        mn, ml = mn[first], ml[first]  # min proposed label per node
+        ln = labels.column("node").to_numpy().copy()
+        ll = labels.column("label").to_numpy().copy()
+        idx = np.searchsorted(ln, mn)
+        better = ml < ll[idx]
+        ll[idx[better]] = ml[better]
+        return (pa.table({"node": pa.array(ln, pa.int64()),
+                          "label": pa.array(ll, pa.int64())}),
+                int(better.sum()))
+
+    split_refs = [edge_split.options(num_returns=B).remote(r)
+                  for r in pair_refs]
+    adj = [concat_adj.remote(*[sp[b] for sp in split_refs])
+           for b in range(B)]
+    labels = [init_labels.remote(adj[b]) for b in range(B)]
+    for _ in range(max_rounds):
+        msg_parts = [propagate.options(num_returns=B).remote(adj[b],
+                                                             labels[b])
+                     for b in range(B)]
+        upd = [update.remote(labels[b], *[mp[b] for mp in msg_parts])
+               for b in range(B)]
+        labels = [u[0] for u in upd]
+        changed = sum(ray.get([u[1] for u in upd]))
+        if changed == 0:
+            break
+    parts = [t for t in ray.get(labels) if t is not None and t.num_rows]
+    if not parts:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)
+
+
 def filter_pairs_identical_text(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table:
     """Keep only candidate pairs whose two texts are byte-identical,
     verified against the corpus.  The gather is bounded by the candidate
@@ -343,6 +479,7 @@ def filter_pairs_identical_text(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table
 
 
 def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
+                       distributed_cc: bool = False,
                        **lsh_kwargs) -> "rd.Dataset":
     """End-to-end near-dup REMOVAL: LSH candidate pairs -> connected
     components -> keep each cluster's min doc_id -> anti-filter the corpus
@@ -350,9 +487,38 @@ def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
 
     ``pair_filter(pairs, docs) -> pairs`` optionally narrows the candidate
     set before clustering (e.g. ``filter_pairs_identical_text`` for the
-    exactly-verifiable dedup mode the SQL oracle checks)."""
+    exactly-verifiable dedup mode the SQL oracle checks).
+
+    ``distributed_cc=True`` routes clustering through
+    ``connected_components_distributed``: pair shards never leave the
+    object store and only the (much smaller) drop-set reaches the driver —
+    the setting for corpora whose candidate-pair volume exceeds driver
+    memory.  (Incompatible with ``pair_filter``, which is a driver-side
+    verification of an already-small candidate set.)"""
     import pyarrow.compute as pc
     import ray
+
+    if distributed_cc:
+        if pair_filter is not None:
+            raise ValueError("pair_filter requires driver-side pairs; "
+                             "use distributed_cc=False")
+        refs = minhash_lsh_pairs(docs, materialize=False, **lsh_kwargs)
+        comp_t = connected_components_distributed(refs)
+        node = comp_t.column("node").to_numpy()
+        label = comp_t.column("label").to_numpy()
+        drop = np.sort(node[node != label])
+        drop_ref = ray.put(drop.astype(np.int64))
+
+        def keep_batch(batch: pa.Table) -> pa.Table:
+            drop_ids = ray.get(drop_ref)
+            if drop_ids.size == 0:
+                return batch
+            ids = batch.column("doc_id").to_numpy()
+            idx = np.clip(np.searchsorted(drop_ids, ids), 0,
+                          drop_ids.size - 1)
+            return batch.filter(pa.array(drop_ids[idx] != ids))
+
+        return docs.map_batches(keep_batch, batch_format="pyarrow")
 
     pairs = minhash_lsh_pairs(docs, **lsh_kwargs)
     if pair_filter is not None:

@@ -395,3 +395,82 @@ def test_embedding_lsh_recall_vs_exact():
     assert planted <= ep                     # exact finds all planted pairs
     assert ap <= ep                          # approx is sound (no extras)
     assert len(ap & planted) / len(planted) >= 0.8   # high recall
+
+
+def test_hierarchical_exchange_matches_flat():
+    n = 20_000
+    rng = np.random.RandomState(2)
+    t = pa.table({
+        "v": pa.array(np.arange(n), pa.int64()),
+        "partition_id": pa.array(rng.randint(0, 96, n), pa.int32()),
+    })
+    ds = rd.from_arrow(t).repartition(7)
+
+    def red(pid, tbl):
+        return (pid, tbl.num_rows, int(pa.compute.sum(tbl["v"]).as_py()),
+                set(tbl["partition_id"].to_pylist()))
+
+    flat = sorted(hash_exchange(ds, "partition_id", 96, red,
+                                hierarchical_threshold=10**9))
+    hier = sorted(hash_exchange(ds, "partition_id", 96, red,
+                                hierarchical_threshold=2))
+    assert flat == hier
+    assert sum(r[1] for r in hier) == n
+    for pid, _, _, seen in hier:
+        assert seen == {pid}
+
+
+def test_hierarchical_exchange_large_p():
+    # P large enough that the two-level path's ragged tail (last super
+    # partially filled, cnt==1 supers) is exercised
+    n = 5_000
+    P = 1003  # prime: S=32, sub=32, last super has 11 partitions
+    t = pa.table({
+        "v": pa.array(np.arange(n), pa.int64()),
+        "partition_id": pa.array((np.arange(n) * 7919) % P, pa.int32()),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    res = hash_exchange(ds, "partition_id", P,
+                        lambda pid, tbl: tbl.num_rows,
+                        hierarchical_threshold=64)
+    assert sum(res) == n
+
+
+def test_distributed_connected_components_matches_driver():
+    import ray
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+    rng = np.random.RandomState(9)
+    # 40 planted clusters of sizes 2..9 (chain edges) + duplicate edges
+    edges = []
+    nid = 0
+    for c in range(40):
+        size = 2 + c % 8
+        ids = np.arange(nid, nid + size)
+        nid += size + 3  # gaps: isolated ids never appear in edges
+        for i in range(size - 1):
+            edges.append((ids[i], ids[i + 1]))
+        edges.append((ids[0], ids[size - 1]))  # cycle + duplicate coverage
+    arr = np.array(edges, dtype=np.int64)
+    perm = rng.permutation(len(arr))
+    arr = arr[perm]
+    t = pa.table({"doc_a": pa.array(arr[:, 0]), "doc_b": pa.array(arr[:, 1])})
+    # shard into 5 remote tables covering every edge
+    per = (t.num_rows + 4) // 5
+    refs = [ray.put(t.slice(i * per, per)) for i in range(5)]
+    out = connected_components_distributed(refs, num_buckets=4)
+    got = dict(zip(out["node"].to_pylist(), out["label"].to_pylist()))
+    exp = connected_components(t)
+    # driver union-find maps every node it saw; distributed must agree
+    for n, rep in exp.items():
+        assert got[n] == rep
+
+
+def test_minhash_dedup_keep_distributed_cc():
+    from kafka_connect_plugins_ray.pipelines.dedup import minhash_dedup_keep
+    ds, _ = _docs_ds()
+    kept = minhash_dedup_keep(ds, distributed_cc=True)
+    ids = sorted(kept.to_pandas()["doc_id"].tolist())
+    assert ids == [0, 3, 4]  # near-dup cluster {0,1,2} -> keep 0
