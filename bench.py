@@ -124,10 +124,14 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("events_hourly", Q.analytics.events_hourly)
     consume("dedup_exact", Q.q_dedup_exact)
     consume("dedup_minhash_lsh", Q.q_dedup_minhash)
+    consume("dedup_simhash", Q.q_dedup_simhash)
     consume("dedup_embedding_cosine", Q.q_dedup_embedding)
+    consume("dedup_embedding_cosine_lsh", Q.q_dedup_embedding_lsh)
     consume("ann_cosine_topk", Q.q_knn)
+    consume("sample_documents", Q.q_sample)
     consume("lang_id", Q.q_lang_id)
     consume("doc_fingerprint", Q.q_fingerprint)
+    consume("doc_fingerprint_winnow", Q.q_fingerprint_winnow)
     consume("multimodal_decode", Q.q_multimodal)
     consume("asof_join", Q._q_asof_join)
     consume("sessionize", Q._q_sessionize)
@@ -145,6 +149,107 @@ def run_bench(headline_only: bool = False) -> dict:
         "events": n_events,
         "events_per_sec": round(n_events / headline, 1),
     }
+
+
+def run_blob() -> None:
+    """Multi-MB payloads through the full JsonToHex + exchange path — the
+    reference's 5 MB Redshift VARBYTE ceiling (README.md:58-63) exercised
+    at bench scale: 96 rows × ~5 MB JSON through hex encoding, crc32
+    partition assignment, and the two-stage exchange writing parquet
+    shards, small batch sizes so payload × batch × concurrency stays in
+    worker heap."""
+    import json as _json
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.exchange import hash_exchange
+    from kafka_connect_plugins_ray.stages.json_to_hex import JsonToHex
+    from kafka_connect_plugins_ray.stages.modify_partition import AssignPartition
+
+    n_rows, blob_mb = 96, 5
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(n_rows):
+        blob = "".join(chr(97 + c) for c in rng.randint(0, 26, 64)) \
+            * (blob_mb * 1024 * 1024 // 64)
+        rows.append(_json.dumps({"id": i, "blob": blob}))
+    t = pa.table({
+        "partition": pa.array([0] * n_rows, pa.int32()),
+        "offset": pa.array(range(n_rows), pa.int64()),
+        "ts": pa.nulls(n_rows, pa.int64()),
+        "key": pa.array([f"k{i}" for i in range(n_rows)], pa.string()),
+        "value": pa.array(rows, pa.string()),
+    })
+    in_bytes = sum(len(r) for r in rows)
+    out_dir = tempfile.mkdtemp(prefix="blob_bench_", dir=LAKE_DIR)
+
+    def write_shard(pid: int, tbl: pa.Table) -> int:
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{pid:05d}.parquet"))
+        return tbl.num_rows
+
+    t0 = time.perf_counter()
+    # pre-sliced blocks instead of repartition(): an all-to-all on 0.5 GB
+    # costs a full extra copy at this host's throttled memory bandwidth
+    ds = rd.from_arrow([t.slice(i, 6) for i in range(0, n_rows, 6)])
+    ds = ds.map_batches(JsonToHex(), batch_format="pyarrow", batch_size=4)
+    ds = ds.map_batches(AssignPartition(["key"], 8), batch_format="pyarrow",
+                        batch_size=4)
+    total = sum(hash_exchange(ds, "partition_id", 8, write_shard))
+    wall = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "blob_5mb_hex_exchange_wall_sec",
+        "value": round(wall, 3), "unit": "sec", "rows": total,
+        "input_mb": round(in_bytes / 1e6, 1),
+        "hex_output_mb": round(2 * in_bytes / 1e6, 1),
+        "mb_per_sec": round(in_bytes / 1e6 / wall, 1),
+        "num_cpus": NUM_CPUS,
+    }))
+
+
+def run_endurance() -> None:
+    """10M-event ingest endurance; GRAFT_P selects the lake partition
+    count (4096 exercises the hierarchical sqrt(P) exchange end-to-end)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kafka_connect_plugins_ray.pipelines.cdc_full import full_cdc_ingest
+    from kafka_connect_plugins_ray.sources.binlog import binlog_from_documents
+
+    P = int(os.environ.get("GRAFT_P", "64"))
+    rounds = int(os.environ.get("GRAFT_BINLOG_ROUNDS", "2000"))
+    n_events = binlog_from_documents(SF_DIR, rounds=rounds).count()
+    lake = tempfile.mkdtemp(prefix="endurance_lake_", dir=LAKE_DIR)
+    t0 = time.perf_counter()
+    m = full_cdc_ingest(lake, SF_DIR, rounds=rounds, num_partitions=P)
+    wall = time.perf_counter() - t0
+    state_rows = sum(p["rows"] for p in m.partitions.values())
+    shutil.rmtree(lake, ignore_errors=True)
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "endurance_ingest_wall_sec", "value": round(wall, 3),
+        "unit": "sec", "events": n_events, "num_partitions": P,
+        "events_per_sec": round(n_events / wall, 1),
+        "state_rows": state_rows, "high_water_lsn": m.high_water_lsn,
+        "num_cpus": NUM_CPUS,
+    }))
 
 
 def run_stats() -> None:
@@ -241,6 +346,10 @@ def main():
         }))
     elif "--stats" in sys.argv:
         run_stats()
+    elif "--blob" in sys.argv:
+        run_blob()
+    elif "--endurance" in sys.argv:
+        run_endurance()
     elif "--headline-only" in sys.argv:
         r = run_bench(headline_only=True)
         print(json.dumps(r))

@@ -234,10 +234,14 @@ class FakeFeatureExtractor:
             pa.field("embedding", pa.list_(pa.float32())), embs)
 
 
-def decode_documents(docs: "rd.Dataset", *, batch_size: int = 256,
-                     concurrency=(1, 4)) -> "rd.Dataset":
+def decode_documents(docs: "rd.Dataset", *, batch_size: int = 1024,
+                     concurrency=(2, 8)) -> "rd.Dataset":
     """documents → BMP container payload → actor-pool decode → flattened
-    metadata."""
+    metadata.
+
+    batch_size is tuned for KB-scale payloads (this corpus); multi-MB
+    image/video payloads need batch_size small enough that payload ×
+    batch × concurrency fits the worker heap — both knobs are exposed."""
     with_payload = docs.map_batches(attach_payload, batch_format="pyarrow")
     decoded = with_payload.map_batches(
         BmpDecoder, batch_format="pyarrow",
