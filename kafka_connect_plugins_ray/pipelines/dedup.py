@@ -81,29 +81,61 @@ class MinHasher:
         prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return prod.min(axis=1)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # all docs' shingles concatenated once; per-permutation min via
-        # reduceat over doc boundaries (vectorized across the whole batch,
-        # memory bounded to one permutation row at a time)
-        shingle_sets = [
-            _word_shingles(_tokenize(text), self.shingle_k,
-                           memo=self._shingle_memo)
-            for text in batch["text"].astype(str)
-        ]
-        counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
-        nonempty = counts > 0
+    def _shingle_hashes(self, texts: pd.Series):
+        """Vectorized shingle hashing for the whole batch: ONE polars
+        xxhash call over every token, then each k-token shingle's hash is
+        a murmur-chain mix of its k consecutive token hashes (no
+        per-shingle Python, no string joins).  MinHash over the resulting
+        multiset equals MinHash over the set — duplicates never change a
+        min.  Docs with 0 < tokens < k get one shingle mixing all their
+        tokens (mirrors the joined-tokens fallback).  Returns (flat shingle
+        hashes, shingle count per doc)."""
+        k = self.shingle_k
+        tok_lists = texts.str.split()
+        counts = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
         total = int(counts.sum())
+        sh_counts = np.where(counts >= k, counts - k + 1,
+                             (counts > 0).astype(np.int64))
         if total == 0:
-            out = batch[["doc_id"]].copy()
+            return np.empty(0, dtype=np.uint64), sh_counts
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            if toks:
+                flat[pos:pos + len(toks)] = toks
+                pos += len(toks)
+        h = hash64_column(pa.array(flat, pa.string()))
+        doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # rolling k-window mix over the flat array; a window starting at
+        # global i is valid iff it stays inside its doc
+        if total >= k:
+            win = mix_columns_u64([h[j:total - k + 1 + j] for j in range(k)])
+        else:
+            win = np.empty(0, dtype=np.uint64)
+        out = np.empty(int(sh_counts.sum()), dtype=np.uint64)
+        opos = 0
+        for d in np.nonzero(sh_counts)[0]:
+            c, s = counts[d], doc_start[d]
+            if c >= k:
+                n_w = c - k + 1
+                out[opos:opos + n_w] = win[s:s + n_w]
+                opos += n_w
+            else:  # short doc: one shingle mixing all its tokens
+                out[opos] = mix_columns_u64(
+                    [h[s + j:s + j + 1] for j in range(c)])[0]
+                opos += 1
+        return out, sh_counts
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # all docs' shingle hashes concatenated once; per-permutation min
+        # via reduceat over doc boundaries (vectorized across the whole
+        # batch, memory bounded to one permutation row at a time)
+        x, counts = self._shingle_hashes(batch["text"].astype(str))
+        nonempty = counts > 0
+        out = batch[["doc_id"]].copy()
+        if x.size == 0:
             out["sig"] = [self.signature(set()).tobytes()] * len(batch)
             return out
-        x = np.empty(total, dtype=np.uint64)
-        pos = 0
-        for s in shingle_sets:
-            if s:
-                x[pos:pos + len(s)] = np.fromiter(s, dtype=np.uint64,
-                                                  count=len(s))
-                pos += len(s)
         starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
         sigs = np.full((len(batch), self.num_perm),
                        np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -111,7 +143,6 @@ class MinHasher:
         for j in range(self.num_perm):
             hj = (self.a[j] * x + self.b[j]) % _MERSENNE
             sigs[ne_rows, j] = np.minimum.reduceat(hj, starts)
-        out = batch[["doc_id"]].copy()
         out["sig"] = [row.tobytes() for row in sigs]
         return out
 

@@ -474,3 +474,27 @@ def test_minhash_dedup_keep_distributed_cc():
     kept = minhash_dedup_keep(ds, distributed_cc=True)
     ids = sorted(kept.to_pandas()["doc_id"].tolist())
     assert ids == [0, 3, 4]  # near-dup cluster {0,1,2} -> keep 0
+
+
+def test_simhash_degenerate_boilerplate_corpus_bounded():
+    # one boilerplate class: identical docs collapse to one signature in
+    # every band; the bucket cap must skip the O(n^2) blowup, log it, and
+    # still complete quickly
+    import time
+    from kafka_connect_plugins_ray.pipelines.dedup import simhash_near_dups
+    big = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(10_000), pa.int64()),
+        "text": pa.array(["identical boilerplate text"] * 10_000),
+    })).repartition(4)
+    t0 = time.time()
+    pairs = simhash_near_dups(big, max_bucket_size=500)
+    assert time.time() - t0 < 30  # bounded, not quadratic
+    assert pairs.num_rows == 0    # all buckets oversized -> skipped+logged
+    # and a mixed corpus where only the small cluster survives the cap
+    mixed = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000), pa.int64()),
+        "text": pa.array(["same filler"] * 998 + [BASE, BASE]),
+    }))
+    pairs = simhash_near_dups(mixed, max_bucket_size=100)
+    got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    assert (998, 999) in got
