@@ -476,19 +476,15 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
     return pa.concat_tables(parts)
 
 
-def filter_pairs_identical_text(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table:
-    """Keep only candidate pairs whose two texts are byte-identical,
-    verified against the corpus.  The gather is bounded by the candidate
-    set (broadcast id membership filter, distributed scan, small driver
-    result) — this is the hard-verification step that turns probabilistic
-    LSH output into an exactly-checkable subset (the SQL oracle derives
-    the same pairs with a self-join on text equality)."""
+def gather_texts(docs: "rd.Dataset", ids: np.ndarray) -> dict[int, str]:
+    """Fetch the texts of a bounded id set from the corpus: broadcast id
+    membership filter, distributed scan, small driver-side result (bounded
+    by len(ids), never the corpus)."""
     import ray
 
-    if pairs.num_rows == 0:
-        return pairs
-    ids = np.unique(np.concatenate([
-        pairs.column("doc_a").to_numpy(), pairs.column("doc_b").to_numpy()]))
+    ids = np.unique(np.asarray(ids, dtype=np.int64))
+    if ids.size == 0:
+        return {}
     ref = ray.put(ids)
 
     def gather(t: pa.Table) -> pa.Table:
@@ -499,10 +495,24 @@ def filter_pairs_identical_text(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table
 
     shards = [ray.get(r) for r in
               docs.map_batches(gather, batch_format="pyarrow").to_arrow_refs()]
-    small = pa.concat_tables([s for s in shards if s.num_rows],
-                             promote_options="permissive")
-    texts = dict(zip(small.column("doc_id").to_pylist(),
-                     small.column("text").to_pylist()))
+    live = [s for s in shards if s.num_rows]
+    if not live:
+        return {}
+    small = pa.concat_tables(live, promote_options="permissive")
+    return dict(zip(small.column("doc_id").to_pylist(),
+                    small.column("text").to_pylist()))
+
+
+def filter_pairs_identical_text(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table:
+    """Keep only candidate pairs whose two texts are byte-identical,
+    verified against the corpus.  The gather is bounded by the candidate
+    set — this is the hard-verification step that turns probabilistic
+    LSH output into an exactly-checkable subset (the SQL oracle derives
+    the same pairs with a self-join on text equality)."""
+    if pairs.num_rows == 0:
+        return pairs
+    texts = gather_texts(docs, np.concatenate([
+        pairs.column("doc_a").to_numpy(), pairs.column("doc_b").to_numpy()]))
     mask = [texts.get(a) is not None and texts.get(a) == texts.get(b)
             for a, b in zip(pairs.column("doc_a").to_pylist(),
                             pairs.column("doc_b").to_pylist())]

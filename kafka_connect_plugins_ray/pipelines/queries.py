@@ -983,6 +983,150 @@ WHERE hash(doc_id) < 3689348814741910323::UBIGINT
 """
 
 
+def q_lake_partition_stats(sf_dir: str) -> pa.Table:
+    """End-to-end lineage gate: run the flagship CDC ingest, then emit the
+    MANIFEST's per-partition surviving row counts.  The oracle recomputes
+    them from scratch in SQL — including the crc32(repo‖0x1f‖path) % 32
+    routing via the recursive-CTE CRC — so one row-set compare covers
+    binlog construction, LWW dedup, delete handling, partition routing,
+    the COW merge, and the lineage metadata the manifest records."""
+    lake = tempfile.mkdtemp(prefix="kcp_lake_stats_")
+    m = ingest(lake, binlog_from_documents(sf_dir))
+    pids = sorted(p for p, info in m.partitions.items() if info["rows"] > 0)
+    return pa.table({
+        "partition_id": pa.array(pids, pa.int32()),
+        "n_rows": pa.array([m.partitions[p]["rows"] for p in pids],
+                           pa.int64()),
+    })
+
+
+LAKE_PARTITION_STATS_ORACLE = """
+WITH RECURSIVE tabstep AS (
+  SELECT range AS i, range::UBIGINT AS c, 0 AS k FROM range(256)
+  UNION ALL
+  SELECT i,
+         CASE WHEN c % 2 = 1 THEN xor(c >> 1, 3988292384::UBIGINT)
+              ELSE c >> 1 END,
+         k + 1
+  FROM tabstep WHERE k < 8
+),
+crctab AS (SELECT i, c FROM tabstep WHERE k = 8),
+input AS (
+  SELECT 'repo-' || (doc_id % 50) || chr(31) || 'src/doc_' || doc_id
+         || '.txt' AS key
+  FROM documents WHERE doc_id % 17 <> 0
+),
+walk AS (
+  SELECT key, 0 AS pos, 4294967295::UBIGINT AS crc FROM input
+  UNION ALL
+  SELECT w.key, w.pos + 1,
+         xor(w.crc >> 8,
+             (SELECT c FROM crctab
+              WHERE i = xor(w.crc & 255,
+                            ord(substr(w.key, w.pos + 1, 1))::UBIGINT)))
+  FROM walk w WHERE w.pos < length(w.key)
+)
+SELECT CAST(xor(crc, 4294967295::UBIGINT) % 32 AS INTEGER) AS partition_id,
+       count(*) AS n_rows
+FROM walk WHERE pos = length(key)
+GROUP BY 1
+"""
+
+
+def q_quality_filter(sf_dir: str) -> "rd.Dataset":
+    """Quality-gated corpus filtering — the training-data shape: score
+    each doc (vectorized) and keep only docs passing the thresholds."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = docs.map_batches(QualityScore(), batch_format="pandas")
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.less_equal(t["punct_ratio"], 0.05),
+                       pc.greater_equal(t["n_tokens"], 30))
+        return t.filter(mask).select(["doc_id", "n_tokens", "punct_ratio"])
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
+# QUALITY_FILTER_ORACLE is defined after TEXT_QUALITY_ORACLE (below),
+# which it wraps with the threshold predicate.
+
+
+def q_sample_stratified(sf_dir: str) -> "rd.Dataset":
+    """Per-language stratified hash-deterministic sampling: 50% of 'en'
+    docs, 10% of everything else — the per-group rate pattern a training
+    mix needs, content-stable and fully vectorized."""
+    from ..functions.vhash import murmur64
+
+    thr_en = np.uint64(9223372036854775808)   # 0.5 * 2^64
+    thr_other = np.uint64(1844674407370955161)  # floor(0.1 * 2^64)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = murmur64(t["doc_id"].to_numpy())
+        is_en = np.asarray(pc.equal(t["lang"], "en")).astype(bool)
+        thr = np.where(is_en, thr_en, thr_other)
+        return t.filter(pa.array(h < thr))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+SAMPLE_STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE hash(doc_id) < CASE WHEN lang = 'en'
+                          THEN 9223372036854775808::UBIGINT
+                          ELSE 1844674407370955161::UBIGINT END
+"""
+
+
+def q_dedup_jaccard(sf_dir: str) -> pa.Table:
+    """N-gram (word-shingle) Jaccard dedup: LSH candidates over corpus ∪
+    shifted-copy, exact shingle-Jaccard verification, keep only pairs at
+    jaccard == 1.0 — derivable in SQL as the text-equality pair set
+    (identical text ⟺ identical shingle set ⟺ jaccard 1.0; a
+    shingle-set collision for different texts would fail the oracle)."""
+    from .dedup import gather_texts, verify_jaccard
+
+    docs = _docs_with_copy(sf_dir)
+    pairs = minhash_lsh_pairs(docs)
+    texts = gather_texts(docs, np.concatenate([
+        pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]))
+    verified = verify_jaccard(pairs, texts)
+    exact = verified.filter(pc.equal(verified["jaccard"], 1.0))
+    return exact.select(["doc_a", "doc_b", "jaccard"])
+
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def q_top_terms(sf_dir: str) -> pa.Table:
+    from .text import top_terms_per_lang
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return top_terms_per_lang(docs, k=10)
+
+
+TOP_TERMS_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+r AS (SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tok) AS rn
+      FROM c)
+SELECT lang, tok, n FROM r WHERE rn <= 10
+"""
+
+
 def q_lang_id(sf_dir: str) -> "rd.Dataset":
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(LangId(), batch_format="pandas")
@@ -1034,6 +1178,11 @@ SELECT doc_id,
                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
          AS avg_token_len
 FROM documents
+"""
+
+QUALITY_FILTER_ORACLE = f"""
+SELECT doc_id, n_tokens, punct_ratio FROM ({TEXT_QUALITY_ORACLE})
+WHERE punct_ratio <= 0.05 AND n_tokens >= 30
 """
 
 
@@ -1193,6 +1342,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_lsh,
         "hll_distinct_users": q_hll_distinct,
         "sample_documents": q_sample,
+        "sample_stratified": q_sample_stratified,
+        "lake_partition_stats": q_lake_partition_stats,
+        "quality_filter": q_quality_filter,
+        "dedup_jaccard": q_dedup_jaccard,
+        "top_terms_per_lang": q_top_terms,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
@@ -1241,6 +1395,11 @@ def build_oracles() -> dict[str, str]:
         "dedup_embedding_cosine_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
         "hll_distinct_users": HLL_ORACLE,
         "sample_documents": SAMPLE_ORACLE,
+        "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
+        "lake_partition_stats": LAKE_PARTITION_STATS_ORACLE,
+        "quality_filter": QUALITY_FILTER_ORACLE,
+        "dedup_jaccard": DEDUP_JACCARD_ORACLE,
+        "top_terms_per_lang": TOP_TERMS_ORACLE,
         "lang_id": LANG_ID_ORACLE,
         "text_quality": TEXT_QUALITY_ORACLE,
         "token_count": TOKEN_COUNT_ORACLE,

@@ -158,6 +158,58 @@ def winnow_equal_pairs(docs, num_buckets: int = 32,
     return pa.concat_tables(shards)
 
 
+def top_terms_per_lang(docs, k: int = 10, num_buckets: int = 32) -> pa.Table:
+    """Exact top-k tokens per language — the canonical wide-aggregation +
+    top-k shape: per-batch partial (explode tokens, count per (lang, tok))
+    → hash exchange on token (every (lang, tok) group lives wholly in one
+    bucket) → per-bucket exact counts and per-bucket per-lang top-k →
+    driver merges B small top-k lists into the global exact top-k.  The
+    full term dictionary never reaches the driver."""
+    from ..exchange import hash_exchange
+    from ..functions.vhash import hash64_column
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        toks = text.str.split()
+        counts = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        flat: list[str] = []
+        for t in toks:
+            if t:
+                flat.extend(t)
+        lang = np.repeat(batch["lang"].to_numpy(), counts)
+        df = pd.DataFrame({"lang": lang, "tok": flat})
+        g = df.groupby(["lang", "tok"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = pd.Series(
+            (hash64_column(pa.array(g["tok"], pa.string())) % num_buckets)
+            .astype(np.int32), dtype="int32")
+        return g
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        df = t.to_pandas()
+        g = df.groupby(["lang", "tok"], as_index=False)["n"].sum()
+        g = g.sort_values(["lang", "n", "tok"],
+                          ascending=[True, False, True])
+        top = g.groupby("lang", sort=False).head(k)
+        if top.empty:
+            return None
+        return pa.Table.from_pandas(top.reset_index(drop=True),
+                                    preserve_index=False)
+
+    shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "tok": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    allc = pa.concat_tables(shards).to_pandas()
+    allc = allc.sort_values(["lang", "n", "tok"], ascending=[True, False, True])
+    top = allc.groupby("lang", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
     text = batch["text"].astype(str)
     out = batch[["doc_id"]].copy()
