@@ -73,6 +73,32 @@ def cdc_full_state(sf_dir: str) -> "rd.Dataset":
     return read_lake(lake)
 
 
+def cdc_incremental_state(sf_dir: str) -> "rd.Dataset":
+    """Two ingest cycles into ONE lake — the base binlog, then a later
+    segment (rounds=1, offset lsn space) — and read the final state.  The
+    high-water resume filter, the pinned partition routing, and the COW
+    carry-forward all participate; the oracle expresses the LWW winner
+    across both segments directly (the later segment's top seq per key is
+    doc_id%3 + 1)."""
+    lake = tempfile.mkdtemp(prefix="kcp_lake_incr_")
+    ingest(lake, binlog_from_documents(sf_dir))
+    ingest(lake, binlog_from_documents(sf_dir, rounds=1, base_lsn=100_000))
+    return read_lake(lake)
+
+
+CDC_INCREMENTAL_ORACLE = """
+SELECT 'repo-' || (doc_id % 50) AS repo,
+       'src/doc_' || doc_id || '.txt' AS path,
+       printf('c%06d-', (doc_id % 3 + 1)::INT)
+         || substr(md5(doc_id || ':' || (doc_id % 3 + 1)), 1, 8) AS commit,
+       lang,
+       text || '#v' || (doc_id % 3 + 1) AS content,
+       100000 + doc_id * 5 + (doc_id % 3 + 1) AS lsn
+FROM documents
+WHERE doc_id % 17 <> 0
+"""
+
+
 CDC_ORACLE = """
 SELECT 'repo-' || (doc_id % 50) AS repo,
        'src/doc_' || doc_id || '.txt' AS path,
@@ -1314,6 +1340,7 @@ FROM x GROUP BY 1, 2
 def build_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_state": cdc_lww_state,
+        "cdc_incremental_state": cdc_incremental_state,
         "cdc_full_state": cdc_full_state,
         "cdc_content_sha": cdc_content_sha,
         "unquote_key": q_unquote_key,
@@ -1367,6 +1394,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 def build_oracles() -> dict[str, str]:
     return {
         "cdc_lww_state": CDC_ORACLE,
+        "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
         "cdc_full_state": CDC_ORACLE,
         "cdc_content_sha": CDC_CONTENT_SHA_ORACLE,
         "unquote_key": UNQUOTE_ORACLE,
