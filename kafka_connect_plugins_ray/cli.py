@@ -61,6 +61,18 @@ def main(argv: "list[str] | None" = None) -> int:
     pr.add_argument("--lake", required=True)
     pr.add_argument("--partitions", type=int, required=True)
 
+    pt = sub.add_parser(
+        "transform",
+        help="apply a Connect-style SMT chain to parquet (standalone — "
+             "the drop-in workflow for a reference connector config)")
+    pt.add_argument("--input", required=True, help="input parquet file/dir")
+    pt.add_argument("--output", required=True, help="output directory")
+    pt.add_argument("--config", required=True,
+                    help="Connect-style transform-chain JSON "
+                         "(transforms=A,B + transforms.A.type=...; "
+                         "reference Kotlin class names accepted; "
+                         "${env:}/${file:} providers resolved)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "show":
@@ -124,6 +136,25 @@ def main(argv: "list[str] | None" = None) -> int:
             m = repartition_lake(args.lake, args.partitions)
             print(json.dumps({"version": m.version,
                               "num_partitions": m.num_partitions}))
+        elif args.cmd == "transform":
+            import ray.data as rd
+
+            from .config import build_chain, resolve_config_providers
+
+            with open(args.config) as f:
+                cfg = resolve_config_providers(json.load(f))
+            chain = build_chain(cfg)
+            ds = rd.read_parquet(args.input)
+            ds.map_batches(chain, batch_format="pyarrow") \
+                .write_parquet(args.output)
+            # row count from the written footers (no second execution)
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            n = sum(pq.ParquetFile(f).metadata.num_rows
+                    for f in _glob.glob(f"{args.output}/*.parquet"))
+            print(json.dumps({"rows": n, "output": args.output}))
     finally:
         if owns_session:
             ray.shutdown()

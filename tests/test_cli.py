@@ -75,3 +75,33 @@ def test_cli_full_and_config_mutually_exclusive(tmp_path):
     with pytest.raises(SystemExit):
         main(["ingest", "--lake", str(tmp_path / "x"), "--full",
               "--config", str(cfg)])
+
+
+def test_cli_transform_standalone(tmp_path, capsys):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_plugins_ray.cli import main
+
+    src = tmp_path / "in.parquet"
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "key": pa.array(['"a"', '"b', "c"], pa.string()),
+    }), src)
+    cfg = tmp_path / "chain.json"
+    cfg.write_text(_json.dumps({
+        "transforms": "unquote",
+        "transforms.unquote.type":
+            "com.cultureamp.kafka.connect.plugins.transforms.UnquoteRecordKey",
+    }))
+    out = tmp_path / "out"
+    assert main(["transform", "--input", str(src), "--output", str(out),
+                 "--config", str(cfg)]) == 0
+    res = _json.loads(capsys.readouterr().out)
+    assert res["rows"] == 3
+    import glob
+    t = pq.read_table(glob.glob(f"{out}/*.parquet"))
+    got = dict(zip(t["event_id"].to_pylist(), t["key"].to_pylist()))
+    assert got == {1: "a", 2: '"b', 3: "c"}
