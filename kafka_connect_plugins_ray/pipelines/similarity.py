@@ -118,34 +118,55 @@ def knn_bruteforce(candidates: "rd.Dataset", query_ids: np.ndarray,
 
 
 class _HyperplaneHasher:
-    def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 11):
+    """Multi-table random-hyperplane hasher: ``n_tables`` independent
+    tables of ``n_planes`` sign bits each.  ``buckets`` returns a
+    (rows, n_tables) int64 code matrix; two vectors are candidates when
+    ANY table's codes match — recall for cosine θ is
+    1-(1-(1-acos(θ)/π)^planes)^tables."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 8, n_tables: int = 1,
+                 seed: int = 11):
         rng = np.random.RandomState(seed)
-        self.planes = rng.randn(n_planes, dim)
+        self.planes = rng.randn(n_tables, n_planes, dim)
+        self.n_tables = n_tables
 
     def bucket(self, m: np.ndarray) -> np.ndarray:
-        bits = (m @ self.planes.T) > 0
-        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+        """Single-table codes (table 0) — kept for bucketing pipelines
+        that exchange on one code per row."""
+        return self.buckets(m)[:, 0]
+
+    def buckets(self, m: np.ndarray) -> np.ndarray:
+        weights = 1 << np.arange(self.planes.shape[1])
+        out = np.empty((m.shape[0], self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (m @ self.planes[t].T) > 0
+            out[:, t] = (bits * weights).sum(axis=1)
+        return out
 
 
 def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
-            query_matrix: np.ndarray, k: int = 5, n_planes: int = 8) -> "rd.Dataset":
-    """Approximate top-k: only candidates whose hyperplane bucket matches a
-    query's bucket are scored.  At scale this is the IVF-ish path: bucket
-    assignment is one pass, probing touches ~1/2^planes of the corpus."""
-    hasher = _HyperplaneHasher(dim=query_matrix.shape[1], n_planes=n_planes)
-    qbuckets = hasher.bucket(query_matrix.astype(np.float64))
+            query_matrix: np.ndarray, k: int = 5, n_planes: int = 8,
+            n_tables: int = 8) -> "rd.Dataset":
+    """Approximate top-k: only candidates sharing a hyperplane bucket with
+    the query in AT LEAST ONE of ``n_tables`` tables are scored (OR-
+    amplified LSH — single-table probing recalls too little for real
+    top-k).  At scale this is the IVF-ish path: bucket assignment is one
+    pass, probing touches ~n_tables/2^planes of the corpus."""
+    hasher = _HyperplaneHasher(dim=query_matrix.shape[1], n_planes=n_planes,
+                               n_tables=n_tables)
+    qbuckets = hasher.buckets(query_matrix.astype(np.float64))
     side = Broadcast((query_ids, query_matrix, qbuckets))
 
     def bucket_topk(batch: pd.DataFrame) -> pd.DataFrame:
         qids, q, qb_all = side.get()
         qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         c = _to_matrix(batch["embedding"])
-        cb = hasher.bucket(c)
+        cb = hasher.buckets(c)
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
         frames = []
         ids = batch["vec_id"].to_numpy()
-        for qi, (qid, qb) in enumerate(zip(qids, qb_all)):
-            mask = cb == qb
+        for qi, qid in enumerate(qids):
+            mask = (cb == qb_all[qi][None, :]).any(axis=1)
             if not mask.any():
                 continue
             sims = (qn[qi:qi + 1] @ cn[mask].T)

@@ -104,9 +104,12 @@ def test_knn_lsh_subset_of_bruteforce_scores():
     for r in lsh.to_pylist():
         per_q_counts[r["query_id"]] = per_q_counts.get(r["query_id"], 0) + 1
     assert all(v <= 5 for v in per_q_counts.values())
-    # approximate recall exists: at least the self-match survives bucketing
+    # multi-table OR-amplification: decent recall vs brute force, and
+    # every query's self-match survives bucketing (identical vector
+    # matches every table)
     lq = {(r["query_id"], r["neighbor_id"]) for r in lsh.to_pylist()}
-    assert any((q, 10 + q) in lq for q in qids)
+    assert all((q, 10 + q) in lq for q in qids)
+    assert len(lq & bq) / len(bq) >= 0.5
 
 
 def test_multimodal_real_bmp_decode():
