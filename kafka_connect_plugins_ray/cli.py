@@ -141,6 +141,14 @@ def main(argv: "list[str] | None" = None) -> int:
 
             from .config import build_chain, resolve_config_providers
 
+            import glob as _pre_glob
+            import os as _os
+
+            if (_os.path.isdir(args.output)
+                    and _pre_glob.glob(f"{args.output}/*.parquet")):
+                raise SystemExit(
+                    f"output dir {args.output} already contains parquet — "
+                    "refusing to mix runs (row counts would be wrong)")
             with open(args.config) as f:
                 cfg = resolve_config_providers(json.load(f))
             chain = build_chain(cfg)

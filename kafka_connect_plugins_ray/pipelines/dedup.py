@@ -32,27 +32,15 @@ def _tokenize(text: str) -> list[str]:
     return text.split()
 
 
-def _word_shingles(tokens: list[str], k: int = 3,
-                   memo: "dict[str, int] | None" = None) -> set[int]:
-    """Hash k-token shingles; ``memo`` caches shingle->hash across docs
-    (corpus vocabulary repeats heavily, so hits dominate at scale)."""
+def _word_shingles(tokens: list[str], k: int = 3) -> set[int]:
+    """Exact k-token shingle hash set — used by ``verify_jaccard``'s
+    driver-side exact-Jaccard check (the signature hot path uses the
+    vectorized ``MinHasher._shingle_hashes`` instead)."""
     if len(tokens) < k:
         joined = " ".join(tokens)
         return {hash64(joined)} if joined else set()
-    if memo is None:
-        return {hash64(" ".join(tokens[i:i + k]))
-                for i in range(len(tokens) - k + 1)}
-    out = set()
-    get = memo.get
-    for i in range(len(tokens) - k + 1):
-        s = " ".join(tokens[i:i + k])
-        h = get(s)
-        if h is None:
-            h = hash64(s)
-            if len(memo) < 2_000_000:  # bound per-actor memory
-                memo[s] = h
-        out.add(h)
-    return out
+    return {hash64(" ".join(tokens[i:i + k]))
+            for i in range(len(tokens) - k + 1)}
 
 
 def hash64(s: str) -> int:
@@ -68,7 +56,6 @@ class MinHasher:
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
-        self._shingle_memo: dict[str, int] = {}
 
     def signature(self, shingles: set[int]) -> np.ndarray:
         if not shingles:
@@ -169,7 +156,9 @@ class BandExplode:
         m = np.frombuffer(b"".join(sigs), dtype=np.uint64).reshape(n, -1)
         num_perm = m.shape[1]
         rows = num_perm // self.num_bands
-        bands = m.reshape(n, self.num_bands, rows)
+        # mirror the old slicing semantics: trailing perms beyond
+        # rows*num_bands are dropped when num_perm isn't divisible
+        bands = m[:, :rows * self.num_bands].reshape(n, self.num_bands, rows)
         # (docs*bands,) hash of each band's row values; salt with band_id so
         # identical values in different bands never collide into one bucket
         flat = bands.reshape(n * self.num_bands, rows)
@@ -586,7 +575,24 @@ class SimHasher:
     batch: all docs' tokens are hashed in one polars xxhash call, bit
     scores accumulate via np.add.reduceat over doc boundaries, and the
     sign→bit packing is one matmul-style reduction — no per-doc Python
-    beyond the tokenizer split."""
+    beyond the tokenizer split.  The (tokens, 64) bit matrix is the
+    transient: the batch is processed in doc slices of ≤ MAX_TOKENS
+    tokens so it stays ≲ 128 MB regardless of document lengths."""
+
+    MAX_TOKENS = 1 << 18
+
+    @staticmethod
+    def _sigs_for(hs: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Signatures for one doc slice: hs = token hashes (concatenated),
+        counts = tokens per doc (all > 0)."""
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        sums = np.add.reduceat(bits, starts, axis=0)
+        score = sums * 2 - counts[:, None]
+        return ((score > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].astype(str)
@@ -603,17 +609,19 @@ class SimHasher:
                     flat[pos:pos + len(toks)] = toks
                     pos += len(toks)
             hs = hash64_column(pa.array(flat, pa.string()))
-            # bits: (tokens, 64) 0/1 -> per-doc column sums via reduceat
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            nonempty = counts > 0
-            starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
-            sums = np.add.reduceat(bits, starts, axis=0)
-            score = sums * 2 - counts[nonempty, None]
-            packed = ((score > 0).astype(np.uint64)
-                      << np.arange(64, dtype=np.uint64)[None, :]).sum(
-                axis=1, dtype=np.uint64)
-            sig[np.nonzero(nonempty)[0]] = packed
+            ne_rows = np.nonzero(counts > 0)[0]
+            ne_counts = counts[ne_rows]
+            ends = np.cumsum(ne_counts)
+            lo = 0
+            while lo < len(ne_rows):
+                # widest doc range whose tokens fit the transient budget
+                base = ends[lo - 1] if lo else 0
+                hi = int(np.searchsorted(ends, base + self.MAX_TOKENS,
+                                         side="right"))
+                hi = max(hi, lo + 1)  # always take >= 1 doc
+                sig[ne_rows[lo:hi]] = self._sigs_for(
+                    hs[base:ends[hi - 1]], ne_counts[lo:hi])
+                lo = hi
         out["simhash"] = pd.Series(sig.view(np.int64), dtype="int64")
         return out
 

@@ -30,6 +30,10 @@ import ray.data as rd
 
 BMP_HEADER_LEN = 54
 
+# max total container bytes per batch with int32 offsets; tests
+# monkeypatch this down to exercise the large_binary path on small data
+_SMALL_OFFSET_LIMIT = 2**31 - 1
+
 
 def _text_bytes(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
     out = pc.cast(col, pa.binary())
@@ -75,12 +79,23 @@ def attach_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
             parts.append(payloads[i])
     buf = b"".join(parts)
     out_lens = np.where(valid, BMP_HEADER_LEN + lens, 0)
-    offsets = np.zeros(n + 1, dtype=np.int32)
-    offsets[1:] = np.cumsum(out_lens).astype(np.int32)
+    off64 = np.zeros(n + 1, dtype=np.int64)
+    off64[1:] = np.cumsum(out_lens)
     validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
+    nulls = int((~valid).sum())
+    if off64[-1] > _SMALL_OFFSET_LIMIT:
+        # >2 GiB of container bytes in one batch: int32 offsets would wrap
+        # silently — promote to large_binary (BmpDecoder handles both)
+        payload = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [validity, pa.py_buffer(off64), pa.py_buffer(buf)],
+            null_count=nulls)
+        return batch.append_column(
+            pa.field("payload", pa.large_binary()), payload)
     payload = pa.BinaryArray.from_buffers(
-        pa.binary(), n, [validity, pa.py_buffer(offsets), pa.py_buffer(buf)],
-        null_count=int((~valid).sum()))
+        pa.binary(), n,
+        [validity, pa.py_buffer(off64.astype(np.int32)), pa.py_buffer(buf)],
+        null_count=nulls)
     return batch.append_column(pa.field("payload", pa.binary()), payload)
 
 
@@ -115,7 +130,9 @@ class BmpDecoder:
         n = len(col)
         valid = np.asarray(pc.is_valid(col))
         buffers = col.buffers()
-        offs = np.frombuffer(buffers[1], dtype=np.int32)[
+        off_dtype = (np.int64 if pa.types.is_large_binary(col.type)
+                     else np.int32)
+        offs = np.frombuffer(buffers[1], dtype=off_dtype)[
             col.offset: col.offset + n + 1].astype(np.int64)
         data = (np.frombuffer(buffers[2], dtype=np.uint8)
                 if buffers[2] is not None else np.empty(0, np.uint8))

@@ -80,9 +80,19 @@ def cdc_incremental_state(sf_dir: str) -> "rd.Dataset":
     carry-forward all participate; the oracle expresses the LWW winner
     across both segments directly (the later segment's top seq per key is
     doc_id%3 + 1)."""
+    import pyarrow.parquet as pq
+
     lake = tempfile.mkdtemp(prefix="kcp_lake_incr_")
-    ingest(lake, binlog_from_documents(sf_dir))
-    ingest(lake, binlog_from_documents(sf_dir, rounds=1, base_lsn=100_000))
+    m1 = ingest(lake, binlog_from_documents(sf_dir))
+    # segment 2's lsn base must (a) clear segment 1's high water at ANY
+    # fixture size (seg-1 lsn <= 4*max_doc + 3) and (b) be derivable in
+    # SQL as a constant — use 4*max(doc_id) + 4 on both sides
+    max_doc = pc.max(pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"])["doc_id"]).as_py()
+    base = 4 * max_doc + 4
+    assert base > m1.high_water_lsn
+    ingest(lake, binlog_from_documents(sf_dir, rounds=1, base_lsn=base))
     return read_lake(lake)
 
 
@@ -93,7 +103,8 @@ SELECT 'repo-' || (doc_id % 50) AS repo,
          || substr(md5(doc_id || ':' || (doc_id % 3 + 1)), 1, 8) AS commit,
        lang,
        text || '#v' || (doc_id % 3 + 1) AS content,
-       100000 + doc_id * 5 + (doc_id % 3 + 1) AS lsn
+       (SELECT max(doc_id) * 4 + 4 FROM documents)
+         + doc_id * 5 + (doc_id % 3 + 1) AS lsn
 FROM documents
 WHERE doc_id % 17 <> 0
 """
@@ -498,6 +509,12 @@ FROM walk WHERE pos = length(key)
 # one of them (identical text => identical signature => same buckets), and
 # the engine verifies candidate pairs down to that subset.  The fuzzy
 # (near-dup) margin stays covered by the planted-dup tests in pytest.
+#
+# Contract bound: the recall guarantee holds while every duplicate class
+# is smaller than the pipelines' max_bucket_size caps (2000 docs) — a
+# larger boilerplate class is skipped WITH A LOG by design (the oracle
+# itself would emit O(class²) pairs there).  Corpora with mega-classes
+# should run exact_dedup first; the caps are parameters.
 DUP_OFFSET = 1_000_000
 
 

@@ -130,11 +130,6 @@ class _HyperplaneHasher:
         self.planes = rng.randn(n_tables, n_planes, dim)
         self.n_tables = n_tables
 
-    def bucket(self, m: np.ndarray) -> np.ndarray:
-        """Single-table codes (table 0) — kept for bucketing pipelines
-        that exchange on one code per row."""
-        return self.buckets(m)[:, 0]
-
     def buckets(self, m: np.ndarray) -> np.ndarray:
         weights = 1 << np.arange(self.planes.shape[1])
         out = np.empty((m.shape[0], self.n_tables), dtype=np.int64)

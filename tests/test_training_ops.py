@@ -501,3 +501,17 @@ def test_simhash_degenerate_boilerplate_corpus_bounded():
     pairs = simhash_near_dups(mixed, max_bucket_size=100)
     got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
     assert (998, 999) in got
+
+
+def test_attach_payload_large_binary_path(monkeypatch):
+    from kafka_connect_plugins_ray.pipelines import multimodal as mm
+
+    monkeypatch.setattr(mm, "_SMALL_OFFSET_LIMIT", 16)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["abc", None], pa.string())})
+    out = mm.attach_payload(t)
+    assert pa.types.is_large_binary(out.column("payload").type)
+    decoded = mm.BmpDecoder()(out)  # int64 offsets parsed correctly
+    meta = decoded.column("media_meta").to_pylist()
+    assert meta[0]["width"] == 3 and meta[0]["n_frames"] == 4
+    assert meta[1] is None
