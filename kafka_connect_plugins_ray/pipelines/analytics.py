@@ -158,6 +158,114 @@ def events_hopping(sf_dir: str, hop_us: int = 1_800_000_000) -> pa.Table:
     return _round_cols(out, ["sum_value"])
 
 
+def events_hourly_distinct(sf_dir: str, num_buckets: int = 32) -> pa.Table:
+    """Windowed COUNT(DISTINCT user) per hour — the shape tree_aggregate
+    can't do (distinct isn't a sum): per-batch distinct (win, user) pairs
+    shrink each block, a hash exchange on the window co-locates each
+    window's pairs, and the per-window exact distinct count is computed in
+    its bucket.  Only distinct pairs ever shuffle."""
+    from ..exchange import hash_exchange
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        win = pc.divide(us, 3_600_000_000)
+        pairs = pa.table({"win": win, "user_id": t["user_id"]})
+        g = pairs.group_by(["win", "user_id"]).aggregate([])
+        bucket = (g.column("win").to_numpy() % num_buckets).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> pa.Table:
+        g = t.group_by(["win", "user_id"]).aggregate([])  # cross-block dedup
+        c = g.group_by("win").aggregate([("user_id", "count")])
+        return c.rename_columns(["win", "n_users"])
+
+    shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return pa.table({"win": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    return pa.concat_tables(shards)
+
+
+def shuffle_join_revenue(sf_dir: str, num_buckets: int = 32) -> pa.Table:
+    """Large-to-large co-partitioned hash join: lineitem ⋈ orders on
+    orderkey through ONE exchange of both (tagged) sides, per-bucket
+    arrow join + partial aggregation, tiny final combine — the shape for
+    joins where neither side broadcasts.  Lineitem is pre-aggregated to
+    revenue-per-orderkey inside the map stage, so the exchange moves at
+    most one row per orderkey per block per side."""
+    from ..exchange import hash_exchange
+
+    combine = _regroup(["o_orderpriority"], ["total_revenue", "n_items"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"key": t["l_orderkey"], "rev": rev,
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by("key").aggregate([("rev", "sum"), ("n", "sum")])
+        g = g.rename_columns(["key", "rev", "n"])
+        n = g.num_rows
+        bucket = (g.column("key").to_numpy() % num_buckets).astype(np.int32)
+        return pa.table({
+            "key": g["key"], "rev": g["rev"], "n": g["n"],
+            "priority": pa.nulls(n, pa.string()),
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        bucket = (t.column("o_orderkey").to_numpy()
+                  % num_buckets).astype(np.int32)
+        return pa.table({
+            "key": t["o_orderkey"],
+            "rev": pa.nulls(n, pa.float64()),
+            "n": pa.nulls(n, pa.int64()),
+            "priority": t["o_orderpriority"],
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    tagged = li.union(orders)
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        is_order = pc.is_valid(t["priority"])
+        o = t.filter(is_order)
+        f = t.filter(pc.invert(is_order))
+        if f.num_rows == 0 or o.num_rows == 0:
+            return None
+        okeys = o.column("key").to_numpy()
+        order = np.argsort(okeys)
+        okeys = okeys[order]
+        oprio = np.asarray(o.column("priority").to_pylist(),
+                           dtype=object)[order]
+        fk = f.column("key").to_numpy()
+        idx = np.clip(np.searchsorted(okeys, fk), 0, okeys.size - 1)
+        hit = okeys[idx] == fk  # inner join: drop fact rows with no order
+        j = pa.table({
+            "o_orderpriority": pa.array(oprio[idx[hit]], pa.string()),
+            "total_revenue": f.filter(pa.array(hit))["rev"],
+            "n_items": f.filter(pa.array(hit))["n"],
+        })
+        return combine(j)
+
+    shards = hash_exchange(tagged, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "total_revenue": pa.array([], pa.float64()),
+                         "n_items": pa.array([], pa.int64())})
+    out = combine(pa.concat_tables(shards))
+    return _round_cols(out, ["total_revenue"])
+
+
 def events_hourly(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour window aggregate per user (event-stream shape)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])

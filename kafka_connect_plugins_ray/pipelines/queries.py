@@ -1344,6 +1344,49 @@ SELECT user_id, epoch_us(ts) // 3600000000 AS win,
 FROM events GROUP BY 1, 2
 """
 
+EVENTS_HOURLY_DISTINCT_ORACLE = """
+SELECT epoch_us(ts) // 3600000000 AS win,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+SHUFFLE_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_price_quantiles(sf_dir: str) -> pa.Table:
+    """HDR-histogram quantile sketch over l_extendedprice (cents):
+    mergeable per-block bucket counts; deterministic integer bucket math
+    reproduced exactly by the oracle (no within-epsilon hedging)."""
+    from .sketches import hdr_quantiles
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return hdr_quantiles(ds, "l_extendedprice")
+
+
+PRICE_QUANTILES_ORACLE = """
+WITH src AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             FROM lineitem),
+r AS (
+  SELECT CASE WHEN c < 1024 THEN c
+              ELSE (c >> (length(printf('%b', c)) - 1 - 10))
+                   << (length(printf('%b', c)) - 1 - 10) END AS rep
+  FROM src WHERE c > 0
+),
+h AS (SELECT rep, count(*) AS n FROM r GROUP BY 1),
+cum AS (SELECT rep, sum(n) OVER (ORDER BY rep) AS cn,
+               sum(n) OVER () AS total FROM h),
+ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+SELECT p, (SELECT min(rep) FROM cum WHERE cn >= ceil(p * total)) AS rep
+FROM ps
+"""
+
+
 EVENTS_HOPPING_ORACLE = """
 WITH e AS (SELECT user_id, epoch_us(ts) // 1800000000 AS w0, value FROM events),
      x AS (SELECT user_id, w0 AS win, value FROM e
@@ -1405,6 +1448,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_stats": analytics.customer_order_stats,
         "events_hourly": analytics.events_hourly,
         "events_hopping": analytics.events_hopping,
+        "events_hourly_distinct": analytics.events_hourly_distinct,
+        "shuffle_join_revenue": analytics.shuffle_join_revenue,
+        "price_quantiles_hdr": q_price_quantiles,
     }
 
 
@@ -1459,4 +1505,7 @@ def build_oracles() -> dict[str, str]:
         "customer_order_stats": CUSTOMER_ORDER_ORACLE,
         "events_hourly": EVENTS_HOURLY_ORACLE,
         "events_hopping": EVENTS_HOPPING_ORACLE,
+        "events_hourly_distinct": EVENTS_HOURLY_DISTINCT_ORACLE,
+        "shuffle_join_revenue": SHUFFLE_JOIN_ORACLE,
+        "price_quantiles_hdr": PRICE_QUANTILES_ORACLE,
     }

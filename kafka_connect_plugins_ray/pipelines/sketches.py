@@ -103,6 +103,66 @@ def hll_distinct(ds, column: str, p: int = 12) -> float:
     return HLL.from_bytes(merged.column("sketch").to_pylist()[0]).estimate()
 
 
+HDR_MANTISSA_BITS = 10  # ~2^-10 relative bucket width above 2^10
+
+
+def _hdr_round_down(c: np.ndarray) -> np.ndarray:
+    """HDR-histogram bucketing over positive int64 values: keep the top
+    ``HDR_MANTISSA_BITS``+1 significant bits (round down).  All-integer
+    bit math, so the SQL oracle reproduces it EXACTLY (frexp's exponent on
+    an exactly-representable int equals DuckDB's printf('%b') length)."""
+    _, ex = np.frexp(c.astype(np.float64))  # ints < 2^53 are exact
+    shift = np.maximum(ex - 1 - HDR_MANTISSA_BITS, 0).astype(np.int64)
+    return (c >> shift) << shift
+
+
+def hdr_quantiles(ds, column: str, ps=(0.5, 0.9, 0.99),
+                  scale: int = 100) -> pa.Table:
+    """Mergeable quantile sketch (HdrHistogram-style, public algorithm):
+    values are scaled to positive ints, rounded down to their HDR bucket
+    representative (bounded relative error 2^-10), per-block (rep, count)
+    partials merge in the fan-in tree, and each p-quantile is the smallest
+    representative whose cumulative count reaches ceil(p·total).  Only
+    O(distinct buckets) rows ever move — ~2k buckets per decade of range
+    regardless of row count.  Deterministic, so the oracle matches it
+    bucket-for-bucket rather than within-epsilon."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.rint(x * scale).astype(np.int64)
+        c = c[c > 0]
+        if c.size == 0:
+            return pa.table({"rep": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        rep, n = np.unique(_hdr_round_down(c), return_counts=True)
+        return pa.table({"rep": pa.array(rep, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("rep").aggregate([("n", "sum")])
+        return g.rename_columns(["rep", "n"])
+
+    merged = tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                            combine)
+    if merged is None or merged.num_rows == 0:
+        return pa.table({"p": pa.array([], pa.float64()),
+                         "rep": pa.array([], pa.int64())})
+    rep = merged.column("rep").to_numpy()
+    n = merged.column("n").to_numpy()
+    order = np.argsort(rep)
+    rep, n = rep[order], n[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    out_p, out_rep = [], []
+    for p in ps:
+        target = float(np.ceil(p * total))  # same double math as SQL ceil
+        idx = int(np.searchsorted(cum, target))
+        out_p.append(float(p))
+        out_rep.append(int(rep[min(idx, len(rep) - 1)]))
+    return pa.table({"p": pa.array(out_p, pa.float64()),
+                     "rep": pa.array(out_rep, pa.int64())})
+
+
 def exact_distinct(ds, column: str, num_buckets: int = 32) -> int:
     """Exact COUNT(DISTINCT column) through the engine's own exchange:
     per-batch distinct (each block shrinks to its unique values) → hash
