@@ -122,6 +122,10 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("top_revenue_orders", Q.analytics.top_revenue_orders)
     consume("customer_order_stats", Q.analytics.customer_order_stats)
     consume("events_hourly", Q.analytics.events_hourly)
+    consume("events_hourly_distinct", Q.analytics.events_hourly_distinct)
+    consume("shuffle_join_revenue", Q.analytics.shuffle_join_revenue)
+    consume("price_quantiles_hdr", Q.q_price_quantiles)
+    consume("top_terms_per_lang", Q.q_top_terms)
     consume("dedup_exact", Q.q_dedup_exact)
     consume("dedup_minhash_lsh", Q.q_dedup_minhash)
     consume("dedup_simhash", Q.q_dedup_simhash)

@@ -110,6 +110,40 @@ WHERE doc_id % 17 <> 0
 """
 
 
+def cdc_schema_evolution(sf_dir: str) -> "rd.Dataset":
+    """Additive schema evolution mid-stream, driver-gated: segment 2
+    carries a NEW ``metadata`` column; the committed state must unify
+    schemas (old rows null-filled — though every key is rewritten here,
+    so the oracle pins metadata = 'm:' || winning commit for all
+    survivors)."""
+    import pyarrow.parquet as pq
+
+    lake = tempfile.mkdtemp(prefix="kcp_lake_evo_")
+    ingest(lake, binlog_from_documents(sf_dir))
+    max_doc = pc.max(pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"])["doc_id"]).as_py()
+    ingest(lake, binlog_from_documents(sf_dir, rounds=1, with_metadata=True,
+                                       base_lsn=4 * max_doc + 4))
+    return read_lake(lake)
+
+
+CDC_SCHEMA_EVOLUTION_ORACLE = """
+SELECT 'repo-' || (doc_id % 50) AS repo,
+       'src/doc_' || doc_id || '.txt' AS path,
+       printf('c%06d-', (doc_id % 3 + 1)::INT)
+         || substr(md5(doc_id || ':' || (doc_id % 3 + 1)), 1, 8) AS commit,
+       lang,
+       text || '#v' || (doc_id % 3 + 1) AS content,
+       (SELECT max(doc_id) * 4 + 4 FROM documents)
+         + doc_id * 5 + (doc_id % 3 + 1) AS lsn,
+       'm:' || printf('c%06d-', (doc_id % 3 + 1)::INT)
+         || substr(md5(doc_id || ':' || (doc_id % 3 + 1)), 1, 8) AS metadata
+FROM documents
+WHERE doc_id % 17 <> 0
+"""
+
+
 CDC_ORACLE = """
 SELECT 'repo-' || (doc_id % 50) AS repo,
        'src/doc_' || doc_id || '.txt' AS path,
@@ -1401,6 +1435,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_incremental_state": cdc_incremental_state,
+        "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_full_state": cdc_full_state,
         "cdc_content_sha": cdc_content_sha,
         "unquote_key": q_unquote_key,
@@ -1458,6 +1493,7 @@ def build_oracles() -> dict[str, str]:
     return {
         "cdc_lww_state": CDC_ORACLE,
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
+        "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,
         "cdc_full_state": CDC_ORACLE,
         "cdc_content_sha": CDC_CONTENT_SHA_ORACLE,
         "unquote_key": UNQUOTE_ORACLE,
