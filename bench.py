@@ -239,11 +239,13 @@ def run_endurance() -> None:
 
     P = int(os.environ.get("GRAFT_P", "64"))
     rounds = int(os.environ.get("GRAFT_BINLOG_ROUNDS", "2000"))
-    n_events = binlog_from_documents(SF_DIR, rounds=rounds).count()
     lake = tempfile.mkdtemp(prefix="endurance_lake_", dir=LAKE_DIR)
     t0 = time.perf_counter()
     m = full_cdc_ingest(lake, SF_DIR, rounds=rounds, num_partitions=P)
     wall = time.perf_counter() - t0
+    # total ingested events from the manifest lineage (input_rows tracks
+    # the full unreduced stream) — no separate counting pass
+    n_events = sum(p["input_rows"] for p in m.partitions.values())
     state_rows = sum(p["rows"] for p in m.partitions.values())
     shutil.rmtree(lake, ignore_errors=True)
     ray.shutdown()

@@ -515,3 +515,19 @@ def test_attach_payload_large_binary_path(monkeypatch):
     meta = decoded.column("media_meta").to_pylist()
     assert meta[0]["width"] == 3 and meta[0]["n_frames"] == 4
     assert meta[1] is None
+
+
+def test_hdr_quantiles_bounded_relative_error():
+    from kafka_connect_plugins_ray.pipelines.sketches import hdr_quantiles
+    rng = np.random.RandomState(17)
+    vals = np.exp(rng.randn(50_000) * 2 + 5)  # lognormal, wide range
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})) \
+        .repartition(8)
+    out = hdr_quantiles(ds, "x", ps=(0.5, 0.9, 0.99))
+    got = dict(zip(out["p"].to_pylist(), out["rep"].to_pylist()))
+    cents = np.rint(vals * 100).astype(np.int64)
+    cents = cents[cents > 0]
+    for p in (0.5, 0.9, 0.99):
+        exact = np.quantile(cents, p, method="inverted_cdf")
+        # bucket width is 2^-10 relative above 2^10 -> rep within ~0.2%
+        assert abs(got[p] - exact) / exact < 0.005, (p, got[p], exact)
