@@ -531,3 +531,21 @@ def test_hdr_quantiles_bounded_relative_error():
         exact = np.quantile(cents, p, method="inverted_cdf")
         # bucket width is 2^-10 relative above 2^10 -> rep within ~0.2%
         assert abs(got[p] - exact) / exact < 0.005, (p, got[p], exact)
+
+
+def test_murmur64_matches_duckdb_hash():
+    # the sample_documents / sample_stratified oracles depend on this
+    # byte-for-byte equivalence (including negatives: both sides wrap the
+    # int64 bit pattern into uint64 before the finalizer)
+    import duckdb
+    from kafka_connect_plugins_ray.functions.vhash import murmur64
+
+    vals = [0, 1, -1, 42, -42, 2**62, -(2**62), 123456789012345,
+            -(2**63), 2**63 - 1]
+    con = duckdb.connect()
+    got = dict(con.sql(
+        "SELECT v, hash(v) FROM (SELECT unnest(?::BIGINT[]) AS v)",
+        params=[vals]).fetchall())
+    ours = murmur64(np.array(vals, dtype=np.int64))
+    for v, o in zip(vals, ours):
+        assert got[v] % (1 << 64) == int(o)
