@@ -93,7 +93,7 @@ class Fingerprint:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].astype(str)
-        normalized = text.map(lambda s: WS_RE.sub(" ", s).lower())
+        normalized = text.str.replace(WS_RE, " ", regex=True).str.lower()
         out = batch[["doc_id"]].copy()
         out["fingerprint"] = normalized.map(
             lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()

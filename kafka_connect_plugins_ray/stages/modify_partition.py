@@ -29,18 +29,34 @@ KEY_SEP = "\x1f"
 
 
 def _last_with_name(headers: "pa.Array | pa.ChunkedArray", key: str) -> pa.Array:
-    """Kafka ``Headers.lastWithName`` over a map<string,string> column."""
+    """Kafka ``Headers.lastWithName`` over a map<string,string> column —
+    vectorized: flatten all entries once, locate each row's LAST matching
+    key via reduceat over the map offsets, gather the values."""
+    import numpy as np
+
     if isinstance(headers, pa.ChunkedArray):
         headers = headers.combine_chunks()
-    out = []
-    for entries in headers.to_pylist():
-        val = None
-        if entries:
-            for k, v in entries:
-                if k == key:
-                    val = v  # last occurrence wins
-        out.append(val)
-    return pa.array(out, type=pa.string())
+    n = len(headers)
+    keys = headers.keys        # flattened key array
+    items = headers.items      # flattened value array
+    offs = np.frombuffer(headers.buffers()[1], dtype=np.int32)[
+        headers.offset: headers.offset + n + 1].astype(np.int64)
+    if len(keys) == 0:
+        return pa.nulls(n, pa.string())
+    match = np.asarray(pc.equal(keys, key).fill_null(False))
+    # last matching flat position per row: max(pos * match) via reduceat
+    pos = np.arange(len(keys), dtype=np.int64) + 1  # 1-based; 0 = no match
+    scored = np.where(match, pos, 0)
+    starts = offs[:-1]
+    nonempty = offs[1:] > starts
+    best = np.zeros(n, dtype=np.int64)
+    if nonempty.any():
+        best[nonempty] = np.maximum.reduceat(scored, starts[nonempty])
+    has = best > 0
+    take_idx = np.where(has, best - 1, 0)
+    vals = pc.take(items, pa.array(take_idx, pa.int64()))
+    vals = pc.cast(vals, pa.string())
+    return pc.if_else(pa.array(has), vals, pa.nulls(n, pa.string()))
 
 
 class ModifyPartition:
