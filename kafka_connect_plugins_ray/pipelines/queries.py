@@ -1204,6 +1204,80 @@ SELECT lang, tok, n FROM r WHERE rn <= 10
 """
 
 
+def q_redact_numbers(sf_dir: str) -> "rd.Dataset":
+    """PII-style scrubbing: mask digit runs to '#' (vectorized pandas
+    regex kernel, mirrored 1:1 by regexp_replace)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch):
+        out = batch[["doc_id"]].copy()
+        out["text_redacted"] = batch["text"].astype(str).str.replace(
+            r"[0-9]+", "#", regex=True)
+        return out
+
+    return docs.map_batches(scrub, batch_format="pandas")
+
+
+REDACT_ORACLE = """
+SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS text_redacted
+FROM documents
+"""
+
+
+def q_corpus_prep(sf_dir: str) -> "rd.Dataset":
+    """The end-to-end training-data prep flow as ONE streaming pipeline:
+    quality gate → exact-dedup keep (engine's exchange-computed keep-set
+    broadcast into a vectorized anti-filter) → 50% hash-deterministic
+    sample → token count.  Every stage's predicate is SQL-mirrorable, so
+    the whole composition is driver-gated."""
+    import ray
+
+    from ..functions.vhash import murmur64
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    keep_t = exact_dedup(docs)
+    keep_ids = np.sort(keep_t.column("keep_doc_id").to_numpy())
+    keep_ref = ray.put(keep_ids)
+    thr = np.uint64(9223372036854775808)  # 0.5 * 2^64
+    scorer = QualityScore()
+
+    def prep(batch) -> "pa.Table":
+        scored = scorer(batch)
+        mask = ((scored["punct_ratio"] <= 0.05)
+                & (scored["n_tokens"] >= 30)).to_numpy()
+        ids = scored["doc_id"].to_numpy()
+        keep = ray.get(keep_ref)
+        idx = np.clip(np.searchsorted(keep, ids), 0, keep.size - 1)
+        mask &= keep[idx] == ids                    # exact-dedup keep set
+        mask &= murmur64(ids) < thr                 # 50% stable sample
+        kept = scored[mask]
+        return pa.table({
+            "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
+            "n_tokens": pa.array(kept["n_tokens"].to_numpy(), pa.int64()),
+        })
+
+    return docs.map_batches(prep, batch_format="pandas")
+
+
+# mirrors the composed predicates: quality thresholds, keep = min doc per
+# text class, hash(doc_id) < 0.5*2^64
+CORPUS_PREP_ORACLE = """
+WITH q AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens,
+         round(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+               / greatest(length(text), 1), 4) AS punct_ratio
+  FROM documents),
+k AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text)
+SELECT doc_id, n_tokens FROM q
+WHERE punct_ratio <= 0.05 AND n_tokens >= 30
+  AND doc_id IN (SELECT keep_id FROM k)
+  AND hash(doc_id) < 9223372036854775808::UBIGINT
+"""
+
+
 def q_lang_id(sf_dir: str) -> "rd.Dataset":
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(LangId(), batch_format="pandas")
@@ -1467,6 +1541,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q_sample_stratified,
         "lake_partition_stats": q_lake_partition_stats,
         "quality_filter": q_quality_filter,
+        "redact_numbers": q_redact_numbers,
+        "corpus_prep": q_corpus_prep,
         "dedup_jaccard": q_dedup_jaccard,
         "top_terms_per_lang": q_top_terms,
         "lang_id": q_lang_id,
@@ -1525,6 +1601,8 @@ def build_oracles() -> dict[str, str]:
         "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
         "lake_partition_stats": LAKE_PARTITION_STATS_ORACLE,
         "quality_filter": QUALITY_FILTER_ORACLE,
+        "redact_numbers": REDACT_ORACLE,
+        "corpus_prep": CORPUS_PREP_ORACLE,
         "dedup_jaccard": DEDUP_JACCARD_ORACLE,
         "top_terms_per_lang": TOP_TERMS_ORACLE,
         "lang_id": LANG_ID_ORACLE,
