@@ -243,9 +243,18 @@ def run_endurance() -> None:
     t0 = time.perf_counter()
     m = full_cdc_ingest(lake, SF_DIR, rounds=rounds, num_partitions=P)
     wall = time.perf_counter() - t0
-    # total ingested events from the manifest lineage (input_rows tracks
-    # the full unreduced stream) — no separate counting pass
-    n_events = sum(p["input_rows"] for p in m.partitions.values())
+    # independent analytic event count (binlog.py's expansion formula over
+    # the doc ids — no engine involvement, no expansion pass), cross-
+    # checked against the manifest lineage so the bench also VALIDATES the
+    # engine's input_rows bookkeeping
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    d = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id"])["doc_id"].to_numpy()
+    n_events = int((1 + d % 3 + rounds + (d % 17 == 0)).sum())
+    lineage_events = sum(p["input_rows"] for p in m.partitions.values())
+    assert lineage_events == n_events, (lineage_events, n_events)
     state_rows = sum(p["rows"] for p in m.partitions.values())
     shutil.rmtree(lake, ignore_errors=True)
     ray.shutdown()

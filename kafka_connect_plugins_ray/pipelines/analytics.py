@@ -170,6 +170,9 @@ def events_hourly_distinct(sf_dir: str, num_buckets: int = 32) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())
+        # truncating division, deliberately matching the oracle's `//`
+        # (both sides truncate; events testdata is post-1970 — see the
+        # floor_div_int note in CLAUDE.md for calendar-correct windows)
         win = pc.divide(us, 3_600_000_000)
         pairs = pa.table({"win": win, "user_id": t["user_id"]})
         g = pairs.group_by(["win", "user_id"]).aggregate([])

@@ -73,6 +73,25 @@ def cdc_full_state(sf_dir: str) -> "rd.Dataset":
     return read_lake(lake)
 
 
+def _two_segment_lake(sf_dir: str, with_metadata: bool = False) -> str:
+    """Base binlog ingest + a later rounds=1 segment into one lake.
+    Segment 2's lsn base must (a) clear segment 1's high water at ANY
+    fixture size (seg-1 lsn <= 4*max_doc + 3) and (b) be derivable in SQL
+    as a constant — 4*max(doc_id) + 4 on both sides."""
+    import pyarrow.parquet as pq
+
+    lake = tempfile.mkdtemp(prefix="kcp_lake_2seg_")
+    m1 = ingest(lake, binlog_from_documents(sf_dir))
+    max_doc = pc.max(pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"])["doc_id"]).as_py()
+    base = 4 * max_doc + 4
+    assert base > m1.high_water_lsn
+    ingest(lake, binlog_from_documents(sf_dir, rounds=1, base_lsn=base,
+                                       with_metadata=with_metadata))
+    return lake
+
+
 def cdc_incremental_state(sf_dir: str) -> "rd.Dataset":
     """Two ingest cycles into ONE lake — the base binlog, then a later
     segment (rounds=1, offset lsn space) — and read the final state.  The
@@ -80,20 +99,7 @@ def cdc_incremental_state(sf_dir: str) -> "rd.Dataset":
     carry-forward all participate; the oracle expresses the LWW winner
     across both segments directly (the later segment's top seq per key is
     doc_id%3 + 1)."""
-    import pyarrow.parquet as pq
-
-    lake = tempfile.mkdtemp(prefix="kcp_lake_incr_")
-    m1 = ingest(lake, binlog_from_documents(sf_dir))
-    # segment 2's lsn base must (a) clear segment 1's high water at ANY
-    # fixture size (seg-1 lsn <= 4*max_doc + 3) and (b) be derivable in
-    # SQL as a constant — use 4*max(doc_id) + 4 on both sides
-    max_doc = pc.max(pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id"])["doc_id"]).as_py()
-    base = 4 * max_doc + 4
-    assert base > m1.high_water_lsn
-    ingest(lake, binlog_from_documents(sf_dir, rounds=1, base_lsn=base))
-    return read_lake(lake)
+    return read_lake(_two_segment_lake(sf_dir))
 
 
 CDC_INCREMENTAL_ORACLE = """
@@ -116,16 +122,7 @@ def cdc_schema_evolution(sf_dir: str) -> "rd.Dataset":
     schemas (old rows null-filled — though every key is rewritten here,
     so the oracle pins metadata = 'm:' || winning commit for all
     survivors)."""
-    import pyarrow.parquet as pq
-
-    lake = tempfile.mkdtemp(prefix="kcp_lake_evo_")
-    ingest(lake, binlog_from_documents(sf_dir))
-    max_doc = pc.max(pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id"])["doc_id"]).as_py()
-    ingest(lake, binlog_from_documents(sf_dir, rounds=1, with_metadata=True,
-                                       base_lsn=4 * max_doc + 4))
-    return read_lake(lake)
+    return read_lake(_two_segment_lake(sf_dir, with_metadata=True))
 
 
 CDC_SCHEMA_EVOLUTION_ORACLE = """
@@ -1246,9 +1243,7 @@ def q_corpus_prep(sf_dir: str) -> "rd.Dataset":
         mask = ((scored["punct_ratio"] <= 0.05)
                 & (scored["n_tokens"] >= 30)).to_numpy()
         ids = scored["doc_id"].to_numpy()
-        keep = ray.get(keep_ref)
-        idx = np.clip(np.searchsorted(keep, ids), 0, keep.size - 1)
-        mask &= keep[idx] == ids                    # exact-dedup keep set
+        mask &= np.isin(ids, ray.get(keep_ref))     # exact-dedup keep set
         mask &= murmur64(ids) < thr                 # 50% stable sample
         kept = scored[mask]
         return pa.table({

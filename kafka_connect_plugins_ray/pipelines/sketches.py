@@ -129,7 +129,9 @@ def hdr_quantiles(ds, column: str, ps=(0.5, 0.9, 0.99),
 
     def partial(t: pa.Table) -> pa.Table:
         x = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
-        c = np.rint(x * scale).astype(np.int64)
+        # floor(x+0.5) = round half AWAY from zero for positives — matches
+        # DuckDB round() (negatives are filtered below on both sides)
+        c = np.floor(x * scale + 0.5).astype(np.int64)
         c = c[c > 0]
         if c.size == 0:
             return pa.table({"rep": pa.array([], pa.int64()),

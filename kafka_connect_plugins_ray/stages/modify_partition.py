@@ -44,15 +44,20 @@ def _last_with_name(headers: "pa.Array | pa.ChunkedArray", key: str) -> pa.Array
     if len(keys) == 0:
         return pa.nulls(n, pa.string())
     match = np.asarray(pc.equal(keys, key).fill_null(False))
-    # last matching flat position per row: max(pos * match) via reduceat
+    # last matching flat position per row: max(pos * match) via reduceat.
+    # Cap the flattened view at offs[-1]: a sliced MapArray's child extends
+    # past the last row's end, and the final reduceat segment would
+    # otherwise pick up matches belonging to rows outside this array.
     pos = np.arange(len(keys), dtype=np.int64) + 1  # 1-based; 0 = no match
-    scored = np.where(match, pos, 0)
+    scored = np.where(match, pos, 0)[:offs[-1]]
     starts = offs[:-1]
     nonempty = offs[1:] > starts
     best = np.zeros(n, dtype=np.int64)
     if nonempty.any():
         best[nonempty] = np.maximum.reduceat(scored, starts[nonempty])
-    has = best > 0
+    # a null map row may legally have offsets spanning undefined child
+    # values — never surface those
+    has = (best > 0) & np.asarray(pc.is_valid(headers))
     take_idx = np.where(has, best - 1, 0)
     vals = pc.take(items, pa.array(take_idx, pa.int64()))
     vals = pc.cast(vals, pa.string())

@@ -84,3 +84,22 @@ def test_assign_partition_composite_key():
     # deterministic
     again = AssignPartition(["repo", "path"], 8)(batch)
     assert pids == again.column("partition_id").to_pylist()
+
+
+def test_last_with_name_sliced_map_and_null_rows():
+    import pyarrow as pa
+    from kafka_connect_plugins_ray.stages.modify_partition import (
+        _last_with_name,
+    )
+
+    mt = pa.map_(pa.string(), pa.string())
+    m = pa.array([[("k", "A")], [("k", "B")], [("k", "OUT")]], type=mt)
+    # a sliced MapArray's child still holds the off-slice entries; the
+    # final row's segment must not read past its own end offset
+    assert _last_with_name(m.slice(0, 2), "k").to_pylist() == ["A", "B"]
+    # null map rows yield null, never garbage from undefined child ranges
+    m2 = pa.array([[("k", "X")], None, [("j", "Y")]], type=mt)
+    assert _last_with_name(m2, "k").to_pylist() == ["X", None, None]
+    # last occurrence wins
+    m3 = pa.array([[("k", "old"), ("k", "new"), ("j", "other")]], type=mt)
+    assert _last_with_name(m3, "k").to_pylist() == ["new"]
