@@ -85,11 +85,9 @@ class QualityScore:
 
 
 class Fingerprint:
-    """Whitespace-normalized md5 fingerprint (SQL-mirrorable) plus an
-    optional winnowed Karp-Rabin fingerprint (rows-only check)."""
-
-    def __init__(self, winnow: bool = False):
-        self.winnow = winnow
+    """Whitespace-normalized md5 fingerprint (md5 is the SQL-parity
+    requirement — the oracle computes the same digest; winnowed
+    fingerprints live in ``winnow_equal_pairs``)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].astype(str)
@@ -98,10 +96,6 @@ class Fingerprint:
         out["fingerprint"] = normalized.map(
             lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
         )
-        if self.winnow:
-            out["winnow_fp"] = text.map(
-                lambda s: np.int64(winnow_fingerprint(s) & 0x7FFFFFFFFFFFFFFF)
-            )
         return out
 
 
