@@ -508,6 +508,25 @@ def filter_pairs_identical_text(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table
     return pairs.filter(pa.array(mask))
 
 
+def filter_pairs_jaccard(threshold: float):
+    """Pair filter for ``minhash_dedup_keep``: verify candidates' EXACT
+    word-shingle Jaccard (bounded text gather) and keep only pairs at or
+    above ``threshold`` — LSH candidates are probabilistic, and clustering
+    unverified pairs can merge unrelated docs through a band collision."""
+
+    def apply(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table:
+        if pairs.num_rows == 0:
+            return pairs
+        texts = gather_texts(docs, np.concatenate([
+            pairs.column("doc_a").to_numpy(),
+            pairs.column("doc_b").to_numpy()]))
+        verified = verify_jaccard(pairs, texts)
+        keep = pc.greater_equal(verified["jaccard"], threshold)
+        return verified.filter(keep)
+
+    return apply
+
+
 def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
                        distributed_cc: bool = False,
                        **lsh_kwargs) -> "rd.Dataset":

@@ -549,3 +549,18 @@ def test_murmur64_matches_duckdb_hash():
     ours = murmur64(np.array(vals, dtype=np.int64))
     for v, o in zip(vals, ours):
         assert got[v] % (1 << 64) == int(o)
+
+
+def test_minhash_dedup_keep_jaccard_threshold():
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        filter_pairs_jaccard,
+        minhash_dedup_keep,
+    )
+    ds, _ = _docs_ds()
+    # strict threshold: only the EXACT dup (jaccard 1.0) is removed; the
+    # near-dup (jaccard ~0.9) survives
+    kept = minhash_dedup_keep(ds, pair_filter=filter_pairs_jaccard(0.99))
+    assert sorted(kept.to_pandas()["doc_id"]) == [0, 1, 3, 4]
+    # looser threshold removes the near-dup too
+    kept = minhash_dedup_keep(ds, pair_filter=filter_pairs_jaccard(0.5))
+    assert sorted(kept.to_pandas()["doc_id"]) == [0, 3, 4]
