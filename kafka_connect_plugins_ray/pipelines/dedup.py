@@ -500,29 +500,58 @@ def filter_pairs_identical_text(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table
     the same pairs with a self-join on text equality)."""
     if pairs.num_rows == 0:
         return pairs
-    texts = gather_texts(docs, np.concatenate([
-        pairs.column("doc_a").to_numpy(), pairs.column("doc_b").to_numpy()]))
+    texts = _gather_pair_texts(pairs, docs)
     mask = [texts.get(a) is not None and texts.get(a) == texts.get(b)
             for a, b in zip(pairs.column("doc_a").to_pylist(),
                             pairs.column("doc_b").to_pylist())]
     return pairs.filter(pa.array(mask))
 
 
+def _gather_pair_texts(pairs: pa.Table, docs: "rd.Dataset") -> dict:
+    return gather_texts(docs, np.concatenate([
+        pairs.column("doc_a").to_numpy(),
+        pairs.column("doc_b").to_numpy()]))
+
+
 def filter_pairs_jaccard(threshold: float):
-    """Pair filter for ``minhash_dedup_keep``: verify candidates' EXACT
-    word-shingle Jaccard (bounded text gather) and keep only pairs at or
-    above ``threshold`` — LSH candidates are probabilistic, and clustering
-    unverified pairs can merge unrelated docs through a band collision."""
+    """Pair-filter OPTION for ``minhash_dedup_keep`` (a building block,
+    not a standalone gated operator — the keep path's driver gate is
+    ``dedup_minhash_keep`` and jaccard verification's is
+    ``dedup_jaccard``): verify candidates' EXACT word-shingle Jaccard on
+    the bounded candidate set and keep only pairs at or above
+    ``threshold`` — LSH candidates are probabilistic, and clustering
+    unverified pairs can merge unrelated docs through a band collision.
+
+    Byte-identical texts (including degenerate empty/whitespace docs,
+    whose shingle sets are empty) count as jaccard 1.0; null/missing
+    texts never match.  The threshold compares the UNROUNDED jaccard."""
 
     def apply(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table:
         if pairs.num_rows == 0:
             return pairs
-        texts = gather_texts(docs, np.concatenate([
-            pairs.column("doc_a").to_numpy(),
-            pairs.column("doc_b").to_numpy()]))
-        verified = verify_jaccard(pairs, texts)
-        keep = pc.greater_equal(verified["jaccard"], threshold)
-        return verified.filter(keep)
+        texts = _gather_pair_texts(pairs, docs)
+        keep = []
+        cache: dict[int, set] = {}
+
+        def sh(d):
+            if d not in cache:
+                cache[d] = _word_shingles(_tokenize(texts[d]))
+            return cache[d]
+
+        for a, b in zip(pairs.column("doc_a").to_pylist(),
+                        pairs.column("doc_b").to_pylist()):
+            ta, tb = texts.get(a), texts.get(b)
+            if ta is None or tb is None:
+                keep.append(False)
+                continue
+            if ta == tb:  # identical bytes: jaccard 1.0 by definition
+                keep.append(True)
+                continue
+            sa, sb = sh(a), sh(b)
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            keep.append(j >= threshold)
+        return pairs.filter(pa.array(keep))
 
     return apply
 

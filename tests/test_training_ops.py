@@ -564,3 +564,18 @@ def test_minhash_dedup_keep_jaccard_threshold():
     # looser threshold removes the near-dup too
     kept = minhash_dedup_keep(ds, pair_filter=filter_pairs_jaccard(0.5))
     assert sorted(kept.to_pandas()["doc_id"]) == [0, 3, 4]
+
+
+def test_filter_pairs_jaccard_degenerate_and_null_texts():
+    from kafka_connect_plugins_ray.pipelines.dedup import filter_pairs_jaccard
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["", "", None, "real text here"], pa.string()),
+    }))
+    pairs = pa.table({"doc_a": pa.array([0, 2, 99], pa.int64()),
+                      "doc_b": pa.array([1, 3, 100], pa.int64())})
+    out = filter_pairs_jaccard(0.8)(pairs, ds)
+    got = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    # identical empty docs ARE duplicates (jaccard 1.0 by identity);
+    # null-text and unknown-id pairs never match
+    assert got == {(0, 1)}
