@@ -579,3 +579,16 @@ def test_filter_pairs_jaccard_degenerate_and_null_texts():
     # identical empty docs ARE duplicates (jaccard 1.0 by identity);
     # null-text and unknown-id pairs never match
     assert got == {(0, 1)}
+
+
+def test_hierarchical_exchange_ref_mode():
+    import ray
+    n = 2_000
+    t = pa.table({"v": pa.array(np.arange(n), pa.int64()),
+                  "partition_id": pa.array(np.arange(n) % 40, pa.int32())})
+    ds = rd.from_arrow(t).repartition(4)
+    refs = hash_exchange(ds, "partition_id", 40,
+                         lambda pid, tbl: tbl.num_rows,
+                         hierarchical_threshold=8, materialize=False)
+    got = [r for r in ray.get(refs) if r is not None]
+    assert sum(got) == n
