@@ -41,6 +41,19 @@ import pyarrow as pa
 import ray
 
 
+def _as_table(block) -> "pa.Table | None":
+    """Coerce a Ray block to an Arrow table — this Ray version's
+    ``to_arrow_refs`` returns pandas DataFrames verbatim for datasets
+    built from pandas blocks (e.g. ``rd.from_pandas``)."""
+    if block is None or isinstance(block, pa.Table):
+        return block
+    import pandas as pd
+
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return pa.table(block)
+
+
 def _split_by_pid(pid_col: str, num_out: int, divisor: int, base: int,
                   *blocks: pa.Table):
     """Split blocks into ``num_out`` slices by slot = (pid - base) //
@@ -48,6 +61,7 @@ def _split_by_pid(pid_col: str, num_out: int, divisor: int, base: int,
     exchange's stage 1 groups ``divisor`` consecutive pids per
     super-partition, and its stage 2 re-splits one super's range
     [base, base + num_out)."""
+    blocks = [_as_table(b) for b in blocks]
     live = [b for b in blocks
             if b is not None and b.num_rows and pid_col in b.column_names]
     # Ray may pass empty blocks through upstream UDFs unchanged, so an
@@ -85,6 +99,7 @@ def _split_by_pid(pid_col: str, num_out: int, divisor: int, base: int,
 @ray.remote
 def _reduce_partition(reduce_fn: Callable[[int, pa.Table], Any], pid: int,
                       *parts: pa.Table):
+    parts = [_as_table(p) for p in parts]
     live = [p for p in parts if p is not None and p.num_rows]
     if not live:
         return None
@@ -230,6 +245,7 @@ class Broadcast:
 
 @ray.remote
 def _combine(combine_fn: Callable[[pa.Table], pa.Table], *tables: pa.Table):
+    tables = [_as_table(t) for t in tables]
     live = [t for t in tables if t is not None and t.num_rows]
     if not live:
         return None

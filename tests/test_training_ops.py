@@ -592,3 +592,14 @@ def test_hierarchical_exchange_ref_mode():
                          hierarchical_threshold=8, materialize=False)
     got = [r for r in ray.get(refs) if r is not None]
     assert sum(got) == n
+
+
+def test_hash_exchange_accepts_pandas_block_datasets():
+    # this Ray version's to_arrow_refs hands back pandas DataFrames for
+    # from_pandas datasets; the exchange must coerce, not crash
+    df = pd.DataFrame({"v": np.arange(100),
+                       "partition_id": (np.arange(100) % 5).astype("int32")})
+    ds = rd.from_pandas(df).repartition(3)
+    res = hash_exchange(ds, "partition_id", 5,
+                        lambda pid, tbl: (pid, tbl.num_rows))
+    assert sum(r[1] for r in res) == 100
