@@ -965,6 +965,32 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_knn_ivf(sf_dir: str) -> pa.Table:
+    """IVF ANN (spherical-k-means coarse quantizer) with the same planted-
+    duplicate recall gate as the LSH variant: an identical planted vector
+    assigns to the query's own top-1 inverted list, so exactly one
+    (query, planted, 1.0) row per query must survive."""
+    from .similarity import knn_ivf
+
+    qids, qmat = load_queries(os.path.join(sf_dir, "embeddings.parquet"), 10)
+    cands = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cands = cands.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 10)),
+        batch_format="pyarrow")
+
+    def plant(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.less(t["vec_id"], 10))
+        return pa.table({"vec_id": pc.add(f["vec_id"], DUP_OFFSET),
+                         "embedding": f["embedding"]})
+
+    planted = read_table(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"]) \
+        .map_batches(plant, batch_format="pyarrow")
+    out = knn_ivf(cands.union(planted), qids, qmat, k=5)
+    mask = pc.equal(out["neighbor_id"], pc.add(out["query_id"], DUP_OFFSET))
+    return out.filter(mask)
+
+
 def q_dedup_embedding(sf_dir: str) -> pa.Table:
     """Exact cosine threshold join via block-pair tasks (no full-corpus
     broadcast)."""
@@ -1529,6 +1555,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_knn,
         "ann_cosine_lsh": q_knn_lsh,
+        "ann_cosine_ivf": q_knn_ivf,
         "dedup_embedding_cosine": q_dedup_embedding,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_lsh,
         "hll_distinct_users": q_hll_distinct,
@@ -1589,6 +1616,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_simhash": IDENTICAL_PAIRS_ORACLE,
         "ann_cosine_topk": KNN_ORACLE,
         "ann_cosine_lsh": ANN_LSH_ORACLE,
+        "ann_cosine_ivf": ANN_LSH_ORACLE,
         "dedup_embedding_cosine": DEDUP_EMBEDDING_ORACLE,
         "dedup_embedding_cosine_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
         "hll_distinct_users": HLL_ORACLE,

@@ -603,3 +603,26 @@ def test_hash_exchange_accepts_pandas_block_datasets():
     res = hash_exchange(ds, "partition_id", 5,
                         lambda pid, tbl: (pid, tbl.num_rows))
     assert sum(r[1] for r in res) == 100
+
+
+def test_knn_ivf_recall_and_self_match():
+    from kafka_connect_plugins_ray.pipelines.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+    rng = np.random.RandomState(7)
+    n, d = 400, 32
+    emb = rng.randn(n, d).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(10, 10 + n), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })).repartition(3)
+    qids = np.arange(4)
+    qmat = emb[:4].astype(np.float64)
+    brute = knn_bruteforce(ds, qids, qmat, k=5)
+    ivf = knn_ivf(ds, qids, qmat, k=5, n_centroids=8, nprobe=3)
+    bq = {(r["query_id"], r["neighbor_id"]) for r in brute.to_pylist()}
+    iq = {(r["query_id"], r["neighbor_id"]) for r in ivf.to_pylist()}
+    # every query's own vector lands in its top-1 probed list
+    assert all((q, 10 + q) in iq for q in qids)
+    assert len(iq & bq) / len(bq) >= 0.5  # decent recall at 3/8 lists
