@@ -61,6 +61,11 @@ def main(argv: "list[str] | None" = None) -> int:
     pr.add_argument("--lake", required=True)
     pr.add_argument("--partitions", type=int, required=True)
 
+    pk = sub.add_parser("get", help="point-lookup one key (O(1) files)")
+    pk.add_argument("--lake", required=True)
+    pk.add_argument("key", nargs="+",
+                    help="key column values in order (default repo path)")
+
     pt = sub.add_parser(
         "transform",
         help="apply a Connect-style SMT chain to parquet (standalone — "
@@ -80,6 +85,13 @@ def main(argv: "list[str] | None" = None) -> int:
 
         m = LakeStore(args.lake).current()
         print(m.to_json() if m else "{}")
+        return 0
+
+    if args.cmd == "get":
+        from .pipelines.cdc_ingest import lookup_key
+
+        t = lookup_key(args.lake, tuple(args.key))
+        print(json.dumps(t.to_pylist(), default=str))
         return 0
 
     if args.cmd == "gc":

@@ -283,6 +283,35 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     return manifest
 
 
+def lookup_key(lake_root: str, key_values: Sequence[str],
+               key_cols: Sequence[str] = ("repo", "path"),
+               version: "int | None" = None) -> pa.Table:
+    """Point lookup: route the key through the SAME crc32 % P assignment
+    the ingest used, read ONLY that partition's file, filter to the key —
+    O(1) files touched regardless of lake size (the partition-pruned read
+    a 100-TB lake needs for debugging / serving)."""
+    from ..stages.modify_partition import KEY_SEP
+    from ..functions.partitioner import crc32_partition_array
+
+    store = LakeStore(lake_root)
+    manifest = store.current() if version is None \
+        else store.read_manifest(version)
+    if manifest is None or not manifest.files:
+        return pa.table({})
+    joined = KEY_SEP.join(str(v) for v in key_values)
+    pid = crc32_partition_array(
+        pa.array([joined], pa.string()), manifest.num_partitions)[0].as_py()
+    rel = manifest.files.get(pid)
+    if rel is None:
+        return pa.table({})
+    t = pq.read_table(store.abspath(rel))
+    mask = None
+    for col, val in zip(key_cols, key_values):
+        m = pc.equal(t[col], val)
+        mask = m if mask is None else pc.and_(mask, m)
+    return t.filter(mask)
+
+
 def read_lake(lake_root: str, columns: "list[str] | None" = None,
               version: "int | None" = None) -> "rd.Dataset":
     """Dataset over the committed lake state.

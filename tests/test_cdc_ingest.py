@@ -176,3 +176,19 @@ def test_non_additive_evolution_rejected(tmp_path):
     # the failed cycle must not have been committed
     from kafka_connect_plugins_ray.state.manifest import LakeStore
     assert LakeStore(lake).current().version == 1
+
+
+def test_lookup_key_point_read(tmp_path):
+    from kafka_connect_plugins_ray.pipelines.cdc_ingest import lookup_key
+
+    lake = _lake(tmp_path, "lookup")
+    ingest(lake, binlog_from_documents(SF))
+    # a surviving key resolves through its single partition file
+    hit = lookup_key(lake, ("repo-1", "src/doc_1.txt"))
+    assert hit.num_rows == 1
+    assert hit.column("content").to_pylist()[0].endswith("#v1")
+    # a deleted key (doc_id % 17 == 0) is absent
+    gone = lookup_key(lake, ("repo-0", "src/doc_0.txt"))
+    assert gone.num_rows == 0
+    # an unknown key is absent without error
+    assert lookup_key(lake, ("no-such", "key")).num_rows == 0

@@ -105,3 +105,17 @@ def test_cli_transform_standalone(tmp_path, capsys):
     t = pq.read_table(glob.glob(f"{out}/*.parquet"))
     got = dict(zip(t["event_id"].to_pylist(), t["key"].to_pylist()))
     assert got == {1: "a", 2: '"b', 3: "c"}
+
+
+def test_cli_get_point_lookup(tmp_path, capsys):
+    import json as _json
+
+    from kafka_connect_plugins_ray.cli import main
+
+    lake = str(tmp_path / "getlake")
+    assert main(["ingest", "--lake", lake,
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    capsys.readouterr()
+    assert main(["get", "--lake", lake, "repo-1", "src/doc_1.txt"]) == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert len(rows) == 1 and rows[0]["path"] == "src/doc_1.txt"
