@@ -242,10 +242,13 @@ def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
     the probed lists.  An identical planted vector always lands in the
     query's own top-1 list, so the planted-duplicate recall gate holds by
     construction."""
-    sample = pa.concat_tables(
-        [b for b in candidates.limit(train_rows)
-         .iter_batches(batch_size=train_rows, batch_format="pyarrow")],
-        promote_options="permissive")
+    batches = [b for b in candidates.limit(train_rows)
+               .iter_batches(batch_size=train_rows, batch_format="pyarrow")]
+    if not batches or sum(b.num_rows for b in batches) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    sample = pa.concat_tables(batches, promote_options="permissive")
     smat = np.stack(sample.column("embedding").to_pylist()).astype(np.float64)
     cent = train_spherical_centroids(smat, n_centroids)
     qn = query_matrix.astype(np.float64)
