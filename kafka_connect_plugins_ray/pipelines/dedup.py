@@ -289,7 +289,14 @@ def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
 def verify_jaccard(pairs: pa.Table, texts_by_id: dict[int, str],
                    shingle_k: int = 3) -> pa.Table:
     """Exact word-shingle Jaccard for candidate pairs (driver-side or inside
-    a map stage with a broadcast text lookup for the candidate subset)."""
+    a map stage with a broadcast text lookup for the candidate subset).
+
+    Semantics match ``filter_pairs_jaccard``: byte-identical texts —
+    including degenerate empty/whitespace docs whose shingle sets are
+    empty — are jaccard 1.0 by definition; pairs with a missing text are
+    dropped rather than crashing.  The returned jaccard is UNROUNDED so
+    downstream equality filters (``== 1.0``) can't be fooled by a
+    0.99995-rounds-to-1.0 near-identical pair; round for display only."""
     out_a, out_b, jac = [], [], []
     cache: dict[int, set[int]] = {}
 
@@ -300,12 +307,18 @@ def verify_jaccard(pairs: pa.Table, texts_by_id: dict[int, str],
 
     for a, b in zip(pairs.column("doc_a").to_pylist(),
                     pairs.column("doc_b").to_pylist()):
-        sa, sb = sh(a), sh(b)
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
+        ta, tb = texts_by_id.get(a), texts_by_id.get(b)
+        if ta is None or tb is None:
+            continue
+        if ta == tb:  # identical bytes: jaccard 1.0 by definition
+            j = 1.0
+        else:
+            sa, sb = sh(a), sh(b)
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
         out_a.append(a)
         out_b.append(b)
-        jac.append(round(j, 4))
+        jac.append(j)
     return pa.table({
         "doc_a": pa.array(out_a, pa.int64()),
         "doc_b": pa.array(out_b, pa.int64()),
@@ -352,10 +365,17 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
     ``minhash_lsh_pairs(..., materialize=False)``); duplicate edges across
     shards are harmless.  Each round is one bucketed message exchange:
     every edge forwards its endpoint's current label to the other side,
-    labels take the min, convergence when no label changes (≤ cluster
-    diameter rounds; LSH dup-clusters are near-cliques, so 2-3 rounds in
-    practice).  Returns a (node, label) table — label = the component's
-    min doc_id."""
+    labels take the min, convergence when no edge message changes a label
+    (at that point labels are constant across every edge, i.e. the
+    component min).  LSH dup-clusters are near-cliques, so 2-3 rounds in
+    practice; each round ALSO runs a pointer-doubling shortcut
+    (label := min(label, label(label)) via a bucketed query/reply
+    exchange), which bounds convergence at O(log diameter) — a chain of
+    10^6 docs converges in ~20 rounds, not 10^6.  If ``max_rounds`` is
+    still exhausted before convergence the function RAISES rather than
+    returning split components (an unconverged labeling silently
+    under-drops duplicates).  Returns a (node, label) table — label =
+    the component's min doc_id."""
     import ray
 
     B = num_buckets
@@ -443,11 +463,60 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
                           "label": pa.array(ll, pa.int64())}),
                 int(better.sum()))
 
+    @ray.remote
+    def shortcut_query(labels):
+        # pointer-doubling step 1: each node n with label l != n asks
+        # bucket l % B for label(l); (target, node) messages routed by
+        # target's bucket.  Every label VALUE is some node's id (labels
+        # are mins over observed node ids), so the lookup always lands.
+        if labels is None:
+            return tuple([None] * B)
+        n = labels.column("node").to_numpy()
+        l = labels.column("label").to_numpy()
+        sel = l != n
+        tgt, node = l[sel], n[sel]
+        bucket = tgt % B
+        order = np.argsort(bucket, kind="stable")
+        tgt, node, bucket = tgt[order], node[order], bucket[order]
+        bounds = np.searchsorted(bucket, np.arange(B + 1))
+        return tuple(
+            (pa.table({"target": pa.array(tgt[s:e], pa.int64()),
+                       "node": pa.array(node[s:e], pa.int64())})
+             if e > s else None)
+            for s, e in zip(bounds[:-1], bounds[1:]))
+
+    @ray.remote
+    def shortcut_reply(labels, *queries):
+        # step 2: answer label(target) queries; replies are (node,
+        # label(target)) messages routed back by node % B and applied
+        # with the same min-update as edge messages.
+        live = [q for q in queries if q is not None and q.num_rows]
+        if labels is None or not live:
+            return tuple([None] * B)
+        q = pa.concat_tables(live)
+        ln = labels.column("node").to_numpy()
+        ll = labels.column("label").to_numpy()
+        tgt = q.column("target").to_numpy()
+        node = q.column("node").to_numpy()
+        idx = np.clip(np.searchsorted(ln, tgt), 0, ln.size - 1)
+        found = ln[idx] == tgt
+        lab = np.where(found, ll[idx], tgt)  # miss -> no-op (own label)
+        bucket = node % B
+        order = np.argsort(bucket, kind="stable")
+        node, lab, bucket = node[order], lab[order], bucket[order]
+        bounds = np.searchsorted(bucket, np.arange(B + 1))
+        return tuple(
+            (pa.table({"node": pa.array(node[s:e], pa.int64()),
+                       "label": pa.array(lab[s:e], pa.int64())})
+             if e > s else None)
+            for s, e in zip(bounds[:-1], bounds[1:]))
+
     split_refs = [edge_split.options(num_returns=B).remote(r)
                   for r in pair_refs]
     adj = [concat_adj.remote(*[sp[b] for sp in split_refs])
            for b in range(B)]
     labels = [init_labels.remote(adj[b]) for b in range(B)]
+    converged = False
     for _ in range(max_rounds):
         msg_parts = [propagate.options(num_returns=B).remote(adj[b],
                                                              labels[b])
@@ -457,7 +526,24 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
         labels = [u[0] for u in upd]
         changed = sum(ray.get([u[1] for u in upd]))
         if changed == 0:
+            converged = True
             break
+        # pointer-doubling shortcut: label(label(n)) — halves remaining
+        # chain depth each round (pure accelerator; convergence is judged
+        # on the edge-propagate fixpoint above)
+        q_parts = [shortcut_query.options(num_returns=B).remote(labels[b])
+                   for b in range(B)]
+        r_parts = [shortcut_reply.options(num_returns=B).remote(
+            labels[b], *[qp[b] for qp in q_parts]) for b in range(B)]
+        upd = [update.remote(labels[b], *[rp[b] for rp in r_parts])
+               for b in range(B)]
+        labels = [u[0] for u in upd]
+        ray.get([u[1] for u in upd])  # barrier only
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_distributed did not converge within "
+            f"{max_rounds} rounds — returning unconverged labels would "
+            "silently split components (under-dropping duplicates)")
     parts = [t for t in ray.get(labels) if t is not None and t.num_rows]
     if not parts:
         return pa.table({"node": pa.array([], pa.int64()),

@@ -1183,7 +1183,10 @@ def q_dedup_jaccard(sf_dir: str) -> pa.Table:
     shifted-copy, exact shingle-Jaccard verification, keep only pairs at
     jaccard == 1.0 — derivable in SQL as the text-equality pair set
     (identical text ⟺ identical shingle set ⟺ jaccard 1.0; a
-    shingle-set collision for different texts would fail the oracle)."""
+    shingle-set collision for different texts would fail the oracle).
+    The equality filter compares the UNROUNDED jaccard (verify_jaccard
+    also fast-paths byte-identical texts to exactly 1.0), so a
+    0.99995-near-identical pair can never round its way into the set."""
     from .dedup import gather_texts, verify_jaccard
 
     docs = _docs_with_copy(sf_dir)

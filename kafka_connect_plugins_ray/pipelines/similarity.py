@@ -231,6 +231,28 @@ def train_spherical_centroids(mat: np.ndarray, k: int, iters: int = 10,
     return cent
 
 
+def _bottomk_by_hash(candidates: "rd.Dataset", k_rows: int) -> "pa.Table | None":
+    """Content-stable uniform sample: the ``k_rows`` rows with the
+    smallest murmur64(vec_id) — a deterministic KMV (bottom-k) sketch.
+    Unlike ``limit()`` (the first blocks in storage order, which biases
+    any corpus sorted/clustered by layout — the common 100-TB shape),
+    the hash order is independent of partitioning and replay-stable.
+    Per-batch partial keeps each block's bottom-k; the fan-in tree keeps
+    the global bottom-k, so the driver never sees more than k_rows."""
+    from ..functions.vhash import murmur64
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        t = t.select(["vec_id", "embedding"])
+        if t.num_rows > k_rows:
+            h = murmur64(t.column("vec_id").to_numpy())
+            keep = np.sort(np.argsort(h, kind="stable")[:k_rows])
+            t = t.take(pa.array(keep, pa.int64()))
+        return t
+
+    per_batch = candidates.map_batches(bottomk, batch_format="pyarrow")
+    return tree_aggregate(per_batch, bottomk)
+
+
 def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
             query_matrix: np.ndarray, k: int = 5, n_centroids: int = 16,
             nprobe: int = 4, train_rows: int = 4096) -> pa.Table:
@@ -241,14 +263,14 @@ def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
     the assignment is one pass (or a stored column) and probing reads only
     the probed lists.  An identical planted vector always lands in the
     query's own top-1 list, so the planted-duplicate recall gate holds by
-    construction."""
-    batches = [b for b in candidates.limit(train_rows)
-               .iter_batches(batch_size=train_rows, batch_format="pyarrow")]
-    if not batches or sum(b.num_rows for b in batches) == 0:
+    construction.  Training rows are drawn with a content-stable
+    bottom-k-by-hash sample (not ``limit()``), so centroids are unbiased
+    even when the corpus is sorted or clustered by storage order."""
+    sample = _bottomk_by_hash(candidates, train_rows)
+    if sample is None or sample.num_rows == 0:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "neighbor_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    sample = pa.concat_tables(batches, promote_options="permissive")
     smat = np.stack(sample.column("embedding").to_pylist()).astype(np.float64)
     cent = train_spherical_centroids(smat, n_centroids)
     qn = query_matrix.astype(np.float64)

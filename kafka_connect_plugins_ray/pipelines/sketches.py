@@ -110,7 +110,16 @@ def _hdr_round_down(c: np.ndarray) -> np.ndarray:
     """HDR-histogram bucketing over positive int64 values: keep the top
     ``HDR_MANTISSA_BITS``+1 significant bits (round down).  All-integer
     bit math, so the SQL oracle reproduces it EXACTLY (frexp's exponent on
-    an exactly-representable int equals DuckDB's printf('%b') length)."""
+    an exactly-representable int equals DuckDB's printf('%b') length).
+
+    The frexp identity requires the ints to be exactly representable as
+    float64, i.e. < 2^53 — enforced, not assumed: beyond it the bucket
+    boundary could silently diverge from the oracle's bit-length math."""
+    if c.size and int(c.max()) >= (1 << 53):
+        raise ValueError(
+            f"hdr bucket math requires scaled values < 2^53 for exact "
+            f"float64 exponents; got max={int(c.max())} — lower `scale` "
+            "or pre-clip the column")
     _, ex = np.frexp(c.astype(np.float64))  # ints < 2^53 are exact
     shift = np.maximum(ex - 1 - HDR_MANTISSA_BITS, 0).astype(np.int64)
     return (c >> shift) << shift

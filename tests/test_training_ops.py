@@ -626,3 +626,94 @@ def test_knn_ivf_recall_and_self_match():
     # every query's own vector lands in its top-1 probed list
     assert all((q, 10 + q) in iq for q in qids)
     assert len(iq & bq) / len(bq) >= 0.5  # decent recall at 3/8 lists
+
+
+def test_verify_jaccard_degenerate_and_missing_texts():
+    # identical empty / whitespace-only docs are jaccard 1.0 (identity
+    # fast-path, not 0.0-from-empty-shingle-sets); missing texts drop the
+    # pair instead of crashing (ADVICE r2)
+    pairs = pa.table({"doc_a": pa.array([1, 3, 5], pa.int64()),
+                      "doc_b": pa.array([2, 4, 6], pa.int64())})
+    texts = {1: "", 2: "", 3: "   ", 4: "   ", 5: "present"}  # 6 missing
+    out = verify_jaccard(pairs, texts)
+    got = {(a, b): j for a, b, j in zip(out["doc_a"].to_pylist(),
+                                        out["doc_b"].to_pylist(),
+                                        out["jaccard"].to_pylist())}
+    assert got == {(1, 2): 1.0, (3, 4): 1.0}
+
+
+def test_verify_jaccard_is_unrounded():
+    # a near-identical pair (true jaccard just under 1.0) must NOT be
+    # rounded up to 1.0 — the dedup_jaccard equality gate compares exact
+    a = " ".join(f"tok{i}" for i in range(40000))
+    b = a + " extra"  # one extra shingle: jaccard = n/(n+3) ≈ 0.999925
+    pairs = pa.table({"doc_a": pa.array([1], pa.int64()),
+                      "doc_b": pa.array([2], pa.int64())})
+    out = verify_jaccard(pairs, {1: a, 2: b})
+    j = out["jaccard"].to_pylist()[0]
+    assert 0.9999 < j < 1.0
+
+
+def test_distributed_cc_long_chain_pointer_doubling():
+    import ray
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        connected_components_distributed,
+    )
+    # a 300-node path has diameter 299: plain min-label propagation needs
+    # ~299 rounds; the pointer-doubling shortcut must converge in O(log n)
+    n = 300
+    t = pa.table({"doc_a": pa.array(np.arange(n - 1), pa.int64()),
+                  "doc_b": pa.array(np.arange(1, n), pa.int64())})
+    out = connected_components_distributed([ray.put(t)], num_buckets=4,
+                                           max_rounds=24)
+    assert set(out["label"].to_pylist()) == {0}
+    assert out.num_rows == n
+
+
+def test_distributed_cc_raises_when_unconverged():
+    import ray
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        connected_components_distributed,
+    )
+    n = 64
+    t = pa.table({"doc_a": pa.array(np.arange(n - 1), pa.int64()),
+                  "doc_b": pa.array(np.arange(1, n), pa.int64())})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_distributed([ray.put(t)], num_buckets=2,
+                                         max_rounds=2)
+
+
+def test_hdr_rejects_values_beyond_2_53():
+    from kafka_connect_plugins_ray.pipelines.sketches import _hdr_round_down
+    with pytest.raises(ValueError, match="2\\^53"):
+        _hdr_round_down(np.array([1 << 53], dtype=np.int64))
+    # below the bound stays fine
+    out = _hdr_round_down(np.array([(1 << 53) - 1], dtype=np.int64))
+    assert out[0] <= (1 << 53) - 1
+
+
+def test_ivf_training_sample_is_storage_order_independent():
+    from kafka_connect_plugins_ray.functions.vhash import murmur64
+    from kafka_connect_plugins_ray.pipelines.similarity import (
+        _bottomk_by_hash,
+    )
+    rng = np.random.RandomState(3)
+    ids = np.arange(1000, dtype=np.int64)
+    emb = rng.randn(1000, 8).astype(np.float32)
+
+    def build(order):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "embedding": pa.array(list(emb[order]), pa.list_(pa.float32())),
+        })).repartition(4)
+
+    k = 64
+    s1 = _bottomk_by_hash(build(np.arange(1000)), k)
+    s2 = _bottomk_by_hash(build(rng.permutation(1000)), k)
+    got1 = sorted(s1["vec_id"].to_pylist())
+    got2 = sorted(s2["vec_id"].to_pylist())
+    # same sample whatever the storage order, and it equals the true
+    # bottom-k of the hash order
+    assert got1 == got2
+    exp = sorted(ids[np.argsort(murmur64(ids), kind="stable")[:k]].tolist())
+    assert got1 == exp
