@@ -172,14 +172,29 @@ class BandExplode:
         })
 
 
-def _candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(group["doc_id"].tolist()))
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-    return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
-                         "doc_b": pd.Series(b, dtype="int64")})
+def _runs_to_pairs(newrun: np.ndarray, doc: np.ndarray,
+                   max_run: int) -> "tuple[pa.Table | None, int]":
+    """Expand equal-key runs of a key-sorted stream (``newrun[i]`` True at
+    each run start, docs sorted within runs) into unordered candidate
+    pairs via ``np.triu_indices`` per run — the vectorized pattern shared
+    by simhash/winnow; no Python pair tuples.  Runs larger than
+    ``max_run`` are skipped (count returned for the caller's log)."""
+    bounds = np.nonzero(np.concatenate((newrun, [True])))[0]
+    frames, skipped = [], 0
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        ids = doc[s:e]
+        ids = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]  # sorted uniq
+        if ids.size < 2:
+            continue
+        if ids.size > max_run:
+            skipped += 1
+            continue
+        iu, ju = np.triu_indices(ids.size, k=1)
+        frames.append(pa.table({"doc_a": pa.array(ids[iu], pa.int64()),
+                                "doc_b": pa.array(ids[ju], pa.int64())}))
+    if not frames:
+        return None, skipped
+    return pa.concat_tables(frames), skipped
 
 
 def exact_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS) -> pa.Table:
@@ -253,22 +268,21 @@ def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
     exploded = sigs.map_batches(explode_with_bucket, batch_format="pandas")
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
-        df = t.to_pandas()
-        frames, skipped = [], 0
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
-            if g["doc_id"].nunique() > max_bucket_size:
-                skipped += 1
-                continue
-            p = _candidate_pairs(g)
-            if len(p):
-                frames.append(p)
+        # one lexsort groups the bucket's rows into (band_id, band_hash)
+        # runs; pair expansion is np.triu_indices per run — no per-group
+        # pandas and no Python pair tuples (round-2 review item 2)
+        band = t.column("band_id").to_numpy().astype(np.int64)
+        bh = t.column("band_hash").to_numpy()
+        doc = t.column("doc_id").to_numpy().astype(np.int64)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        newrun = np.concatenate(
+            ([True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])))
+        pairs, skipped = _runs_to_pairs(newrun, doc, max_bucket_size)
         if skipped:
             print(f"[minhash-lsh] bucket {pid}: skipped {skipped} "
                   f"oversized LSH buckets (> {max_bucket_size} docs)")
-        if not frames:
-            return None
-        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                    preserve_index=False)
+        return pairs
 
     if not materialize:
         # remote mode: pair shards stay in the object store (pairs found

@@ -153,26 +153,23 @@ def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
     side = Broadcast((query_ids, query_matrix, qbuckets))
 
     def bucket_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized probe: one (queries × candidates) bucket-match
+        # matrix (built table-by-table, no 3D transient), one masked
+        # matmul, one lexsort top-k — no per-query Python loop, so query
+        # counts in the 10^5 range stay matmul-bound (round-2 review
+        # item 3)
         qids, q, qb_all = side.get()
         qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         c = _to_matrix(batch["embedding"])
         cb = hasher.buckets(c)
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
-        frames = []
         ids = batch["vec_id"].to_numpy()
-        for qi, qid in enumerate(qids):
-            mask = (cb == qb_all[qi][None, :]).any(axis=1)
-            if not mask.any():
-                continue
-            sims = (qn[qi:qi + 1] @ cn[mask].T)
-            frames.append(_topk_frame([qid], sims, ids[mask], k))
-        if not frames:
-            return pd.DataFrame({
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "score": pd.Series([], dtype="float64"),
-            })
-        return pd.concat(frames, ignore_index=True)
+        match = np.zeros((len(qids), len(ids)), dtype=bool)
+        for t in range(qb_all.shape[1]):
+            match |= qb_all[:, t][:, None] == cb[:, t][None, :]
+        sims = np.where(match, qn @ cn.T, -np.inf)
+        frame = _topk_frame(qids, sims, ids, k)
+        return frame[frame["score"] > -np.inf].reset_index(drop=True)
 
     per_batch = candidates.map_batches(bucket_topk, batch_format="pandas",
                                        batch_size=4096)
@@ -281,25 +278,20 @@ def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
     side = Broadcast((query_ids, qn, cent, probe))
 
     def probe_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized list-probe: (queries × candidates) membership matrix
+        # built per probe slot, masked matmul, one lexsort top-k — no
+        # per-query Python loop (round-2 review item 3)
         qids, qn_, cent_, probe_ = side.get()
         c = _to_matrix(batch["embedding"])
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
         assign = (cn @ cent_.T).argmax(axis=1)
         ids = batch["vec_id"].to_numpy()
-        frames = []
-        for qi, qid in enumerate(qids):
-            mask = np.isin(assign, probe_[qi])
-            if not mask.any():
-                continue
-            sims = qn_[qi:qi + 1] @ cn[mask].T
-            frames.append(_topk_frame([qid], sims, ids[mask], k))
-        if not frames:
-            return pd.DataFrame({
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "score": pd.Series([], dtype="float64"),
-            })
-        return pd.concat(frames, ignore_index=True)
+        match = np.zeros((len(qids), len(ids)), dtype=bool)
+        for j in range(probe_.shape[1]):
+            match |= probe_[:, j][:, None] == assign[None, :]
+        sims = np.where(match, qn_ @ cn.T, -np.inf)
+        frame = _topk_frame(qids, sims, ids, k)
+        return frame[frame["score"] > -np.inf].reset_index(drop=True)
 
     per_batch = candidates.map_batches(probe_topk, batch_format="pandas",
                                        batch_size=4096)

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import winnow_fingerprint
+from ..functions.hashing import winnow_fingerprints_batch
 
 # marker -> language, scored by non-overlapping occurrence count
 LANG_MARKERS: dict[str, list[str]] = {
@@ -114,8 +114,8 @@ def winnow_equal_pairs(docs, num_buckets: int = 32,
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].astype(str)
-        fp = text.map(lambda s: np.int64(
-            winnow_fingerprint(s) & 0x7FFFFFFFFFFFFFFF)).to_numpy(np.int64)
+        fp = (winnow_fingerprints_batch(text)
+              & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
         return pd.DataFrame({
             "doc_id": batch["doc_id"].astype("int64"),
             "fp": pd.Series(fp, dtype="int64"),
@@ -126,24 +126,18 @@ def winnow_equal_pairs(docs, num_buckets: int = 32,
     partials = docs.map_batches(partial, batch_format="pandas")
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
-        df = t.to_pandas()
-        frames, skipped = [], 0
-        for _, g in df.groupby("fp", sort=False):
-            ids = np.sort(g["doc_id"].to_numpy(np.int64))
-            if len(ids) < 2:
-                continue
-            if len(ids) > max_group:
-                skipped += 1
-                continue
-            iu, ju = np.triu_indices(len(ids), k=1)
-            frames.append(pa.table({"doc_a": pa.array(ids[iu], pa.int64()),
-                                    "doc_b": pa.array(ids[ju], pa.int64())}))
+        from .dedup import _runs_to_pairs
+
+        fp = t.column("fp").to_numpy()
+        doc = t.column("doc_id").to_numpy().astype(np.int64)
+        order = np.lexsort((doc, fp))
+        fp, doc = fp[order], doc[order]
+        newrun = np.concatenate(([True], fp[1:] != fp[:-1]))
+        pairs, skipped = _runs_to_pairs(newrun, doc, max_group)
         if skipped:
             print(f"[winnow] bucket {pid}: skipped {skipped} oversized "
                   f"fingerprint groups (> {max_group} docs)")
-        if not frames:
-            return None
-        return pa.concat_tables(frames)
+        return pairs
 
     shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
     if not shards:

@@ -103,3 +103,43 @@ def test_last_with_name_sliced_map_and_null_rows():
     # last occurrence wins
     m3 = pa.array([[("k", "old"), ("k", "new"), ("j", "other")]], type=mt)
     assert _last_with_name(m3, "k").to_pylist() == ["new"]
+
+
+def test_vectorized_crc32_matches_zlib_fuzz():
+    """The table-driven byte-sweep CRC32 (the AssignPartition hot path)
+    must be byte-identical to zlib.crc32 on arbitrary UTF-8 incl. empty
+    strings, long payloads, nulls, and sliced arrays."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from kafka_connect_plugins_ray.functions.partitioner import (
+        crc32_partition_array,
+        crc32_u32_array,
+    )
+
+    rng = np.random.RandomState(42)
+    vals = []
+    for _ in range(3000):
+        n = int(rng.randint(0, 150))
+        vals.append("".join(chr(rng.randint(32, 0x2FFF)) for _ in range(n)))
+    vals += ["", None, "x" * 4096, "répo\x1fpäth", None]
+    arr = pa.array(vals, pa.string())
+    crc, mask = crc32_u32_array(arr)
+    for i, v in enumerate(vals):
+        if v is None:
+            assert mask[i]
+        else:
+            assert int(crc[i]) == zlib.crc32(v.encode("utf-8"))
+    # sliced input (non-zero array offset) must route identically
+    sl = arr.slice(1000, 1500)
+    crc_s, mask_s = crc32_u32_array(sl)
+    assert (crc_s == crc[1000:2500]).all()
+    # partition routing agrees with the small-array zlib path
+    big = crc32_partition_array(arr, 10).to_pylist()
+    small = [
+        (None if v is None else zlib.crc32(v.encode("utf-8")) % 10)
+        for v in vals
+    ]
+    assert big == small

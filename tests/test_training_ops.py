@@ -717,3 +717,26 @@ def test_ivf_training_sample_is_storage_order_independent():
     assert got1 == got2
     exp = sorted(ids[np.argsort(murmur64(ids), kind="stable")[:k]].tolist())
     assert got1 == exp
+
+
+def test_winnow_batch_matches_per_doc():
+    """The one-sweep batch winnower must be value-identical to the
+    per-doc reference incl. short-doc fallback, empty docs, unicode."""
+    from kafka_connect_plugins_ray.functions.hashing import (
+        winnow_fingerprint,
+        winnow_fingerprints_batch,
+    )
+    rng = np.random.RandomState(11)
+    texts = ["", "short", "x" * 15, "y" * 16, "z" * 23, BASE,
+             BASE.replace("quick", "rapid"), "héllo wörld φ " * 40]
+    for _ in range(40):
+        n = int(rng.randint(0, 400))
+        texts.append("".join(chr(rng.randint(32, 0x1000))
+                             for _ in range(n)))
+    got = winnow_fingerprints_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == winnow_fingerprint(t), (i, t[:30])
+    # sliced arrow input routes identically
+    arr = pa.array(texts, pa.string()).slice(5, 20)
+    got_s = winnow_fingerprints_batch(arr)
+    assert got_s.tolist() == got[5:25].tolist()
