@@ -122,7 +122,6 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("top_revenue_orders", Q.analytics.top_revenue_orders)
     consume("customer_order_stats", Q.analytics.customer_order_stats)
     consume("events_hourly", Q.analytics.events_hourly)
-    consume("events_hourly_distinct", Q.analytics.events_hourly_distinct)
     consume("shuffle_join_revenue", Q.analytics.shuffle_join_revenue)
     consume("price_quantiles_hdr", Q.q_price_quantiles)
     consume("top_terms_per_lang", Q.q_top_terms)
@@ -133,8 +132,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("dedup_embedding_cosine_lsh", Q.q_dedup_embedding_lsh)
     consume("ann_cosine_topk", Q.q_knn)
     consume("sample_documents", Q.q_sample)
-    consume("lang_id", Q.q_lang_id)
-    consume("doc_fingerprint", Q.q_fingerprint)
+    consume("text_metrics", Q.q_text_metrics)
     consume("doc_fingerprint_winnow", Q.q_fingerprint_winnow)
     consume("multimodal_decode", Q.q_multimodal)
     consume("asof_join", Q._q_asof_join)

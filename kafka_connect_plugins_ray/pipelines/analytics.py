@@ -1,7 +1,7 @@
 """Relational demos proving the engine's wide-operation patterns at the
 shapes that matter at 100 TB:
 
-- ``pricing_summary`` / ``events_hourly`` / ``customer_order_stats``:
+- ``pricing_summary`` / ``events_hopping`` / ``customer_order_stats``:
   partial aggregation inside map_batches (per-batch pyarrow group_by) then
   a remote fan-in ``tree_aggregate`` — the shuffle-free reduction for
   group-counts ≪ rows (the partials are one row per group per block).
@@ -9,9 +9,12 @@ shapes that matter at 100 TB:
 - ``customer_order_stats``: broadcast hash join — the small dimension side
   is ``ray.put`` once and looked up per batch with numpy searchsorted; no
   shuffle of the fact table.
+- ``events_hourly`` / ``shuffle_join_revenue``: the shapes that genuinely
+  need an exchange (windowed exact COUNT DISTINCT; large-to-large join) —
+  per-batch partials shrink the blocks, ONE bucketed exchange co-locates
+  keys, reduce finishes in-bucket.
 
-All return small pyarrow Tables (aggregates), computed without any
-all-to-all exchange.
+All return small pyarrow Tables (aggregates).
 """
 
 from __future__ import annotations
@@ -158,15 +161,18 @@ def events_hopping(sf_dir: str, hop_us: int = 1_800_000_000) -> pa.Table:
     return _round_cols(out, ["sum_value"])
 
 
-def events_hourly_distinct(sf_dir: str, num_buckets: int = 32) -> pa.Table:
-    """Windowed COUNT(DISTINCT user) per hour — the shape tree_aggregate
-    can't do (distinct isn't a sum): per-batch distinct (win, user) pairs
-    shrink each block, a hash exchange on the window co-locates each
-    window's pairs, and the per-window exact distinct count is computed in
-    its bucket.  Only distinct pairs ever shuffle."""
+def events_hourly(sf_dir: str, num_buckets: int = 32) -> pa.Table:
+    """Tumbling 1-hour window aggregate WITH windowed exact
+    COUNT(DISTINCT user) in one exchange — sum/count are tree-friendly
+    but distinct isn't, so the partial stage groups each batch to
+    distinct (win, user) pairs carrying per-pair sum/count partials
+    (each block shrinks to its distinct pairs), a hash exchange on the
+    window co-locates every window's pairs, and the per-window reduce
+    finishes sums, counts, and the exact distinct-user count in its
+    bucket.  Only distinct pairs ever shuffle."""
     from ..exchange import hash_exchange
 
-    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())
@@ -174,23 +180,34 @@ def events_hourly_distinct(sf_dir: str, num_buckets: int = 32) -> pa.Table:
         # (both sides truncate; events testdata is post-1970 — see the
         # floor_div_int note in CLAUDE.md for calendar-correct windows)
         win = pc.divide(us, 3_600_000_000)
-        pairs = pa.table({"win": win, "user_id": t["user_id"]})
-        g = pairs.group_by(["win", "user_id"]).aggregate([])
+        pairs = pa.table({
+            "win": win, "user_id": t["user_id"],
+            "sum_value": t["value"],
+            "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        g = pairs.group_by(["win", "user_id"]).aggregate(
+            [("sum_value", "sum"), ("n_events", "sum")])
+        g = g.rename_columns(["win", "user_id", "sum_value", "n_events"])
         bucket = (g.column("win").to_numpy() % num_buckets).astype(np.int32)
         return g.append_column("bucket", pa.array(bucket, pa.int32()))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def reduce_bucket(pid: int, t: pa.Table) -> pa.Table:
-        g = t.group_by(["win", "user_id"]).aggregate([])  # cross-block dedup
-        c = g.group_by("win").aggregate([("user_id", "count")])
-        return c.rename_columns(["win", "n_users"])
+        g = t.group_by(["win", "user_id"]).aggregate(
+            [("sum_value", "sum"), ("n_events", "sum")])
+        g = g.rename_columns(["win", "user_id", "sum_value", "n_events"])
+        c = g.group_by("win").aggregate([
+            ("sum_value", "sum"), ("n_events", "sum"), ("user_id", "count")])
+        return c.rename_columns(["win", "sum_value", "n_events", "n_users"])
 
     shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
     if not shards:
         return pa.table({"win": pa.array([], pa.int64()),
+                         "sum_value": pa.array([], pa.float64()),
+                         "n_events": pa.array([], pa.int64()),
                          "n_users": pa.array([], pa.int64())})
-    return pa.concat_tables(shards)
+    return _round_cols(pa.concat_tables(shards), ["sum_value"])
 
 
 def shuffle_join_revenue(sf_dir: str, num_buckets: int = 32) -> pa.Table:
@@ -269,20 +286,3 @@ def shuffle_join_revenue(sf_dir: str, num_buckets: int = 32) -> pa.Table:
     return _round_cols(out, ["total_revenue"])
 
 
-def events_hourly(sf_dir: str) -> pa.Table:
-    """Tumbling 1-hour window aggregate per user (event-stream shape)."""
-    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
-    combine = _regroup(["user_id", "win"], ["sum_value", "n_events"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        us = pc.cast(t["ts"], pa.int64())  # epoch micros
-        win = pc.divide(us, 3_600_000_000)
-        t = pa.table({
-            "user_id": t["user_id"], "win": win, "sum_value": t["value"],
-            "n_events": pa.array(np.ones(t.num_rows, np.int64)),
-        })
-        return combine(t)
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = tree_aggregate(partials, combine)
-    return _round_cols(out, ["sum_value"])

@@ -69,6 +69,43 @@ def _last_per_key(t: pa.Table, key_cols: Sequence[str]) -> pa.Table:
     return t.take(pa.array(_key_boundaries(t, key_cols), pa.int64()))
 
 
+_SEG_COL = "_kcp_seg"
+_OP_UPSERT_SENTINEL = "upsert"
+
+
+def _resolve_partition(lake_root: str, base_rel: "str | None",
+                       delta_rels: Sequence[str], key_cols: Sequence[str],
+                       op_col: str = "op") -> "pa.Table | None":
+    """Merge-on-read of one partition: base file rows (all live upserts)
+    overlaid by its delta files IN COMMIT ORDER — for each key the
+    newest segment's row wins (each delta is already LWW-reduced within
+    its segment by DeltaGroup, so cross-segment resolution is just
+    segment order, exactly what the COW merge would have produced), then
+    tombstoned keys drop.  Returns the live rows with ``op_col`` removed,
+    or None when the partition has no files."""
+    key_cols = list(key_cols)
+    tables: list[pa.Table] = []
+    if base_rel is not None:
+        t = pq.read_table(os.path.join(lake_root, base_rel))
+        if op_col not in t.column_names:
+            t = t.append_column(
+                op_col, pa.array([_OP_UPSERT_SENTINEL] * t.num_rows))
+        tables.append(t)
+    for rel in delta_rels:
+        tables.append(pq.read_table(os.path.join(lake_root, rel)))
+    if not tables:
+        return None
+    tables = [t.append_column(_SEG_COL, pa.array(
+        np.full(t.num_rows, i, np.int64))) for i, t in enumerate(tables)]
+    merged = pa.concat_tables(unify_tables(tables)) if len(tables) > 1 \
+        else tables[0]
+    merged = merged.sort_by(
+        [(c, "ascending") for c in key_cols + [_SEG_COL]])
+    live = _last_per_key(merged, key_cols)
+    live = live.filter(pc.not_equal(live.column(op_col), "delete"))
+    return live.drop_columns([op_col, _SEG_COL])
+
+
 # per-batch partial-LWW bookkeeping columns (see ingest(pre_reduce=...))
 _META_IN_ROWS = "_kcp_in_rows"
 _META_LSN_MIN = "_kcp_lsn_min"
@@ -114,9 +151,11 @@ class MergeGroup:
 
     def __init__(self, lake_root: str, parent_files: dict[int, str],
                  data_dir: str, key_cols: Sequence[str],
-                 order_cols: Sequence[str], lsn_col: str, op_col: str):
+                 order_cols: Sequence[str], lsn_col: str, op_col: str,
+                 parent_deltas: "dict[int, list] | None" = None):
         self.lake_root = lake_root
         self.parent_files = parent_files
+        self.parent_deltas = parent_deltas or {}
         self.data_dir = data_dir
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
@@ -145,10 +184,11 @@ class MergeGroup:
         n_deletes = pc.sum(pc.cast(delete_mask, pa.int64())).as_py() or 0
         upserts = final_events.filter(pc.invert(delete_mask)).drop_columns([self.op_col])
 
-        old: "pa.Table | None" = None
-        rel_old = self.parent_files.get(pid)
-        if rel_old is not None:
-            old = pq.read_table(os.path.join(self.lake_root, rel_old))
+        # parent state = base overlaid by any pending delta files (a COW
+        # rewrite folds the partition's delta chain back into one file)
+        old = _resolve_partition(
+            self.lake_root, self.parent_files.get(pid),
+            self.parent_deltas.get(pid, []), self.key_cols, self.op_col)
 
         if old is not None and old.num_rows:
             # remove every touched key from the old state (deletes AND
@@ -184,13 +224,74 @@ class MergeGroup:
         }
 
 
+class DeltaGroup:
+    """map_groups callable for ``ingest(mode="delta")``: write ONLY the
+    partition's LWW-reduced new events (op column retained so tombstones
+    survive to read/compaction time) as an append-only delta file — the
+    small-ingest fast path: a 100-row update to a multi-GB partition
+    writes ~100 rows instead of rewriting the base (COW's write
+    amplification).  Readers overlay deltas newest-wins
+    (``_resolve_partition``); ``maintenance.compact_lake`` folds the chain
+    back into one base file when it grows."""
+
+    def __init__(self, lake_root: str, data_dir: str,
+                 key_cols: Sequence[str], order_cols: Sequence[str],
+                 lsn_col: str, op_col: str):
+        self.lake_root = lake_root
+        self.data_dir = data_dir
+        self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols)
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+
+    def __call__(self, pid: int, group: pa.Table) -> dict:
+        events = group.drop_columns(["partition_id"])
+        if _META_IN_ROWS in events.column_names:
+            input_rows = pc.sum(events.column(_META_IN_ROWS)).as_py() or 0
+            lsn_min = pc.min(events.column(_META_LSN_MIN)).as_py()
+            lsn_max = pc.max(events.column(_META_LSN_MAX)).as_py()
+            events = events.drop_columns(list(_META_COLS))
+        else:
+            input_rows = events.num_rows
+            lsn_min = pc.min(events.column(self.lsn_col)).as_py()
+            lsn_max = pc.max(events.column(self.lsn_col)).as_py()
+
+        events = events.sort_by(
+            [(c, "ascending") for c in self.key_cols + self.order_cols])
+        final_events = _last_per_key(events, self.key_cols)
+        delete_mask = pc.equal(final_events.column(self.op_col), "delete")
+        n_deletes = pc.sum(pc.cast(delete_mask, pa.int64())).as_py() or 0
+
+        rel = f"{self.data_dir}/delta-{pid:05d}.parquet"
+        abspath = os.path.join(self.lake_root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp-{os.getpid()}"
+        pq.write_table(final_events, tmp)
+        os.replace(tmp, abspath)
+
+        return {
+            "partition_id": pid,
+            "file": rel,
+            "rows": final_events.num_rows,
+            "bytes": os.path.getsize(abspath),
+            "input_rows": input_rows,
+            "upserts": final_events.num_rows - n_deletes,
+            "deletes": n_deletes,
+            "lsn_min": lsn_min,
+            "lsn_max": lsn_max,
+            "columns": ",".join(c for c in final_events.column_names
+                                if c != self.op_col),
+        }
+
+
 def ingest(lake_root: str, events: "rd.Dataset", *,
            transforms: "Sequence[Any] | None" = None,
            key_cols: Sequence[str] = ("repo", "path"),
            order_cols: Sequence[str] = ("commit", "lsn"),
            lsn_col: str = "lsn", op_col: str = "op",
            num_partitions: int = DEFAULT_NUM_PARTITIONS,
-           resume: bool = True, pre_reduce: bool = True) -> Manifest:
+           resume: bool = True, pre_reduce: bool = True,
+           mode: str = "cow") -> Manifest:
     """One ingest cycle; returns the committed manifest.
 
     ``resume=True`` skips events at or below the current manifest's
@@ -207,7 +308,18 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     rows to one merge task.  The high-water LSN is still computed over the
     *unreduced* stream (``lsn_max`` tracking rides along as a column) so
     resume semantics are unchanged.
-    """
+
+    ``mode="cow"`` (default) rewrites each touched partition's base file
+    (read amplification 0, write amplification = partition size / delta
+    size).  ``mode="delta"`` appends one LWW-reduced delta file per
+    touched partition instead — the small-frequent-ingest shape at 100 TB
+    where rewriting multi-GB partitions per cycle is the bottleneck;
+    readers overlay the delta chain newest-wins and
+    ``maintenance.compact_lake`` folds it back into one base file.  Both
+    modes commit through the same atomic manifest swap and converge to
+    identical lake state (oracle-gated)."""
+    if mode not in ("cow", "delta"):
+        raise ValueError(f"unknown ingest mode {mode!r}")
     store = LakeStore(lake_root)
     parent = store.current()
     version = (parent.version + 1) if parent else 1
@@ -241,23 +353,29 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     # attempt-scoped staging dir: unique per ingest() call (see MergeGroup)
     import secrets
 
-    merge = MergeGroup(
-        lake_root, parent.files if parent else {},
-        f"data/v{version}-{secrets.token_hex(4)}",
-        key_cols, order_cols, lsn_col, op_col,
-    )
+    data_dir = f"data/v{version}-{secrets.token_hex(4)}"
+    if mode == "delta":
+        merge: Any = DeltaGroup(lake_root, data_dir, key_cols, order_cols,
+                                lsn_col, op_col)
+    else:
+        merge = MergeGroup(
+            lake_root, parent.files if parent else {}, data_dir,
+            key_cols, order_cols, lsn_col, op_col,
+            parent_deltas=parent.deltas if parent else None,
+        )
     # the ONE wide step: explicit two-stage hash exchange (see exchange.py
     # for why this outperforms Dataset.groupby here by ~10x)
     lineage_rows = hash_exchange(events, "partition_id", num_partitions, merge)
 
     files = dict(parent.files) if parent else {}
     partitions = dict(parent.partitions) if parent else {}
+    deltas = ({k: list(v) for k, v in parent.deltas.items()}
+              if parent else {})
     hw = parent.high_water_lsn if parent else -1
     columns: set[str] = set(parent.schema or []) if parent else set()
     for row in lineage_rows:
         pid = int(row["partition_id"])
-        files[pid] = row["file"]
-        partitions[pid] = {
+        lineage = {
             "file": row["file"],
             "rows": int(row["rows"]),
             "bytes": int(row["bytes"]),
@@ -267,6 +385,19 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
             "lsn_range": [int(row["lsn_min"]), int(row["lsn_max"])],
             "parent_version": parent.version if parent else None,
         }
+        if mode == "delta":
+            deltas.setdefault(pid, []).append(row["file"])
+            lineage["delta"] = True
+            # partition lineage keeps the base entry's surviving-row
+            # count unknowable without a read — record the delta's own
+            # stats under the delta entry, leave files[pid] untouched
+            prev = partitions.get(pid, {})
+            lineage["base_file"] = files.get(pid)
+            lineage["base_rows"] = prev.get("rows")
+        else:
+            files[pid] = row["file"]
+            deltas[pid] = []  # a COW rewrite folds the delta chain in
+        partitions[pid] = lineage
         hw = max(hw, int(row["lsn_max"]))
         columns.update(row["columns"].split(","))
 
@@ -278,6 +409,9 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         partitions=partitions,
         schema=sorted(columns),
         num_partitions=num_partitions,
+        deltas={k: v for k, v in deltas.items() if v},
+        key_cols=list(key_cols),
+        op_col=op_col,
     )
     store.commit(manifest, expected_parent=parent.version if parent else None)
     return manifest
@@ -296,15 +430,17 @@ def lookup_key(lake_root: str, key_values: Sequence[str],
     store = LakeStore(lake_root)
     manifest = store.current() if version is None \
         else store.read_manifest(version)
-    if manifest is None or not manifest.files:
+    if manifest is None or (not manifest.files and not manifest.deltas):
         return pa.table({})
     joined = KEY_SEP.join(str(v) for v in key_values)
     pid = crc32_partition_array(
         pa.array([joined], pa.string()), manifest.num_partitions)[0].as_py()
-    rel = manifest.files.get(pid)
-    if rel is None:
+    base_rel, delta_rels = manifest.partition_files(pid)
+    if base_rel is None and not delta_rels:
         return pa.table({})
-    t = pq.read_table(store.abspath(rel))
+    t = _resolve_partition(lake_root, base_rel, delta_rels,
+                           manifest.key_cols or list(key_cols),
+                           manifest.op_col or "op")
     mask = None
     for col, val in zip(key_cols, key_values):
         m = pc.equal(t[col], val)
@@ -318,10 +454,32 @@ def read_lake(lake_root: str, columns: "list[str] | None" = None,
 
     ``version`` reads a historical snapshot (time travel): any manifest
     version that has not been garbage-collected is readable, because data
-    files are immutable and only ever referenced by manifests."""
+    files are immutable and only ever referenced by manifests.
+
+    When the manifest carries pending delta files (``mode="delta"``
+    ingests since the last compaction), the read is merge-on-read: one
+    remote task per partition overlays the delta chain on the base file
+    (newest-wins + tombstone drop) and the Dataset is built from those
+    resolved blocks; with no deltas it is a plain partition-pruned
+    ``read_parquet``."""
+    import ray
+
     store = LakeStore(lake_root)
     manifest = store.current() if version is None else store.read_manifest(version)
-    if manifest is None or not manifest.files:
+    if manifest is None or (not manifest.files and not manifest.deltas):
         return rd.from_arrow(pa.table({}))
-    paths = [store.abspath(rel) for rel in manifest.files.values()]
-    return rd.read_parquet(paths, columns=columns)
+    if not manifest.deltas:
+        paths = [store.abspath(rel) for rel in manifest.files.values()]
+        return rd.read_parquet(paths, columns=columns)
+    key_cols = manifest.key_cols or ["repo", "path"]
+    op_col = manifest.op_col or "op"
+    pids = sorted(set(manifest.files) | set(manifest.deltas))
+    resolve = ray.remote(_resolve_partition)
+    refs = [resolve.remote(lake_root, manifest.files.get(pid),
+                           manifest.deltas.get(pid, []), key_cols, op_col)
+            for pid in pids]
+    ds = rd.from_arrow_refs(refs)
+    if columns is not None:
+        ds = ds.map_batches(lambda t: t.select(columns),
+                            batch_format="pyarrow")
+    return ds

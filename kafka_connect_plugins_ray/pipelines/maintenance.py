@@ -1,5 +1,5 @@
-"""Lake maintenance: garbage collection of unreferenced versions and
-layout repartitioning.
+"""Lake maintenance: garbage collection of unreferenced versions,
+small-file compaction of delta chains, and layout repartitioning.
 
 - ``gc``: a committed lake accumulates ``data/v*`` directories (COW never
   rewrites in place) plus orphans from crashed attempts.  GC keeps the
@@ -43,9 +43,15 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
     referenced: set[str] = set()
     # the CURRENT manifest must be readable — treating it as missing would
     # make `referenced` empty and delete every live data file
+    def _refs(man) -> set:
+        out = set(man.files.values())
+        for chain in man.deltas.values():
+            out.update(chain)
+        return out
+
     m = store.read_manifest(current)
     keep.add(current)
-    referenced.update(m.files.values())
+    referenced.update(_refs(m))
     v = m.parent
     while v is not None and len(keep) < keep_versions:
         try:
@@ -53,7 +59,7 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
         except FileNotFoundError:
             break  # parent already GC'd — fine
         keep.add(v)
-        referenced.update(m.files.values())
+        referenced.update(_refs(m))
         v = m.parent
 
     def _dir_version(name: str) -> "int | None":
@@ -91,6 +97,87 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
     return {"removed_dirs": removed_dirs,
             "removed_manifests": removed_manifests,
             "kept": sorted(keep)}
+
+
+def compact_lake(lake_root: str) -> Manifest:
+    """Small-file compaction: fold every partition's pending delta chain
+    (``ingest(mode="delta")`` appends) back into ONE base file at a new
+    committed version.  At 100 TB with frequent small ingests this is
+    what keeps merge-on-read amplification bounded: deltas accumulate
+    cheaply between compactions, and compaction touches only the
+    partitions that have deltas — one remote task each, tmp+rename into
+    an attempt-scoped staging dir, atomic manifest swap (a crash
+    mid-compaction leaves the delta manifest current and the orphaned
+    attempt dir collectible, same protocol as ingest).
+
+    State is provably unchanged: the compacted file is exactly
+    ``_resolve_partition``'s merge-on-read output (pinned by state-hash
+    equality in tests and by the ``cdc_compacted_state`` oracle query).
+    Returns the new manifest (or the current one when nothing to do)."""
+    import secrets
+
+    import ray
+
+    from .cdc_ingest import _resolve_partition
+
+    store = LakeStore(lake_root)
+    parent = store.current()
+    if parent is None:
+        raise ValueError("cannot compact an empty lake")
+    if not parent.deltas:
+        return parent  # nothing pending
+    version = parent.version + 1
+    data_dir = f"data/v{version}-{secrets.token_hex(4)}"
+    key_cols = parent.key_cols or ["repo", "path"]
+    op_col = parent.op_col or "op"
+
+    @ray.remote
+    def compact_one(pid: int, base_rel, delta_rels) -> dict:
+        t = _resolve_partition(lake_root, base_rel, delta_rels,
+                               key_cols, op_col)
+        rel = f"{data_dir}/part-{pid:05d}.parquet"
+        abspath = os.path.join(lake_root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, abspath)
+        return {"partition_id": pid, "file": rel, "rows": t.num_rows,
+                "bytes": os.path.getsize(abspath),
+                "n_deltas": len(delta_rels)}
+
+    pids = sorted(parent.deltas)
+    results = ray.get([
+        compact_one.remote(pid, *parent.partition_files(pid))
+        for pid in pids])
+
+    files = dict(parent.files)
+    partitions = dict(parent.partitions)
+    deltas = {k: list(v) for k, v in parent.deltas.items()}
+    for r in results:
+        pid = int(r["partition_id"])
+        files[pid] = r["file"]
+        prev = dict(partitions.get(pid, {}))
+        prev.update({
+            "file": r["file"], "rows": int(r["rows"]),
+            "bytes": int(r["bytes"]), "input_rows": 0, "upserts": 0,
+            "deletes": 0, "parent_version": parent.version,
+            "compacted_deltas": int(r["n_deltas"]),
+        })
+        prev.pop("delta", None)
+        prev.pop("base_file", None)
+        prev.pop("base_rows", None)
+        partitions[pid] = prev
+        deltas.pop(pid, None)
+
+    manifest = Manifest(
+        version=version, parent=parent.version,
+        high_water_lsn=parent.high_water_lsn,
+        files=files, partitions=partitions, schema=parent.schema,
+        num_partitions=parent.num_partitions,
+        deltas=deltas, key_cols=parent.key_cols, op_col=parent.op_col,
+    )
+    store.commit(manifest, expected_parent=parent.version)
+    return manifest
 
 
 def repartition_lake(lake_root: str, new_num_partitions: int,
@@ -141,6 +228,9 @@ def repartition_lake(lake_root: str, new_num_partitions: int,
         high_water_lsn=parent.high_water_lsn,
         files=files, partitions=partitions, schema=parent.schema,
         num_partitions=new_num_partitions,
+        key_cols=parent.key_cols, op_col=parent.op_col,
+        # deltas deliberately empty: read_lake resolved any pending chain,
+        # so the rewrite is also a full compaction
     )
     store.commit(manifest)
     return manifest

@@ -49,10 +49,22 @@ class Manifest:
     version: int
     parent: "int | None"
     high_water_lsn: int
-    files: dict[int, str] = field(default_factory=dict)  # pid -> relpath
+    files: dict[int, str] = field(default_factory=dict)  # pid -> base relpath
     partitions: dict[int, dict] = field(default_factory=dict)  # pid -> lineage
     schema: "list[str] | None" = None  # committed column names (evolution log)
     num_partitions: "int | None" = None  # the lake's crc32 % P layout
+    # pid -> ordered delta files (mode="delta" ingests append here instead
+    # of rewriting the base; readers apply them newest-wins at read time
+    # and compact_lake folds them back into one base file)
+    deltas: dict[int, list] = field(default_factory=dict)
+    # lake-level merge schema: the key/op columns readers need to resolve
+    # delta chains without out-of-band knowledge
+    key_cols: "list | None" = None
+    op_col: "str | None" = None
+
+    def partition_files(self, pid: int) -> "tuple[str | None, list]":
+        """(base file, ordered delta files) for one partition."""
+        return self.files.get(pid), list(self.deltas.get(pid, []))
 
     def to_json(self) -> str:
         return json.dumps(
@@ -64,6 +76,9 @@ class Manifest:
                 "partitions": {str(k): v for k, v in self.partitions.items()},
                 "schema": self.schema,
                 "num_partitions": self.num_partitions,
+                "deltas": {str(k): v for k, v in self.deltas.items() if v},
+                "key_cols": self.key_cols,
+                "op_col": self.op_col,
             },
             indent=1,
             sort_keys=True,
@@ -80,6 +95,9 @@ class Manifest:
             partitions={int(k): v for k, v in d.get("partitions", {}).items()},
             schema=d.get("schema"),
             num_partitions=d.get("num_partitions"),
+            deltas={int(k): list(v) for k, v in d.get("deltas", {}).items()},
+            key_cols=d.get("key_cols"),
+            op_col=d.get("op_col"),
         )
 
 

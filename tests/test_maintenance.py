@@ -202,3 +202,96 @@ def test_concurrent_commit_detected(tmp_path):
         store.commit(Manifest(version=2, parent=1, high_water_lsn=5,
                               files={}, partitions={}, num_partitions=32),
                      expected_parent=1)
+
+
+def _seg2_base() -> int:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    max_doc = pc.max(pq.read_table(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id"])["doc_id"]).as_py()
+    return 4 * max_doc + 4
+
+
+def test_delta_ingest_merge_on_read_equals_cow(tmp_path):
+    from kafka_connect_plugins_ray.pipelines.cdc_ingest import lookup_key
+
+    base = _seg2_base()
+    cow = _fresh(tmp_path, "cow")
+    ingest(cow, binlog_from_documents(SF))
+    ingest(cow, binlog_from_documents(SF, rounds=1, base_lsn=base))
+    h_cow = _state_hash(cow)
+
+    dl = _fresh(tmp_path, "dl")
+    ingest(dl, binlog_from_documents(SF))
+    m = ingest(dl, binlog_from_documents(SF, rounds=1, base_lsn=base),
+               mode="delta")
+    assert m.deltas  # chain pending
+    assert _state_hash(dl) == h_cow  # merge-on-read == cow rewrite
+    # point lookup resolves through the delta chain (later segment wins)
+    row = lookup_key(dl, ["repo-1", "src/doc_1.txt"])
+    assert row.num_rows == 1
+    assert row["commit"][0].as_py().startswith("c000002")
+
+
+def test_compact_lake_state_hash_invariant(tmp_path):
+    from kafka_connect_plugins_ray.pipelines.maintenance import compact_lake
+
+    base = _seg2_base()
+    lake = _fresh(tmp_path, "compact")
+    ingest(lake, binlog_from_documents(SF))
+    m = ingest(lake, binlog_from_documents(SF, rounds=1, base_lsn=base),
+               mode="delta")
+    h_pre = _state_hash(lake)
+    m2 = compact_lake(lake)
+    assert m2.version == m.version + 1
+    assert not m2.deltas
+    assert _state_hash(lake) == h_pre
+    # compacting a compacted lake is a no-op returning the same manifest
+    m3 = compact_lake(lake)
+    assert m3.version == m2.version
+    # gc after compaction collects the now-unreferenced delta files
+    gc(lake, keep_versions=1)
+    assert _state_hash(lake) == h_pre
+    # time travel to the delta version still works while manifests survive
+
+
+def test_cow_after_delta_folds_chain(tmp_path):
+    base = _seg2_base()
+    lake = _fresh(tmp_path, "fold")
+    ingest(lake, binlog_from_documents(SF))
+    ingest(lake, binlog_from_documents(SF, rounds=1, base_lsn=base),
+           mode="delta")
+    h_pre = _state_hash(lake)
+    # replaying the SAME segment as cow resume-filters to zero events:
+    # nothing rewrites, the delta chain must survive untouched
+    m0 = ingest(lake, binlog_from_documents(SF, rounds=1, base_lsn=base),
+                mode="cow")
+    assert _state_hash(lake) == h_pre
+    assert m0.deltas
+    # a NEW cow segment rewrites the touched partitions, folding their
+    # delta chains into the new base files; state equals a pure-cow lake
+    # fed the same three segments
+    m = ingest(lake, binlog_from_documents(SF, rounds=1, base_lsn=2 * base),
+               mode="cow")
+    assert not m.deltas  # every partition was touched and rewritten
+    cow = _fresh(tmp_path, "fold-ref")
+    ingest(cow, binlog_from_documents(SF))
+    ingest(cow, binlog_from_documents(SF, rounds=1, base_lsn=base))
+    ingest(cow, binlog_from_documents(SF, rounds=1, base_lsn=2 * base))
+    assert _state_hash(lake) == _state_hash(cow)
+
+
+def test_delta_ingest_resume_high_water(tmp_path):
+    base = _seg2_base()
+    lake = _fresh(tmp_path, "dhw")
+    ingest(lake, binlog_from_documents(SF))
+    m = ingest(lake, binlog_from_documents(SF, rounds=1, base_lsn=base),
+               mode="delta")
+    h = _state_hash(lake)
+    # replaying the same delta segment is a no-op (resume filter)
+    m2 = ingest(lake, binlog_from_documents(SF, rounds=1, base_lsn=base),
+                mode="delta")
+    assert m2.high_water_lsn == m.high_water_lsn
+    assert _state_hash(lake) == h
