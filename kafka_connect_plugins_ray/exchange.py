@@ -54,6 +54,31 @@ def _as_table(block) -> "pa.Table | None":
     return pa.table(block)
 
 
+def _route_order(slot: np.ndarray, num_out: int) -> "tuple[np.ndarray, np.ndarray]":
+    """The routing kernel every exchange shares: one stable argsort of the
+    precomputed slot ids + searchsorted slice bounds.  Returns (order,
+    bounds) with bounds of length num_out+1 over the sorted order."""
+    order = np.argsort(slot, kind="stable")
+    bounds = np.searchsorted(slot[order], np.arange(num_out + 1))
+    return order, bounds
+
+
+def bucket_slices(arrays: "dict[str, np.ndarray]", bucket: np.ndarray,
+                  num_buckets: int) -> tuple:
+    """Route parallel int64 arrays into ``num_buckets`` per-bucket tables
+    by a precomputed bucket id (None for empty buckets) — the
+    message-routing primitive for ITERATIVE exchanges (e.g. distributed
+    connected components' label propagation), built on the same
+    ``_route_order`` kernel as the one-shot ``hash_exchange`` split."""
+    order, bounds = _route_order(bucket, num_buckets)
+    cols = {k: np.asarray(v)[order] for k, v in arrays.items()}
+    return tuple(
+        (pa.table({k: pa.array(v[s:e], pa.int64())
+                   for k, v in cols.items()})
+         if e > s else None)
+        for s, e in zip(bounds[:-1], bounds[1:]))
+
+
 def _split_by_pid(pid_col: str, num_out: int, divisor: int, base: int,
                   *blocks: pa.Table):
     """Split blocks into ``num_out`` slices by slot = (pid - base) //
@@ -85,10 +110,8 @@ def _split_by_pid(pid_col: str, num_out: int, divisor: int, base: int,
         raise ValueError(
             f"'{pid_col}' values outside [{base}, "
             f"{base + num_out * divisor}): min={pid.min()}, max={pid.max()}")
-    order = np.argsort(slot, kind="stable")
+    order, bounds = _route_order(slot, num_out)
     sorted_tbl = block.take(pa.array(order, type=pa.int64()))
-    sslot = slot[order]
-    bounds = np.searchsorted(sslot, np.arange(num_out + 1))
     out = tuple(
         sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
         for i in range(num_out)

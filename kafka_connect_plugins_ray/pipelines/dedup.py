@@ -362,13 +362,6 @@ def connected_components(pairs: pa.Table) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def _cc_table(node: np.ndarray, other: np.ndarray) -> "pa.Table | None":
-    if node.size == 0:
-        return None
-    return pa.table({"node": pa.array(node, pa.int64()),
-                     "other": pa.array(other, pa.int64())})
-
-
 def connected_components_distributed(pair_refs, num_buckets: int = 16,
                                      max_rounds: int = 64) -> pa.Table:
     """Distributed min-label propagation over sharded candidate pairs —
@@ -394,6 +387,8 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
 
     B = num_buckets
 
+    from ..exchange import bucket_slices
+
     @ray.remote
     def edge_split(*tables):
         live = [t for t in tables if t is not None and t.num_rows]
@@ -404,12 +399,7 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
         b = t.column("doc_b").to_numpy().astype(np.int64)
         node = np.concatenate([a, b])
         other = np.concatenate([b, a])
-        bucket = node % B
-        order = np.argsort(bucket, kind="stable")
-        node, other, bucket = node[order], other[order], bucket[order]
-        bounds = np.searchsorted(bucket, np.arange(B + 1))
-        return tuple(_cc_table(node[s:e], other[s:e])
-                     for s, e in zip(bounds[:-1], bounds[1:]))
+        return bucket_slices({"node": node, "other": other}, node % B, B)
 
     @ray.remote
     def concat_adj(*parts):
@@ -443,18 +433,7 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
         o, lab = o[order], lab[order]
         first = np.concatenate(([True], o[1:] != o[:-1]))
         o, lab = o[first], lab[first]
-        bucket = o % B
-        order = np.argsort(bucket, kind="stable")
-        o, lab, bucket = o[order], lab[order], bucket[order]
-        bounds = np.searchsorted(bucket, np.arange(B + 1))
-        out = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e <= s:
-                out.append(None)
-            else:
-                out.append(pa.table({"node": pa.array(o[s:e], pa.int64()),
-                                     "label": pa.array(lab[s:e], pa.int64())}))
-        return tuple(out)
+        return bucket_slices({"node": o, "label": lab}, o % B, B)
 
     @ray.remote(num_returns=2)
     def update(labels, *msgs):
@@ -489,15 +468,7 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
         l = labels.column("label").to_numpy()
         sel = l != n
         tgt, node = l[sel], n[sel]
-        bucket = tgt % B
-        order = np.argsort(bucket, kind="stable")
-        tgt, node, bucket = tgt[order], node[order], bucket[order]
-        bounds = np.searchsorted(bucket, np.arange(B + 1))
-        return tuple(
-            (pa.table({"target": pa.array(tgt[s:e], pa.int64()),
-                       "node": pa.array(node[s:e], pa.int64())})
-             if e > s else None)
-            for s, e in zip(bounds[:-1], bounds[1:]))
+        return bucket_slices({"target": tgt, "node": node}, tgt % B, B)
 
     @ray.remote
     def shortcut_reply(labels, *queries):
@@ -515,15 +486,7 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
         idx = np.clip(np.searchsorted(ln, tgt), 0, ln.size - 1)
         found = ln[idx] == tgt
         lab = np.where(found, ll[idx], tgt)  # miss -> no-op (own label)
-        bucket = node % B
-        order = np.argsort(bucket, kind="stable")
-        node, lab, bucket = node[order], lab[order], bucket[order]
-        bounds = np.searchsorted(bucket, np.arange(B + 1))
-        return tuple(
-            (pa.table({"node": pa.array(node[s:e], pa.int64()),
-                       "label": pa.array(lab[s:e], pa.int64())})
-             if e > s else None)
-            for s, e in zip(bounds[:-1], bounds[1:]))
+        return bucket_slices({"node": node, "label": lab}, node % B, B)
 
     split_refs = [edge_split.options(num_returns=B).remote(r)
                   for r in pair_refs]

@@ -1,19 +1,25 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The media payload is a REAL BMP container: ``attach_payload`` writes each
-document's bytes into a well-formed 54-byte BMP header (magic, file size,
-width/height as little-endian int32 at offsets 18/22, frame count carried
-in the reserved field at offset 6) followed by the pixel payload, and
-``BmpDecoder`` decodes by PARSING THOSE BYTES — vectorized gathers into
-the Arrow binary buffer, no per-row Python — so the decode query verifies
-actual byte parsing, not a length-derived fake (round-1 review item 8).
+The media payloads are REAL containers in two formats (chosen per row by
+doc parity, so one corpus exercises both decode branches):
 
-Codecs that need native libraries (JPEG/PNG/ffmpeg) are not available in
-this container; ``BmpDecoder(strict=True)`` raises NotImplementedError on
-a non-BMP magic to mark that boundary explicitly.  The Ray-side shape is
-production-real throughout: actor-pool ``map_batches`` stage, small batch
-sizes for large payloads, typed struct metadata output, flat-map frame
-expansion.
+- BMP: a well-formed 54-byte header (magic, file size, width/height as
+  little-endian int32 at offsets 18/22, frame count carried in the
+  reserved field at offset 6) followed by the raw pixel payload.
+- PNG (r3): signature + IHDR (big-endian dims) + an APNG ``acTL`` chunk
+  carrying the frame count + an IDAT whose data is the payload
+  zlib-DEFLATE-compressed + IEND, all with real CRCs — an actual
+  entropy-coded format decodable with the stdlib.
+
+``MediaDecoder`` decodes by PARSING THE BYTES: vectorized gathers into
+the Arrow binary buffer for every fixed-offset field (both endiannesses),
+and a real ``zlib.decompress`` per PNG row for the entropy-coded pixel
+data (inflate is inherently per-stream C work — exactly where libjpeg
+would sit).  ``strict=True`` raises NotImplementedError on any OTHER
+magic (JPEG/video codecs are absent in this container — that boundary
+stays explicit).  The Ray-side shape is production-real throughout:
+actor-pool ``map_batches`` stage, small batch sizes for large payloads,
+typed struct metadata output, flat-map frame expansion.
 
 At 100 TB the shape is: ``read_parquet(..., columns=[id, payload])`` with a
 small ``batch_size`` (payload bytes × batch_size × concurrency must fit the
@@ -23,16 +29,40 @@ outputs written partitioned by input shard.
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
 BMP_HEADER_LEN = 54
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# fixed chunk layout written by _png_container: sig(8), IHDR chunk
+# (8..33), acTL chunk (33..53), IDAT length/type at 53/57, data at 61
+_PNG_IDAT_LEN_OFF = 53
+_PNG_IDAT_DATA_OFF = 61
 
 # max total container bytes per batch with int32 offsets; tests
 # monkeypatch this down to exercise the large_binary path on small data
 _SMALL_OFFSET_LIMIT = 2**31 - 1
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def _png_container(payload: bytes, width: int, height: int,
+                   n_frames: int) -> bytes:
+    """A well-formed (A)PNG: IHDR dims big-endian, acTL frame count,
+    IDAT = zlib-compressed payload with a real CRC per chunk."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    actl = struct.pack(">II", n_frames, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"acTL", actl)
+            + _png_chunk(b"IDAT", zlib.compress(payload, 6))
+            + _png_chunk(b"IEND", b""))
 
 
 def _text_bytes(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
@@ -43,17 +73,27 @@ def _text_bytes(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
 
 
 def attach_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Wrap each document's UTF-8 bytes in a real BMP container (the
-    sandbox stand-in for stored image bytes): 54-byte header with
-    width = n%640, height = n%480 (int32 LE at offsets 18/22), frame count
-    n%30+1 in the reserved uint16 at offset 6, then the payload bytes.
-    Header fields are built as one vectorized (rows × 54) uint8 matrix;
-    assembly is a single join over row slices."""
+    """Wrap each document's UTF-8 bytes in a real media container (the
+    sandbox stand-in for stored image bytes): even doc_ids get a BMP
+    (54-byte header, width = n%640 / height = n%480 int32 LE at offsets
+    18/22, frame count n%30+1 in the reserved uint16 at offset 6, raw
+    payload), odd doc_ids get a PNG with the SAME logical metadata
+    (big-endian IHDR dims, acTL frame count, zlib-compressed IDAT) —
+    so the corpus drives both decoder branches and the SQL oracle's
+    metadata formulas hold regardless of format.  BMP header fields are
+    one vectorized (rows × 54) uint8 matrix; container assembly is the
+    per-row synthetic-writer join (decode side is the vectorized path
+    that matters)."""
     binc = _text_bytes(batch.column(text_col))
     n = len(binc)
     valid = np.asarray(pc.is_valid(binc))
     lens = np.asarray(pc.binary_length(binc).fill_null(0),
                       dtype=np.int64)
+    if "doc_id" in batch.column_names:
+        use_png = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+                   .astype(np.int64) % 2 == 1)
+    else:
+        use_png = np.zeros(n, dtype=bool)
     hdr = np.zeros((n, BMP_HEADER_LEN), dtype=np.uint8)
     hdr[:, 0] = 0x42  # 'B'
     hdr[:, 1] = 0x4D  # 'M'
@@ -73,12 +113,20 @@ def attach_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     payloads = binc.to_pylist()
     parts = []
+    out_lens = np.zeros(n, dtype=np.int64)
     for i in range(n):
-        if valid[i]:
+        if not valid[i]:
+            continue
+        if use_png[i]:
+            c = _png_container(payloads[i], int(lens[i] % 640),
+                               int(lens[i] % 480), int(lens[i] % 30 + 1))
+            parts.append(c)
+            out_lens[i] = len(c)
+        else:
             parts.append(hdr[i].tobytes())
             parts.append(payloads[i])
+            out_lens[i] = BMP_HEADER_LEN + lens[i]
     buf = b"".join(parts)
-    out_lens = np.where(valid, BMP_HEADER_LEN + lens, 0)
     off64 = np.zeros(n + 1, dtype=np.int64)
     off64[1:] = np.cumsum(out_lens)
     validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
@@ -99,17 +147,23 @@ def attach_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(pa.field("payload", pa.binary()), payload)
 
 
-class BmpDecoder:
-    """Actor-pool decode stage: parses real BMP headers out of the binary
-    payload column with vectorized gathers (magic check, int32 dims, frame
-    count, vectorized content hash) — per-actor setup in __init__ is where
-    a real deployment loads heavier codecs.
+class MediaDecoder:
+    """Actor-pool decode stage for BMP and PNG containers: every
+    fixed-offset header field is a vectorized gather into the Arrow
+    binary buffer (BMP little-endian, PNG big-endian, magic checks for
+    both), and PNG pixel data is REALLY inflated — one ``zlib.decompress``
+    per PNG row, the honest per-stream entropy-decode cost a JPEG/ffmpeg
+    codec would also pay.  Per-actor setup in ``__init__`` is where a
+    real deployment loads heavier codecs.
 
-    ``strict=True`` raises NotImplementedError on a non-BMP payload (the
-    explicit boundary where JPEG/PNG/video codecs would slot in — those
+    ``media_meta.n_bytes`` is the DECODED payload byte length for both
+    formats (container length − 54 for BMP, inflated IDAT length for
+    PNG), so the metadata is format-independent and SQL-derivable.
+
+    ``strict=True`` raises NotImplementedError on any OTHER magic (the
+    explicit boundary where JPEG/video codecs would slot in — those
     libraries are absent in this container); otherwise undecodable rows
-    yield null metadata.
-    """
+    yield null metadata."""
 
     META_TYPE = pa.struct([
         ("n_bytes", pa.int64()),
@@ -122,6 +176,13 @@ class BmpDecoder:
     def __init__(self, strict: bool = False):
         # per-actor setup: a real decoder would initialize codecs here
         self.strict = strict
+
+    @staticmethod
+    def _be32(hdr: np.ndarray, off: int) -> np.ndarray:
+        return ((hdr[:, off].astype(np.int64) << 24)
+                | (hdr[:, off + 1].astype(np.int64) << 16)
+                | (hdr[:, off + 2].astype(np.int64) << 8)
+                | hdr[:, off + 3].astype(np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column("payload")
@@ -139,26 +200,56 @@ class BmpDecoder:
         starts = offs[:-1]
         lens = offs[1:] - starts
         ok = valid & (lens >= BMP_HEADER_LEN)
+        # gather window covers both formats' fixed-offset fields: 54 for
+        # BMP, 61 (through the IDAT length/type) for PNG; indices are
+        # clamped at the buffer end — bytes past a short row are garbage
+        # but only ever read for rows whose format check says they exist
+        gather_len = _PNG_IDAT_DATA_OFF
         if data.size == 0 or not ok.any():
-            hdr = np.zeros((n, BMP_HEADER_LEN), dtype=np.uint8)
+            hdr = np.zeros((n, gather_len), dtype=np.uint8)
         else:
-            # vectorized header gather: (rows, 54) view of every header
-            gidx = starts[:, None] + np.arange(BMP_HEADER_LEN)
+            gidx = starts[:, None] + np.arange(gather_len)
+            gidx = np.minimum(gidx, data.size - 1)
             hdr = data[np.where(ok[:, None], gidx, 0)]
         is_bmp = ok & (hdr[:, 0] == 0x42) & (hdr[:, 1] == 0x4D)
-        if self.strict and bool((valid & ~is_bmp).any()):
+        sig = np.frombuffer(PNG_SIG, dtype=np.uint8)
+        is_png = ok & (hdr[:, :8] == sig[None, :]).all(axis=1) \
+            & (lens >= _PNG_IDAT_DATA_OFF)
+        if self.strict and bool((valid & ~is_bmp & ~is_png).any()):
             raise NotImplementedError(
-                "non-BMP payload: JPEG/PNG/video decode requires codec "
-                "libraries not present in this container")
-        width = hdr[:, 18:22].copy().view(np.int32)[:, 0]
-        height = hdr[:, 22:26].copy().view(np.int32)[:, 0]
-        frames = hdr[:, 6:8].copy().view(np.uint16)[:, 0].astype(np.int32)
-        n_bytes = lens
-        # vectorized content hash over the full payload bytes
+                "payload is neither BMP nor PNG: JPEG/video decode "
+                "requires codec libraries not present in this container")
+        # dims/frames: LE fields for BMP, BE IHDR/acTL fields for PNG
+        width = np.where(is_png, self._be32(hdr, 16),
+                         hdr[:, 18:22].copy().view(np.int32)[:, 0]
+                         .astype(np.int64)).astype(np.int32)
+        height = np.where(is_png, self._be32(hdr, 20),
+                          hdr[:, 22:26].copy().view(np.int32)[:, 0]
+                          .astype(np.int64)).astype(np.int32)
+        frames = np.where(is_png, self._be32(hdr, 41),
+                          hdr[:, 6:8].copy().view(np.uint16)[:, 0]
+                          .astype(np.int64)).astype(np.int32)
+        # decoded payload length: BMP = container - header (no entropy
+        # coding); PNG = inflate the IDAT (per-row stdlib C call)
+        n_bytes = np.where(is_bmp, lens - BMP_HEADER_LEN, 0)
         from ..functions.vhash import hash64_column
 
-        h = hash64_column(col).view(np.int64)
-        m = is_bmp
+        h = hash64_column(col).view(np.int64).copy()
+        if is_png.any():
+            idat_len = self._be32(hdr, _PNG_IDAT_LEN_OFF)
+            decoded: list = []
+            png_rows = np.nonzero(is_png)[0]
+            for i in png_rows:
+                s = starts[i] + _PNG_IDAT_DATA_OFF
+                raw = zlib.decompress(
+                    data[s:s + idat_len[i]].tobytes())
+                decoded.append(raw)
+            dl = np.array([len(d) for d in decoded], dtype=np.int64)
+            n_bytes[png_rows] = dl
+            # content hash over the DECODED bytes for entropy-coded rows
+            h[png_rows] = hash64_column(
+                pa.array(decoded, pa.binary())).view(np.int64)
+        m = is_bmp | is_png
         meta = pa.StructArray.from_arrays(
             [pa.array(np.where(m, n_bytes, 0), pa.int64()),
              pa.array(np.where(m, width, 0), pa.int32()),
@@ -169,6 +260,10 @@ class BmpDecoder:
             mask=pa.array(~m))
         out = batch.drop_columns(["payload"])
         return out.append_column(pa.field("media_meta", self.META_TYPE), meta)
+
+
+# back-compat alias (round-1/2 name; the class now handles PNG too)
+BmpDecoder = MediaDecoder
 
 
 class MetaResize:

@@ -1396,6 +1396,10 @@ def q_fingerprint_winnow(sf_dir: str) -> pa.Table:
 
 
 def q_multimodal(sf_dir: str) -> "rd.Dataset":
+    """Real container decode over a mixed-format corpus: even doc_ids are
+    BMP (LE header parse), odd are PNG (BE IHDR/acTL parse + a genuine
+    zlib inflate of the IDAT pixel data) — the oracle's metadata formulas
+    hold for both because the writers encode the same logical fields."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = decode_documents(docs)
     return out.map_batches(
@@ -1405,11 +1409,11 @@ def q_multimodal(sf_dir: str) -> "rd.Dataset":
 
 def q_multimodal_frames(sf_dir: str) -> "rd.Dataset":
     """Frame-sampling plumbing: one row per (doc, frame)."""
-    from .multimodal import attach_payload, BmpDecoder, sample_frames
+    from .multimodal import attach_payload, MediaDecoder, sample_frames
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     decoded = docs.map_batches(attach_payload, batch_format="pyarrow") \
-        .map_batches(BmpDecoder(), batch_format="pyarrow")
+        .map_batches(MediaDecoder(), batch_format="pyarrow")
     return decoded.map_batches(sample_frames, batch_format="pyarrow")
 
 
@@ -1421,9 +1425,11 @@ FROM documents
 """
 
 
+# n_bytes = the DECODED payload length (format-independent: BMP strips
+# the 54-byte header, PNG inflates the IDAT back to the original bytes)
 MULTIMODAL_ORACLE = """
 SELECT doc_id,
-       octet_length(encode(text)) + 54 AS n_bytes,
+       octet_length(encode(text)) AS n_bytes,
        (octet_length(encode(text)) % 640)::INT AS width,
        (octet_length(encode(text)) % 480)::INT AS height,
        (octet_length(encode(text)) % 30 + 1)::INT AS n_frames

@@ -123,9 +123,11 @@ def test_multimodal_real_bmp_decode():
         "text": pa.array(["abc", "defg"], pa.string()),
     }))
     out = decode_documents(ds).to_pandas().sort_values("doc_id")
-    # n_bytes is the real container size: 54-byte header + payload
-    assert out["n_bytes"].tolist() == [57, 58]
-    # dims/frames parsed from actual little-endian header fields
+    # n_bytes = the DECODED payload length for both formats (doc 1 is a
+    # PNG whose IDAT really round-trips through zlib; doc 2 a BMP)
+    assert out["n_bytes"].tolist() == [3, 4]
+    # dims/frames parsed from the actual header fields (BE for PNG,
+    # LE for BMP)
     assert out["width"].tolist() == [3, 4]
     assert out["height"].tolist() == [3, 4]
     assert out["n_frames"].tolist() == [4, 5]
@@ -134,7 +136,7 @@ def test_multimodal_real_bmp_decode():
 def test_bmp_container_is_wellformed():
     import struct
     from kafka_connect_plugins_ray.pipelines.multimodal import attach_payload
-    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+    t = pa.table({"doc_id": pa.array([8], pa.int64()),  # even -> BMP
                   "text": pa.array(["hello world"], pa.string())})
     payload = attach_payload(t).column("payload").to_pylist()[0]
     assert payload[:2] == b"BM"
@@ -740,3 +742,57 @@ def test_winnow_batch_matches_per_doc():
     arr = pa.array(texts, pa.string()).slice(5, 20)
     got_s = winnow_fingerprints_batch(arr)
     assert got_s.tolist() == got[5:25].tolist()
+
+
+def test_png_container_roundtrip_and_decode():
+    """The PNG writer emits a spec-valid (A)PNG — signature, chunk CRCs,
+    BE IHDR dims, acTL frame count — and MediaDecoder inflates the IDAT
+    back to the exact original bytes (real entropy decode)."""
+    import struct
+    import zlib as _z
+
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        MediaDecoder,
+        attach_payload,
+    )
+    text = "png payload bytes " * 7  # 126 bytes
+    t = pa.table({"doc_id": pa.array([9], pa.int64()),  # odd -> PNG
+                  "text": pa.array([text], pa.string())})
+    payload = attach_payload(t).column("payload").to_pylist()[0]
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR: length 13, BE dims
+    assert struct.unpack_from(">I", payload, 8)[0] == 13
+    assert payload[12:16] == b"IHDR"
+    assert struct.unpack_from(">I", payload, 16)[0] == len(text) % 640
+    assert struct.unpack_from(">I", payload, 20)[0] == len(text) % 480
+    # every chunk CRC is real
+    off = 8
+    while off < len(payload):
+        ln = struct.unpack_from(">I", payload, off)[0]
+        typ = payload[off + 4:off + 8]
+        data = payload[off + 8:off + 8 + ln]
+        crc = struct.unpack_from(">I", payload, off + 8 + ln)[0]
+        assert crc == _z.crc32(typ + data), typ
+        off += 12 + ln
+    assert typ == b"IEND"
+    # acTL frame count + decoder round-trip
+    decoded = MediaDecoder(strict=True)(attach_payload(t))
+    meta = decoded.column("media_meta").to_pylist()[0]
+    assert meta["n_bytes"] == len(text)  # inflated back to original size
+    assert meta["width"] == len(text) % 640
+    assert meta["height"] == len(text) % 480
+    assert meta["n_frames"] == len(text) % 30 + 1
+
+
+def test_mixed_format_batch_decodes_both_branches():
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        MediaDecoder,
+        attach_payload,
+    )
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(["aaaa", "bbbbb", "cccccc", None],
+                                   pa.string())})
+    out = MediaDecoder()(attach_payload(t))
+    meta = out.column("media_meta").to_pylist()
+    assert [m["n_bytes"] if m else None for m in meta] == [4, 5, 6, None]
+    assert [m["width"] if m else None for m in meta] == [4, 5, 6, None]
