@@ -180,7 +180,7 @@ def _runs_to_pairs(newrun: np.ndarray, doc: np.ndarray,
     by simhash/winnow; no Python pair tuples.  Runs larger than
     ``max_run`` are skipped (count returned for the caller's log)."""
     bounds = np.nonzero(np.concatenate((newrun, [True])))[0]
-    frames, skipped = [], 0
+    a_parts, b_parts, skipped = [], [], 0
     for s, e in zip(bounds[:-1], bounds[1:]):
         ids = doc[s:e]
         ids = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]  # sorted uniq
@@ -190,11 +190,17 @@ def _runs_to_pairs(newrun: np.ndarray, doc: np.ndarray,
             skipped += 1
             continue
         iu, ju = np.triu_indices(ids.size, k=1)
-        frames.append(pa.table({"doc_a": pa.array(ids[iu], pa.int64()),
-                                "doc_b": pa.array(ids[ju], pa.int64())}))
-    if not frames:
+        a_parts.append(ids[iu])
+        b_parts.append(ids[ju])
+    if not a_parts:
         return None, skipped
-    return pa.concat_tables(frames), skipped
+    # ONE contiguous table — thousands of per-run micro-tables concatenated
+    # into a multi-chunk table serialize pathologically (per-chunk fixed
+    # costs dominate the object-store put); numpy-concat first instead
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(a_parts), pa.int64()),
+        "doc_b": pa.array(np.concatenate(b_parts), pa.int64()),
+    }), skipped
 
 
 def exact_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS) -> pa.Table:
@@ -774,34 +780,47 @@ def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3,
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
-        df = t.to_pandas()
-        frames, skipped = [], 0
-        for _, g in df.groupby(["band_id", "band_val"], sort=False):
-            ids = g["doc_id"].to_numpy(dtype=np.int64)
-            if len(ids) < 2:
+        # lexsort into (band_id, band_val) runs, triu + XOR/popcount per
+        # run, accumulate numpy parts and emit ONE contiguous table (a
+        # many-chunk concat serializes pathologically — see _runs_to_pairs)
+        band = t.column("band_id").to_numpy().astype(np.int64)
+        bv = t.column("band_val").to_numpy()
+        doc = t.column("doc_id").to_numpy().astype(np.int64)
+        sg_all = t.column("simhash").to_numpy().astype(np.uint64)
+        order = np.lexsort((doc, bv, band))
+        band, bv, doc, sg_all = (band[order], bv[order], doc[order],
+                                 sg_all[order])
+        newrun = np.concatenate(
+            ([True], (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])))
+        bounds = np.nonzero(np.concatenate((newrun, [True])))[0]
+        a_parts, b_parts, h_parts, skipped = [], [], [], 0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ids = doc[s:e]
+            if e - s < 2:
                 continue
-            if len(ids) > max_bucket_size:
+            if e - s > max_bucket_size:
                 skipped += 1
                 continue
-            sg = g["simhash"].to_numpy().astype(np.uint64)
-            iu, ju = np.triu_indices(len(ids), k=1)
+            sg = sg_all[s:e]
+            iu, ju = np.triu_indices(e - s, k=1)
             d = popcount64(sg[iu] ^ sg[ju])
             keep = (d <= max_hamming) & (ids[iu] != ids[ju])
             if not keep.any():
                 continue
             a, b = ids[iu[keep]], ids[ju[keep]]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            frames.append(pa.table({
-                "doc_a": pa.array(lo, pa.int64()),
-                "doc_b": pa.array(hi, pa.int64()),
-                "hamming": pa.array(d[keep], pa.int64()),
-            }))
+            a_parts.append(np.minimum(a, b))
+            b_parts.append(np.maximum(a, b))
+            h_parts.append(d[keep])
         if skipped:
             print(f"[simhash] bucket {pid}: skipped {skipped} oversized "
                   f"band buckets (> {max_bucket_size} docs)")
-        if not frames:
+        if not a_parts:
             return None
-        return pa.concat_tables(frames)
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(a_parts), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_parts), pa.int64()),
+            "hamming": pa.array(np.concatenate(h_parts), pa.int64()),
+        })
 
     shards = hash_exchange(exploded, "bucket", num_buckets, reduce_bucket)
     if not shards:

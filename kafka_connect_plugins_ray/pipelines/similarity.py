@@ -416,7 +416,8 @@ def embedding_neardup_pairs_lsh(candidates: "rd.Dataset",
                   f"LSH buckets (> {max_bucket} vectors)")
         if not frames:
             return None
-        return pa.concat_tables(frames)
+        # combine: a many-chunk concat pays per-chunk serialization costs
+        return pa.concat_tables(frames).combine_chunks()
 
     from ..exchange import hash_exchange
 
