@@ -26,6 +26,59 @@ import pyarrow as pa
 _MURMUR_C = np.uint64(0xD6E8FEB86659FD93)
 _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
 
+_pl = None
+
+
+def _purge_polars() -> None:
+    import sys
+
+    for name in [m for m in list(sys.modules)
+                 if m == "polars" or m.startswith("polars.")]:
+        del sys.modules[name]
+
+
+def _polars_consistent(pl) -> bool:
+    import sys
+
+    rex = sys.modules.get("polars._reexport")
+    wrap = sys.modules.get("polars._utils.wrap")
+    return (
+        hasattr(pl, "Series")
+        and rex is not None
+        and hasattr(rex, "Series")
+        and (wrap is None or getattr(wrap, "pl", None) is rex)
+    )
+
+
+def _polars():
+    """Import polars, self-healing a partially-initialized module tree.
+
+    A reused Ray worker can have had a task interrupted (cancellation /
+    executor abort) mid-``import polars``.  Submodules that finished
+    importing before the interrupt (e.g. ``polars._utils.wrap``) stay in
+    ``sys.modules`` holding references to ones that did not (``polars.
+    _reexport`` without ``Series``), and a plain re-import cannot repair
+    them because the finished modules are never re-executed.  Detect the
+    inconsistent state and purge the whole ``polars`` tree before
+    re-importing (the native ``polars._plr`` extension is init-atomic and
+    re-binds safely).
+    """
+    global _pl
+    if _pl is not None:
+        return _pl
+    import importlib
+
+    pl = importlib.import_module("polars")
+    if not _polars_consistent(pl):
+        _purge_polars()
+        pl = importlib.import_module("polars")
+        if not _polars_consistent(pl):
+            raise ImportError(
+                "polars failed to initialize a consistent module tree "
+                "after a purge-and-reimport")
+    _pl = pl
+    return pl
+
 
 def murmur64(x: np.ndarray) -> np.ndarray:
     """Murmur-style 64-bit finalizer over a uint64/int64 array (wrapping
@@ -44,14 +97,24 @@ def hash64_column(col: "pa.Array | pa.ChunkedArray | np.ndarray",
     """uint64 hash per value of an Arrow column (vectorized, null-safe:
     nulls hash to polars' fixed null hash for the seed — drop nulls first
     when null identity matters)."""
-    import polars as pl
+    global _pl
+    pl = _polars()
 
     if isinstance(col, np.ndarray):
         col = pa.array(col)
     if isinstance(col, pa.Array):
         col = pa.chunked_array([col])
-    s = pl.from_arrow(col)
-    return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+    try:
+        s = pl.from_arrow(col)
+        return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+    except AttributeError:
+        # A stale cross-module reference survived the proactive check
+        # (see _polars); rebuild the whole polars tree and retry once.
+        _pl = None
+        _purge_polars()
+        pl = _polars()
+        s = pl.from_arrow(col)
+        return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:
