@@ -265,6 +265,56 @@ def run_endurance() -> None:
     }))
 
 
+def run_annbench() -> None:
+    """1k-query ANN micro-bench (round-2 review item 6's scale check):
+    the vectorized probe kernels must stay matmul-bound when the query
+    count leaves the oracle-gated ~50 range, which the old per-query
+    Python probe loops would not.  Runs brute-force / multi-table LSH /
+    IVF top-k with 1,000 queries over the sf corpus and reports wall +
+    queries/sec for each."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines import similarity as S
+
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    n_queries = int(os.environ.get("GRAFT_ANN_QUERIES", "1000"))
+    k = 10
+    qids, qmat = S.load_queries(emb_path, n_queries)
+    corpus = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    n_corpus = corpus.count()
+
+    out: dict[str, dict] = {}
+    for name, fn in (
+        ("bruteforce", lambda: S.knn_bruteforce(corpus, qids, qmat, k=k)),
+        ("lsh", lambda: S.knn_lsh(corpus, qids, qmat, k=k)),
+        ("ivf", lambda: S.knn_ivf(corpus, qids, qmat, k=k)),
+    ):
+        best, rows = None, 0
+        for _ in range(2):  # best-of-2 (noisy shared host)
+            t0 = time.perf_counter()
+            res = fn()
+            dt = time.perf_counter() - t0
+            rows = res.num_rows
+            best = dt if best is None else min(best, dt)
+        out[name] = {"sec": round(best, 3),
+                     "queries_per_sec": round(len(qids) / best, 1),
+                     "result_rows": rows}
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "ann_1k_query_microbench", "unit": "sec",
+        "num_queries": len(qids), "k": k, "corpus_rows": n_corpus,
+        "methods": out, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_stats() -> None:
     """Print per-stage ds.stats() of the headline pipeline's map phase —
     the measurement loop used to keep wall time on useful compute."""
@@ -359,6 +409,8 @@ def main():
         }))
     elif "--stats" in sys.argv:
         run_stats()
+    elif "--annbench" in sys.argv:
+        run_annbench()
     elif "--blob" in sys.argv:
         run_blob()
     elif "--endurance" in sys.argv:
