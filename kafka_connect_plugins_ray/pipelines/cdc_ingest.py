@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..exchange import hash_exchange
-from ..schema import unify_tables
+from ..schema import align_to_schema, unify_tables
 from ..stages.base import Chain
 from ..stages.modify_partition import AssignPartition
 from ..state.manifest import LakeStore, Manifest
@@ -73,26 +73,61 @@ _SEG_COL = "_kcp_seg"
 _OP_UPSERT_SENTINEL = "upsert"
 
 
+def _read_projected(path: str, columns: "list[str] | None") -> pa.Table:
+    """pq.read_table with the projection intersected against the file's
+    own schema (additive evolution: older files lack newer columns)."""
+    if columns is None:
+        return pq.read_table(path)
+    have = set(pq.read_schema(path).names)
+    return pq.read_table(path, columns=[c for c in columns if c in have])
+
+
 def _resolve_partition(lake_root: str, base_rel: "str | None",
                        delta_rels: Sequence[str], key_cols: Sequence[str],
-                       op_col: str = "op") -> "pa.Table | None":
+                       op_col: str = "op",
+                       columns: "list[str] | None" = None,
+                       target_schema: "pa.Schema | None" = None
+                       ) -> "pa.Table | None":
     """Merge-on-read of one partition: base file rows (all live upserts)
     overlaid by its delta files IN COMMIT ORDER — for each key the
     newest segment's row wins (each delta is already LWW-reduced within
     its segment by DeltaGroup, so cross-segment resolution is just
     segment order, exactly what the COW merge would have produced), then
     tombstoned keys drop.  Returns the live rows with ``op_col`` removed,
-    or None when the partition has no files."""
+    or None when the partition has no files.
+
+    ``columns`` pushes the projection into the parquet reads (key/op
+    columns are added internally — merge-on-read must see them);
+    ``target_schema`` aligns the result to a lake-wide unified schema
+    (null-filling columns this partition's files predate) so a
+    multi-partition Dataset stays schema-homogeneous under additive
+    evolution."""
     key_cols = list(key_cols)
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(
+            list(columns) + key_cols + [op_col]))
+    if base_rel is not None and not delta_rels:
+        # empty delta chain: the base file IS the resolved state (bases
+        # are written without op rows) — skip the overlay machinery
+        base_path = os.path.join(lake_root, base_rel)
+        if op_col not in pq.read_schema(base_path).names:
+            t = _read_projected(base_path, read_cols)
+            if columns is not None:
+                t = t.select([c for c in columns if c in t.column_names])
+            if target_schema is not None:
+                t = align_to_schema(t, target_schema)
+            return t
     tables: list[pa.Table] = []
     if base_rel is not None:
-        t = pq.read_table(os.path.join(lake_root, base_rel))
+        t = _read_projected(os.path.join(lake_root, base_rel), read_cols)
         if op_col not in t.column_names:
-            t = t.append_column(
-                op_col, pa.array([_OP_UPSERT_SENTINEL] * t.num_rows))
+            t = t.append_column(op_col, pc.fill_null(
+                pa.nulls(t.num_rows, pa.string()), _OP_UPSERT_SENTINEL))
         tables.append(t)
     for rel in delta_rels:
-        tables.append(pq.read_table(os.path.join(lake_root, rel)))
+        tables.append(_read_projected(os.path.join(lake_root, rel),
+                                      read_cols))
     if not tables:
         return None
     tables = [t.append_column(_SEG_COL, pa.array(
@@ -103,7 +138,12 @@ def _resolve_partition(lake_root: str, base_rel: "str | None",
         [(c, "ascending") for c in key_cols + [_SEG_COL]])
     live = _last_per_key(merged, key_cols)
     live = live.filter(pc.not_equal(live.column(op_col), "delete"))
-    return live.drop_columns([op_col, _SEG_COL])
+    live = live.drop_columns([op_col, _SEG_COL])
+    if columns is not None:
+        live = live.select([c for c in columns if c in live.column_names])
+    if target_schema is not None:
+        live = align_to_schema(live, target_schema)
+    return live
 
 
 # per-batch partial-LWW bookkeeping columns (see ingest(pre_reduce=...))
@@ -393,7 +433,11 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
             # stats under the delta entry, leave files[pid] untouched
             prev = partitions.get(pid, {})
             lineage["base_file"] = files.get(pid)
-            lineage["base_rows"] = prev.get("rows")
+            # chained deltas: carry the BASE file's row count through,
+            # not the previous delta's own rows
+            lineage["base_rows"] = (prev.get("base_rows")
+                                    if prev.get("delta")
+                                    else prev.get("rows"))
         else:
             files[pid] = row["file"]
             deltas[pid] = []  # a COW rewrite folds the delta chain in
@@ -438,11 +482,14 @@ def lookup_key(lake_root: str, key_values: Sequence[str],
     base_rel, delta_rels = manifest.partition_files(pid)
     if base_rel is None and not delta_rels:
         return pa.table({})
+    resolved_keys = manifest.key_cols or list(key_cols)
     t = _resolve_partition(lake_root, base_rel, delta_rels,
-                           manifest.key_cols or list(key_cols),
-                           manifest.op_col or "op")
+                           resolved_keys, manifest.op_col or "op")
     mask = None
-    for col, val in zip(key_cols, key_values):
+    # filter on the SAME key columns the lake was ingested with (the
+    # manifest's), not the parameter default — a custom-key lake would
+    # otherwise KeyError or filter the wrong columns
+    for col, val in zip(resolved_keys, key_values):
         m = pc.equal(t[col], val)
         mask = m if mask is None else pc.and_(mask, m)
     return t.filter(mask)
@@ -474,12 +521,24 @@ def read_lake(lake_root: str, columns: "list[str] | None" = None,
     key_cols = manifest.key_cols or ["repo", "path"]
     op_col = manifest.op_col or "op"
     pids = sorted(set(manifest.files) | set(manifest.deltas))
+    # unify the lake-wide schema from the parquet footers (metadata-only
+    # reads) so every resolved block is schema-homogeneous even when only
+    # some partitions have seen an additively-evolved column, matching
+    # the no-delta read_parquet path's null-fill behavior
+    rels = [manifest.files[p] for p in pids if p in manifest.files]
+    for p in pids:
+        rels.extend(manifest.deltas.get(p, []))
+    unified = pa.unify_schemas(
+        [pq.read_schema(store.abspath(rel)) for rel in rels],
+        promote_options="permissive")
+    drop = {op_col, _SEG_COL}
+    if columns is None:
+        target = pa.schema([f for f in unified if f.name not in drop])
+    else:
+        target = pa.schema([unified.field(c) for c in columns])
     resolve = ray.remote(_resolve_partition)
     refs = [resolve.remote(lake_root, manifest.files.get(pid),
-                           manifest.deltas.get(pid, []), key_cols, op_col)
+                           manifest.deltas.get(pid, []), key_cols, op_col,
+                           columns, target)
             for pid in pids]
-    ds = rd.from_arrow_refs(refs)
-    if columns is not None:
-        ds = ds.map_batches(lambda t: t.select(columns),
-                            batch_format="pyarrow")
-    return ds
+    return rd.from_arrow_refs(refs)

@@ -313,10 +313,15 @@ def verify_jaccard(pairs: pa.Table, texts_by_id: dict[int, str],
 
     Semantics match ``filter_pairs_jaccard``: byte-identical texts —
     including degenerate empty/whitespace docs whose shingle sets are
-    empty — are jaccard 1.0 by definition; pairs with a missing text are
-    dropped rather than crashing.  The returned jaccard is UNROUNDED so
-    downstream equality filters (``== 1.0``) can't be fooled by a
-    0.99995-rounds-to-1.0 near-identical pair; round for display only."""
+    empty — are jaccard 1.0 by definition; pairs where either doc's text
+    is NULL in the corpus are skipped (SQL parity — the oracle's
+    text-equality join excludes null texts).  A doc id entirely ABSENT
+    from ``texts_by_id`` is an upstream gather bug, not a null text, and
+    raises loudly: this path gates 100%-recall oracles, so a silent drop
+    would convert a scan bug into unexplained recall loss.  The returned
+    jaccard is UNROUNDED so downstream equality filters (``== 1.0``)
+    can't be fooled by a 0.99995-rounds-to-1.0 near-identical pair;
+    round for display only."""
     out_a, out_b, jac = [], [], []
     cache: dict[int, set[int]] = {}
 
@@ -327,7 +332,13 @@ def verify_jaccard(pairs: pa.Table, texts_by_id: dict[int, str],
 
     for a, b in zip(pairs.column("doc_a").to_pylist(),
                     pairs.column("doc_b").to_pylist()):
-        ta, tb = texts_by_id.get(a), texts_by_id.get(b)
+        missing = [d for d in (a, b) if d not in texts_by_id]
+        if missing:
+            raise KeyError(
+                f"candidate pair ({a}, {b}) references doc ids absent "
+                f"from the gathered text map: {missing} (null-text docs "
+                "must be present as None, not missing)")
+        ta, tb = texts_by_id[a], texts_by_id[b]
         if ta is None or tb is None:
             continue
         if ta == tb:  # identical bytes: jaccard 1.0 by definition

@@ -26,6 +26,24 @@ def _to_matrix(embeddings: pd.Series) -> np.ndarray:
     return np.stack(embeddings.to_numpy()).astype(np.float64)
 
 
+# bound on (queries × candidates) f64 cells materialized at once inside a
+# probe kernel (~64 MB sims + like-sized transients).  Query counts in the
+# 10^5 range stream through in chunks instead of allocating nq × nc at
+# once — the vectorized inner shape is preserved per chunk.
+_PROBE_CHUNK_ELEMS = 8 << 20
+
+
+def _query_chunks(nq: int, nc: int):
+    step = max(1, _PROBE_CHUNK_ELEMS // max(1, nc))
+    for s in range(0, nq, step):
+        yield s, min(nq, s + step)
+
+
+def _concat_frames(frames: "list[pd.DataFrame]") -> pd.DataFrame:
+    return (frames[0].reset_index(drop=True) if len(frames) == 1
+            else pd.concat(frames, ignore_index=True))
+
+
 def _topk_frame(qids, sims: np.ndarray, cand_ids: np.ndarray, k: int) -> pd.DataFrame:
     """Per-query top-k from a sims matrix (queries × candidates) — one
     row-wise lexsort over the whole matrix, no per-query Python loop.
@@ -76,8 +94,12 @@ class _BatchTopK:
         qids, qn = self._queries()
         c = _to_matrix(batch["embedding"])
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
-        sims = qn @ cn.T
-        return _topk_frame(qids, sims, batch["vec_id"].to_numpy(), self.k)
+        ids = batch["vec_id"].to_numpy()
+        frames = []
+        for s, e in _query_chunks(len(qids), len(ids)):
+            sims = qn[s:e] @ cn.T
+            frames.append(_topk_frame(qids[s:e], sims, ids, self.k))
+        return _concat_frames(frames)
 
 
 def _combine_topk(k: int):
@@ -164,12 +186,15 @@ def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
         cb = hasher.buckets(c)
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
         ids = batch["vec_id"].to_numpy()
-        match = np.zeros((len(qids), len(ids)), dtype=bool)
-        for t in range(qb_all.shape[1]):
-            match |= qb_all[:, t][:, None] == cb[:, t][None, :]
-        sims = np.where(match, qn @ cn.T, -np.inf)
-        frame = _topk_frame(qids, sims, ids, k)
-        return frame[frame["score"] > -np.inf].reset_index(drop=True)
+        frames = []
+        for s, e in _query_chunks(len(qids), len(ids)):
+            match = np.zeros((e - s, len(ids)), dtype=bool)
+            for t in range(qb_all.shape[1]):
+                match |= qb_all[s:e, t][:, None] == cb[:, t][None, :]
+            sims = np.where(match, qn[s:e] @ cn.T, -np.inf)
+            f = _topk_frame(qids[s:e], sims, ids, k)
+            frames.append(f[f["score"] > -np.inf])
+        return _concat_frames(frames)
 
     per_batch = candidates.map_batches(bucket_topk, batch_format="pandas",
                                        batch_size=4096)
@@ -286,12 +311,15 @@ def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
         assign = (cn @ cent_.T).argmax(axis=1)
         ids = batch["vec_id"].to_numpy()
-        match = np.zeros((len(qids), len(ids)), dtype=bool)
-        for j in range(probe_.shape[1]):
-            match |= probe_[:, j][:, None] == assign[None, :]
-        sims = np.where(match, qn_ @ cn.T, -np.inf)
-        frame = _topk_frame(qids, sims, ids, k)
-        return frame[frame["score"] > -np.inf].reset_index(drop=True)
+        frames = []
+        for s, e in _query_chunks(len(qids), len(ids)):
+            match = np.zeros((e - s, len(ids)), dtype=bool)
+            for j in range(probe_.shape[1]):
+                match |= probe_[s:e, j][:, None] == assign[None, :]
+            sims = np.where(match, qn_[s:e] @ cn.T, -np.inf)
+            f = _topk_frame(qids[s:e], sims, ids, k)
+            frames.append(f[f["score"] > -np.inf])
+        return _concat_frames(frames)
 
     per_batch = candidates.map_batches(probe_topk, batch_format="pandas",
                                        batch_size=4096)

@@ -283,6 +283,49 @@ def test_cow_after_delta_folds_chain(tmp_path):
     assert _state_hash(lake) == _state_hash(cow)
 
 
+def test_delta_schema_evolution_read_projection(tmp_path):
+    # additive evolution through a delta touching a SUBSET of partitions:
+    # merge-on-read must produce schema-homogeneous blocks (null-filled)
+    # and honor column projection even where a partition's files predate
+    # the new column (round-3 review finding)
+    import pyarrow as pa
+    import ray
+
+    from kafka_connect_plugins_ray.pipelines.cdc_ingest import read_lake
+
+    base = _seg2_base()
+    lake = _fresh(tmp_path, "devo")
+    ingest(lake, binlog_from_documents(SF))
+    ev = binlog_from_documents(SF, rounds=1, with_metadata=True,
+                               base_lsn=base).filter(
+        lambda r: r["path"] in ("src/doc_1.txt", "src/doc_2.txt"))
+    m = ingest(lake, ev, mode="delta")
+    assert m.deltas and len(m.deltas) < m.num_partitions
+    tables = ray.get(read_lake(lake).to_arrow_refs())
+    assert all(t.schema.equals(tables[0].schema) for t in tables[1:])
+    state = pa.concat_tables(tables)  # no permissive promote needed
+    assert "metadata" in state.column_names
+    proj = pa.concat_tables(ray.get(
+        read_lake(lake, columns=["repo", "metadata"]).to_arrow_refs()))
+    assert proj.column_names == ["repo", "metadata"]
+    assert proj.num_rows == state.num_rows
+    assert 0 < proj.column("metadata").null_count < proj.num_rows
+
+
+def test_lookup_key_custom_key_columns(tmp_path):
+    # lookup_key must filter on the manifest's recorded key columns, not
+    # the parameter default (round-3 review finding)
+    from kafka_connect_plugins_ray.pipelines.cdc_ingest import lookup_key
+
+    lake = _fresh(tmp_path, "ckey")
+    ev = binlog_from_documents(SF).map_batches(
+        lambda t: t.drop_columns(["repo"]), batch_format="pyarrow")
+    ingest(lake, ev, key_cols=("path",))
+    row = lookup_key(lake, ["src/doc_1.txt"])
+    assert row.num_rows == 1
+    assert row["path"][0].as_py() == "src/doc_1.txt"
+
+
 def test_delta_ingest_resume_high_water(tmp_path):
     base = _seg2_base()
     lake = _fresh(tmp_path, "dhw")

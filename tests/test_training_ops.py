@@ -661,16 +661,19 @@ def test_knn_ivf_recall_and_self_match():
 
 def test_verify_jaccard_degenerate_and_missing_texts():
     # identical empty / whitespace-only docs are jaccard 1.0 (identity
-    # fast-path, not 0.0-from-empty-shingle-sets); missing texts drop the
-    # pair instead of crashing (ADVICE r2)
+    # fast-path, not 0.0-from-empty-shingle-sets, ADVICE r2); a NULL text
+    # (present as None) skips the pair; an id entirely ABSENT from the
+    # gathered map is an upstream gather bug and raises loudly
     pairs = pa.table({"doc_a": pa.array([1, 3, 5], pa.int64()),
                       "doc_b": pa.array([2, 4, 6], pa.int64())})
-    texts = {1: "", 2: "", 3: "   ", 4: "   ", 5: "present"}  # 6 missing
+    texts = {1: "", 2: "", 3: "   ", 4: "   ", 5: "present", 6: None}
     out = verify_jaccard(pairs, texts)
     got = {(a, b): j for a, b, j in zip(out["doc_a"].to_pylist(),
                                         out["doc_b"].to_pylist(),
                                         out["jaccard"].to_pylist())}
     assert got == {(1, 2): 1.0, (3, 4): 1.0}
+    with pytest.raises(KeyError, match="absent"):
+        verify_jaccard(pairs, {1: "", 2: "", 3: " ", 4: " ", 5: "x"})
 
 
 def test_verify_jaccard_is_unrounded():
