@@ -65,16 +65,17 @@ def _route_order(slot: np.ndarray, num_out: int) -> "tuple[np.ndarray, np.ndarra
 
 def bucket_slices(arrays: "dict[str, np.ndarray]", bucket: np.ndarray,
                   num_buckets: int) -> tuple:
-    """Route parallel int64 arrays into ``num_buckets`` per-bucket tables
+    """Route parallel numpy arrays into ``num_buckets`` per-bucket tables
     by a precomputed bucket id (None for empty buckets) — the
     message-routing primitive for ITERATIVE exchanges (e.g. distributed
     connected components' label propagation), built on the same
-    ``_route_order`` kernel as the one-shot ``hash_exchange`` split."""
+    ``_route_order`` kernel as the one-shot ``hash_exchange`` split.
+    Each column keeps its numpy dtype (a float payload or uint64 hash
+    routes through unchanged, not silently cast to int64)."""
     order, bounds = _route_order(bucket, num_buckets)
     cols = {k: np.asarray(v)[order] for k, v in arrays.items()}
     return tuple(
-        (pa.table({k: pa.array(v[s:e], pa.int64())
-                   for k, v in cols.items()})
+        (pa.table({k: pa.array(v[s:e]) for k, v in cols.items()})
          if e > s else None)
         for s, e in zip(bounds[:-1], bounds[1:]))
 

@@ -57,6 +57,11 @@ class Partitioner:
 
 _CRC_TABLE: "np.ndarray | None" = None
 
+# above this max key length the vectorized sweep's one-Python-step-per-
+# byte-position cost loses to one zlib C call per row (CDC keys are
+# typically < 100 B; this only reroutes degenerate blob-key batches)
+_SWEEP_MAX_KEY_LEN = 4096
+
 
 def _crc_table() -> np.ndarray:
     """The standard CRC-32 (IEEE 802.3, poly 0xEDB88320 reflected) byte
@@ -124,13 +129,20 @@ def crc32_partition_array(strings: "pa.Array | pa.ChunkedArray",
     hot path: the table-driven sweep in ``crc32_u32_array`` replaces the
     round-2 per-row ``zlib.crc32`` loop (the last per-row Python on the
     CDC fast path); tiny arrays keep the zlib call, whose per-row C cost
-    beats the vector setup below a few hundred rows."""
+    beats the vector setup below a few hundred rows.  The sweep runs one
+    Python iteration per byte POSITION over a shrinking row prefix, so a
+    single multi-KB key (a blob-keyed lake) would turn it into thousands
+    of interpreter steps — long-keyed batches also take the per-row zlib
+    path, where one C call per row wins regardless of key size."""
     if partition_count <= 0:
         raise ValueError("Partition count should be greater than 0")
     p = partition_count
     if isinstance(strings, pa.ChunkedArray):
         strings = strings.combine_chunks()
-    if len(strings) < 256:
+    maxlen = 0
+    if len(strings):
+        maxlen = pc.max(pc.binary_length(strings)).as_py() or 0
+    if len(strings) < 256 or maxlen > _SWEEP_MAX_KEY_LEN:
         data = pc.cast(strings, pa.binary()).to_pylist()
         crc = zlib.crc32
         out = np.empty(len(data), dtype=np.int32)

@@ -234,7 +234,24 @@ class MediaDecoder:
         n_bytes = np.where(is_bmp, lens - BMP_HEADER_LEN, 0)
         from ..functions.vhash import hash64_column
 
-        h = hash64_column(col).view(np.int64).copy()
+        # content_hash is over the DECODED payload bytes for BOTH formats
+        # (format-independent: the same logical payload hashes equal no
+        # matter which container carried it).  BMP payloads are gathered
+        # past the 54-byte header with one vectorized variable-length
+        # gather; PNG hashes the inflated IDAT below.
+        h = np.zeros(n, dtype=np.int64)
+        bmp_rows = np.nonzero(is_bmp)[0]
+        if bmp_rows.size:
+            p_starts = starts[bmp_rows] + BMP_HEADER_LEN
+            p_lens = lens[bmp_rows] - BMP_HEADER_LEN
+            cum = np.concatenate(([0], np.cumsum(p_lens)))
+            idx = (np.repeat(p_starts - cum[:-1], p_lens)
+                   + np.arange(int(cum[-1])))
+            pay = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), len(bmp_rows),
+                [None, pa.py_buffer(cum.astype(np.int64)),
+                 pa.py_buffer(data[idx])])
+            h[bmp_rows] = hash64_column(pay).view(np.int64)
         if is_png.any():
             idat_len = self._be32(hdr, _PNG_IDAT_LEN_OFF)
             decoded: list = []

@@ -143,3 +143,20 @@ def test_vectorized_crc32_matches_zlib_fuzz():
         for v in vals
     ]
     assert big == small
+
+
+def test_long_key_batches_route_via_zlib_path():
+    # >=256 rows with one multi-KB key: the byte-position sweep would run
+    # one Python step per position, so crc32_partition_array must fall
+    # back to the per-row zlib path — values identical either way
+    import zlib
+
+    from kafka_connect_plugins_ray.functions.partitioner import (
+        crc32_partition_array,
+    )
+    vals = ["key-%d" % i for i in range(300)] + ["y" * 100_000, None]
+    arr = pa.array(vals, pa.string())
+    got = crc32_partition_array(arr, 16).to_pylist()
+    want = [None if v is None else zlib.crc32(v.encode()) % 16
+            for v in vals]
+    assert got == want

@@ -828,3 +828,44 @@ def test_mixed_format_batch_decodes_both_branches():
     meta = out.column("media_meta").to_pylist()
     assert [m["n_bytes"] if m else None for m in meta] == [4, 5, 6, None]
     assert [m["width"] if m else None for m in meta] == [4, 5, 6, None]
+
+
+def test_content_hash_is_format_independent():
+    # the same logical payload wrapped as BMP (even id) and as PNG
+    # (odd id) must produce the SAME content_hash: the hash is over the
+    # DECODED payload bytes, not the container
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        MediaDecoder,
+        attach_payload,
+    )
+    text = "identical payload across containers " * 4
+    t = pa.table({"doc_id": pa.array([2, 3], pa.int64()),
+                  "text": pa.array([text, text], pa.string())})
+    meta = MediaDecoder(strict=True)(attach_payload(t)) \
+        .column("media_meta").to_pylist()
+    assert meta[0]["content_hash"] == meta[1]["content_hash"]
+    # different payloads still hash apart
+    t2 = pa.table({"doc_id": pa.array([2, 4], pa.int64()),
+                   "text": pa.array([text, text + "!"], pa.string())})
+    m2 = MediaDecoder()(attach_payload(t2)).column("media_meta").to_pylist()
+    assert m2[0]["content_hash"] != m2[1]["content_hash"]
+
+
+def test_bucket_slices_preserves_dtypes():
+    # the iterative-exchange routing primitive must not cast payload
+    # columns: float scores and uint64 hashes route through unchanged
+    from kafka_connect_plugins_ray.exchange import bucket_slices
+
+    node = np.array([0, 1, 2, 3, 4, 5], dtype=np.int64)
+    score = np.array([0.5, 1.5, 2.5, 3.5, 4.5, 5.5])
+    h = np.array([1, 2, 3, 2**63, 2**64 - 1, 7], dtype=np.uint64)
+    out = bucket_slices({"node": node, "score": score, "hash": h},
+                        node % 3, 3)
+    assert len(out) == 3
+    seen = []
+    for t in out:
+        assert t.schema.field("node").type == pa.int64()
+        assert t.schema.field("score").type == pa.float64()
+        assert t.schema.field("hash").type == pa.uint64()
+        seen.extend(t.column("node").to_pylist())
+    assert sorted(seen) == list(range(6))
