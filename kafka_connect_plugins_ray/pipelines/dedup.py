@@ -699,13 +699,16 @@ def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
 
 
 class SimHasher:
-    """64-bit SimHash over word features, vectorized across the whole
-    batch: all docs' tokens are hashed in one polars xxhash call, bit
-    scores accumulate via np.add.reduceat over doc boundaries, and the
-    sign→bit packing is one matmul-style reduction — no per-doc Python
-    beyond the tokenizer split.  The (tokens, 64) bit matrix is the
-    transient: the batch is processed in doc slices of ≤ MAX_TOKENS
-    tokens so it stays ≲ 128 MB regardless of document lengths."""
+    """64-bit SimHash over word features, fully arrow-native: tokenization
+    is one ``pc.utf8_split_whitespace`` over the batch (semantics of
+    Python's ``str.split()`` after dropping the empty tokens it collapses),
+    all tokens hash in one polars xxhash call, per-doc bit scores
+    accumulate via ``np.unpackbits`` + ``np.add.reduceat`` over doc
+    boundaries, and the sign→bit packing is one reduction — no per-doc
+    Python anywhere.  Null or whitespace-only docs get signature 0.  The
+    (tokens, 64) bit matrix is the transient: the batch is processed in
+    doc slices of ≤ MAX_TOKENS tokens so it stays bounded regardless of
+    document lengths."""
 
     MAX_TOKENS = 1 << 18
 
@@ -713,49 +716,60 @@ class SimHasher:
     def _sigs_for(hs: np.ndarray, counts: np.ndarray) -> np.ndarray:
         """Signatures for one doc slice: hs = token hashes (concatenated),
         counts = tokens per doc (all > 0)."""
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
+        # little-endian uint64 -> (tokens, 64) bit matrix where column k
+        # is bit k; uint8 throughout, cast to int32 only for the segment
+        # sums (reduceat has no dtype arg and uint8 would wrap)
+        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little")
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        sums = np.add.reduceat(bits, starts, axis=0)
-        score = sums * 2 - counts[:, None]
+        sums = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+        score = sums.astype(np.int64) * 2 - counts[:, None]
         return ((score > 0).astype(np.uint64)
                 << np.arange(64, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str)
-        tok_lists = text.str.split()
-        counts = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
-        out = batch[["doc_id"]].copy()
-        total = int(counts.sum())
-        sig = np.zeros(len(batch), dtype=np.uint64)
-        if total:
-            flat = np.empty(total, dtype=object)
-            pos = 0
-            for toks in tok_lists:
-                if toks:
-                    flat[pos:pos + len(toks)] = toks
-                    pos += len(toks)
-            hs = hash64_column(pa.array(flat, pa.string()))
-            ne_rows = np.nonzero(counts > 0)[0]
-            ne_counts = counts[ne_rows]
-            ends = np.cumsum(ne_counts)
-            lo = 0
-            while lo < len(ne_rows):
-                # widest doc range whose tokens fit the transient budget
-                base = ends[lo - 1] if lo else 0
-                hi = int(np.searchsorted(ends, base + self.MAX_TOKENS,
-                                         side="right"))
-                hi = max(hi, lo + 1)  # always take >= 1 doc
-                sig[ne_rows[lo:hi]] = self._sigs_for(
-                    hs[base:ends[hi - 1]], ne_counts[lo:hi])
-                lo = hi
-        out["simhash"] = pd.Series(sig.view(np.int64), dtype="int64")
-        return out
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        sig = np.zeros(n, dtype=np.uint64)
+        if n:
+            toks = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+            flat = pc.list_flatten(toks)
+            nonempty = pc.not_equal(flat, "")
+            flat = flat.filter(nonempty)
+            # per-doc nonempty-token counts: prefix-sum the keep mask at
+            # the list offsets (split emits "" at doc edges/runs, which
+            # str.split() semantics collapse)
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            cum = np.concatenate(
+                ([0], np.cumsum(np.asarray(nonempty, dtype=np.int64))))
+            counts = cum[offs[1:]] - cum[offs[:-1]]
+            if len(flat):
+                hs = hash64_column(flat)
+                ne_rows = np.nonzero(counts > 0)[0]
+                ne_counts = counts[ne_rows]
+                ends = np.cumsum(ne_counts)
+                lo = 0
+                while lo < len(ne_rows):
+                    # widest doc range whose tokens fit the transient budget
+                    base = ends[lo - 1] if lo else 0
+                    hi = int(np.searchsorted(ends, base + self.MAX_TOKENS,
+                                             side="right"))
+                    hi = max(hi, lo + 1)  # always take >= 1 doc
+                    sig[ne_rows[lo:hi]] = self._sigs_for(
+                        hs[base:ends[hi - 1]], ne_counts[lo:hi])
+                    lo = hi
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "simhash": pa.array(sig.view(np.int64), pa.int64()),
+        })
 
 
 def simhash_signatures(docs: "rd.Dataset") -> "rd.Dataset":
-    return docs.map_batches(SimHasher(), batch_format="pandas", batch_size=2048)
+    return docs.map_batches(SimHasher(), batch_format="pyarrow",
+                            batch_size=2048)
 
 
 def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3,

@@ -869,3 +869,34 @@ def test_bucket_slices_preserves_dtypes():
         assert t.schema.field("hash").type == pa.uint64()
         seen.extend(t.column("node").to_pylist())
     assert sorted(seen) == list(range(6))
+
+
+def test_simhasher_matches_python_split_semantics():
+    # the arrow-native tokenizer must produce the same signatures as
+    # Python str.split() semantics (runs of unicode whitespace collapse,
+    # no empty tokens); null / empty / whitespace-only docs get sig 0
+    from kafka_connect_plugins_ray.functions.vhash import hash64_column
+    from kafka_connect_plugins_ray.pipelines.dedup import SimHasher
+
+    texts = ["a b  c", "  lead trail  ", "tab\tand\nnewline", "one",
+             "", "   ", None, "répo päth nbsp"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = SimHasher()(t)
+    sig = out.column("simhash").to_numpy()
+
+    def ref_sig(text):
+        toks = text.split() if text else []
+        if not toks:
+            return 0
+        hs = hash64_column(pa.array(toks, pa.string()))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        score = bits.sum(axis=0) * 2 - len(toks)
+        return int(((score > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum(
+            dtype=np.uint64).view(np.int64))
+
+    for i, text in enumerate(texts):
+        assert sig[i] == ref_sig(text), (i, text)
+    assert sig[4] == sig[5] == sig[6] == 0
