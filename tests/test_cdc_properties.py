@@ -92,3 +92,63 @@ def test_time_travel_reads(tmp_path):
             promote_options="permissive"),
         ["repo", "path"])
     assert got == h1  # snapshot v1 still readable and identical
+
+
+@st.composite
+def ingest_plans(draw):
+    """A random maintenance-interleaved ingest plan: 2-3 binlog segments,
+    each applied in COW or delta-append mode (optionally carrying the
+    additive metadata column), with compaction / GC sprinkled between."""
+    plan = []
+    for _ in range(draw(st.integers(2, 3))):
+        plan.append(("ingest", draw(st.sampled_from(["cow", "delta"])),
+                     draw(st.booleans())))
+        if draw(st.booleans()):
+            plan.append((draw(st.sampled_from(["compact", "gc"])),))
+    return plan
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(ingest_plans())
+def test_mode_interleavings_match_pure_cow(plan):
+    """Any interleaving of full/delta ingest modes with compaction and GC
+    over the same segment sequence must land the exact COW state: delta
+    chains + merge-on-read + compact_lake are pure representation changes
+    (segment order wins across ingests, (commit, lsn) LWW within one)."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_plugins_ray.pipelines.maintenance import (
+        compact_lake,
+        gc,
+    )
+
+    lake = tempfile.mkdtemp(prefix="prop_mix_")
+    ref = tempfile.mkdtemp(prefix="prop_ref_")
+    try:
+        seg = 0
+
+        def segment(with_meta):
+            return binlog_from_documents(SF, rounds=1,
+                                         with_metadata=with_meta,
+                                         base_lsn=seg * 100_000)
+
+        for step in plan:
+            if step[0] == "ingest":
+                _, mode, with_meta = step
+                seg += 1
+                ingest(lake, segment(with_meta), mode=mode,
+                       num_partitions=4)
+                ingest(ref, segment(with_meta), num_partitions=4)
+            elif step[0] == "compact":
+                if seg:
+                    compact_lake(lake)
+            else:
+                if seg:
+                    gc(lake, keep_versions=1)
+        assert _state_hash(lake) == _state_hash(ref)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(ref, ignore_errors=True)
