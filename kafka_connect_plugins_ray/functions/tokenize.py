@@ -1,0 +1,38 @@
+"""Arrow-native whitespace tokenization shared by the text/dedup hot
+paths.
+
+``flat_tokens`` reproduces Python ``str.split()`` semantics (runs of
+Unicode whitespace collapse, no empty tokens, null → no tokens) with one
+``pc.utf8_split_whitespace`` call over the whole column — no per-doc
+Python.  Used by SimHash signatures and the top-terms partials; pinned
+against the reference semantics in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def flat_tokens(col: "pa.Array | pa.ChunkedArray") -> "tuple[pa.Array, np.ndarray]":
+    """Split a string column on whitespace; returns ``(flat, counts)``
+    where ``flat`` is every document's tokens concatenated in row order
+    and ``counts[i]`` is row i's token count (0 for null / empty /
+    whitespace-only rows)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return pa.array([], pa.string()), np.zeros(0, dtype=np.int64)
+    toks = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    # per-row nonempty-token counts: prefix-sum the keep mask at the
+    # list offsets (split emits "" at row edges / whitespace runs, which
+    # str.split() semantics collapse)
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    cum = np.concatenate(
+        ([0], np.cumsum(np.asarray(nonempty, dtype=np.int64))))
+    counts = cum[offs[1:]] - cum[offs[:-1]]
+    return flat, counts

@@ -735,17 +735,9 @@ class SimHasher:
         n = len(col)
         sig = np.zeros(n, dtype=np.uint64)
         if n:
-            toks = pc.utf8_split_whitespace(pc.fill_null(col, ""))
-            flat = pc.list_flatten(toks)
-            nonempty = pc.not_equal(flat, "")
-            flat = flat.filter(nonempty)
-            # per-doc nonempty-token counts: prefix-sum the keep mask at
-            # the list offsets (split emits "" at doc edges/runs, which
-            # str.split() semantics collapse)
-            offs = np.asarray(toks.offsets, dtype=np.int64)
-            cum = np.concatenate(
-                ([0], np.cumsum(np.asarray(nonempty, dtype=np.int64))))
-            counts = cum[offs[1:]] - cum[offs[:-1]]
+            from ..functions.tokenize import flat_tokens
+
+            flat, counts = flat_tokens(col)
             if len(flat):
                 hs = hash64_column(flat)
                 ne_rows = np.nonzero(counts > 0)[0]

@@ -16,6 +16,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import winnow_fingerprints_batch
 
@@ -146,6 +147,22 @@ def winnow_equal_pairs(docs, num_buckets: int = 32,
     return pa.concat_tables(shards)
 
 
+def _lang_token_counts(batch: pa.Table) -> pa.Table:
+    """Exact per-batch (lang, tok) counts, fully vectorized: one arrow
+    whitespace split over the batch, langs repeated to token positions,
+    one arrow hash-group-by — no per-doc Python."""
+    from ..functions.tokenize import flat_tokens
+
+    flat, counts = flat_tokens(batch.column("text"))
+    lang = np.repeat(
+        np.asarray(batch.column("lang").to_numpy(zero_copy_only=False)),
+        counts)
+    tt = pa.table({"lang": pa.array(lang, pa.string()), "tok": flat})
+    g = tt.group_by(["lang", "tok"]).aggregate([("tok", "count")])
+    return pa.table({"lang": g.column("lang"), "tok": g.column("tok"),
+                     "n": pc.cast(g.column("tok_count"), pa.int64())})
+
+
 def top_terms_per_lang(docs, k: int = 10, num_buckets: int = 32) -> pa.Table:
     """Exact top-k tokens per language — the canonical wide-aggregation +
     top-k shape: per-batch partial (explode tokens, count per (lang, tok))
@@ -156,25 +173,13 @@ def top_terms_per_lang(docs, k: int = 10, num_buckets: int = 32) -> pa.Table:
     from ..exchange import hash_exchange
     from ..functions.vhash import hash64_column
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str)
-        toks = text.str.split()
-        counts = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
-        flat: list[str] = []
-        for t in toks:
-            if t:
-                flat.extend(t)
-        lang = np.repeat(batch["lang"].to_numpy(), counts)
-        df = pd.DataFrame({"lang": lang, "tok": flat})
-        g = df.groupby(["lang", "tok"], as_index=False).size() \
-            .rename(columns={"size": "n"})
-        g["n"] = g["n"].astype("int64")
-        g["bucket"] = pd.Series(
-            (hash64_column(pa.array(g["tok"], pa.string())) % num_buckets)
-            .astype(np.int32), dtype="int32")
-        return g
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _lang_token_counts(batch)
+        bucket = (hash64_column(g.column("tok")) % num_buckets).astype(
+            np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
 
-    partials = docs.map_batches(partial, batch_format="pandas")
+    partials = docs.map_batches(partial, batch_format="pyarrow")
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
         df = t.to_pandas()
@@ -195,6 +200,67 @@ def top_terms_per_lang(docs, k: int = 10, num_buckets: int = 32) -> pa.Table:
     allc = pa.concat_tables(shards).to_pandas()
     allc = allc.sort_values(["lang", "n", "tok"], ascending=[True, False, True])
     top = allc.groupby("lang", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def _mg_truncate(t: pa.Table, capacity: int) -> pa.Table:
+    """Misra–Gries truncation per lang: if a language holds more than
+    ``capacity`` counters, subtract its (capacity+1)-th largest count from
+    all of them and keep the strictly positive ones (≤ capacity survive).
+    The summary underestimates each surviving count by at most
+    N_lang/(capacity+1) — and that bound is preserved under arbitrary
+    merge trees (Agarwal et al., "Mergeable Summaries", PODS'12)."""
+    df = t.to_pandas()
+    parts = []
+    # loop is over distinct LANGUAGES (a handful), not rows
+    for _, g in df.groupby("lang", sort=False):
+        if len(g) > capacity:
+            n = g["n"].to_numpy()
+            thresh = np.partition(n, -(capacity + 1))[-(capacity + 1)]
+            g = g[n > thresh].copy()
+            g["n"] = g["n"] - thresh
+        parts.append(g)
+    out = (pd.concat(parts, ignore_index=True) if parts
+           else df.iloc[0:0])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_terms_per_lang_mg(docs, k: int = 10, capacity: int = 256,
+                          fanin: int = 8) -> pa.Table:
+    """Approximate top-k tokens per language via Misra–Gries mergeable
+    summaries — the 100-TB scale path next to ``top_terms_per_lang``'s
+    exact exchange: each block reduces to ≤ capacity counters per lang
+    (vectorized exact counts → MG truncation), summaries combine up a
+    remote fan-in tree (group-sum then re-truncate), and only langs ×
+    capacity rows ever move — NO token shuffle at all.
+
+    Guarantees (from the mergeable-summaries theorem): every token with
+    true count > N_lang/(capacity+1) is present, and each reported count
+    underestimates the true count by at most N_lang/(capacity+1),
+    regardless of block/merge structure.  With capacity ≥ the number of
+    distinct tokens in every language the result is exactly
+    ``top_terms_per_lang``'s (pinned in tests).  Returns top-k per lang
+    by estimated count with ties broken by token, like the exact path."""
+    from ..exchange import tree_aggregate
+
+    partials = docs.map_batches(
+        lambda t: _mg_truncate(_lang_token_counts(t), capacity),
+        batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "tok"]).aggregate([("n", "sum")])
+        g = pa.table({"lang": g.column("lang"), "tok": g.column("tok"),
+                      "n": pc.cast(g.column("n_sum"), pa.int64())})
+        return _mg_truncate(g, capacity)
+
+    merged = tree_aggregate(partials, combine, fanin=fanin)
+    if merged is None or merged.num_rows == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "tok": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    df = merged.to_pandas()
+    df = df.sort_values(["lang", "n", "tok"], ascending=[True, False, True])
+    top = df.groupby("lang", sort=True).head(k).reset_index(drop=True)
     return pa.Table.from_pandas(top, preserve_index=False)
 
 

@@ -900,3 +900,60 @@ def test_simhasher_matches_python_split_semantics():
     for i, text in enumerate(texts):
         assert sig[i] == ref_sig(text), (i, text)
     assert sig[4] == sig[5] == sig[6] == 0
+
+
+def test_top_terms_mg_exact_when_capacity_covers_dictionary():
+    # with capacity >= distinct tokens per lang, Misra-Gries never
+    # truncates: the summary IS the exact count table, so the top-k
+    # equals the exact exchange path's
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.text import (
+        top_terms_per_lang,
+        top_terms_per_lang_mg,
+    )
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 30)))
+             for _ in range(400)]
+    langs = [("en", "fr")[i % 2] for i in range(400)]
+    t = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    docs = rd.from_arrow(t)
+    exact = top_terms_per_lang(rd.from_arrow(t), k=10).to_pandas()
+    mg = top_terms_per_lang_mg(docs, k=10, capacity=1000).to_pandas()
+    pd.testing.assert_frame_equal(mg, exact)
+
+
+def test_top_terms_mg_heavy_hitter_bound():
+    # bounded capacity on a skewed corpus: every token with true count
+    # > N_lang/(capacity+1) must be present, with count underestimated
+    # by at most that bound (mergeable-summaries guarantee across the
+    # block/merge tree)
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.text import (
+        top_terms_per_lang_mg,
+    )
+    rng = np.random.RandomState(4)
+    # zipf-ish: token w0 dominates, a long tail of rare tokens
+    texts = []
+    for i in range(600):
+        toks = ["hot"] * 5 + ["warm"] * 2 + [f"rare{rng.randint(5000)}"
+                                             for _ in range(8)]
+        texts.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(range(600), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * 600)})
+    capacity = 64
+    out = top_terms_per_lang_mg(rd.from_arrow(t), k=5,
+                                capacity=capacity).to_pandas()
+    n_total = 600 * 15
+    bound = n_total / (capacity + 1)
+    got = dict(zip(out["tok"], out["n"]))
+    true_hot, true_warm = 600 * 5, 600 * 2
+    assert true_hot > bound and true_warm > bound
+    assert "hot" in got and "warm" in got
+    assert true_hot - bound <= got["hot"] <= true_hot
+    assert true_warm - bound <= got["warm"] <= true_warm
+    assert got["hot"] > got["warm"]
