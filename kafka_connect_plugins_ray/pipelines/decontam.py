@@ -1,0 +1,183 @@
+"""Benchmark decontamination: remove from a training corpus every
+document whose text appears in a reference ("benchmark") set — the
+standard leakage guard in LLM data pipelines.
+
+Shapes (both distributed, no driver-side corpus materialization):
+
+- ``benchmark_hash_pairs``: one pass over the benchmark Dataset reducing
+  each block to its distinct dual-seed 64-bit text hashes (an effective
+  128-bit key: cross-seed collision ~2^-128, so hash membership IS text
+  membership for any realistic corpus), combined up a remote fan-in tree
+  with dedup at every level.  The result is 16 B per distinct benchmark
+  text — broadcast once via ``ray.put``.
+- ``build_text_bloom``: per-block Bloom partials (double-hashing scheme:
+  bit_j = (h1 + j*h2) mod m) OR-merged up the same tree.  The filter
+  NEVER misses a benchmark text (no false negatives — the safe direction
+  for decontamination) and false-positives are bounded by
+  (1 - e^(-k*n/m))^k.
+- ``decontaminate``: vectorized anti-filter over the corpus.
+  ``mode="exact"`` tests the Bloom first (cheap reject for the ~100% of
+  docs that are clean) and verifies hits against the sorted hash pairs —
+  exact set-difference semantics, SQL-mirrorable by an anti-join on
+  text.  ``mode="bloom"`` skips the verify: O(bits) memory independent
+  of benchmark size, removes a bounded superset.
+
+At 100 TB: the corpus streams through one ``map_batches`` filter; only
+the benchmark summary (pairs or bits) is broadcast, and it is built
+distributed so the benchmark itself also streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..exchange import tree_aggregate
+from ..functions.vhash import hash64_column
+
+# dual xxhash seeds — same convention as exact_dedup's 128-bit key
+_SEED_A = 0
+_SEED_B = 0x9E3779B9
+
+
+def _text_pairs(col) -> "tuple[np.ndarray, np.ndarray]":
+    h1 = hash64_column(col, seed=_SEED_A)
+    h2 = hash64_column(col, seed=_SEED_B)
+    return h1, h2
+
+
+def _pairs_table(h1: np.ndarray, h2: np.ndarray) -> pa.Table:
+    t = pa.table({"h1": pa.array(h1, pa.uint64()),
+                  "h2": pa.array(h2, pa.uint64())})
+    g = t.group_by(["h1", "h2"]).aggregate([])
+    return g
+
+
+def benchmark_hash_pairs(benchmark: "rd.Dataset",
+                         text_col: str = "text") -> pa.Table:
+    """Distinct (h1, h2) text-hash pairs of the benchmark set, reduced
+    per block and deduped at every level of a remote fan-in tree."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h1, h2 = _text_pairs(t.column(text_col))
+        return _pairs_table(h1, h2)
+
+    partials = benchmark.map_batches(partial, batch_format="pyarrow")
+    merged = tree_aggregate(
+        partials, lambda t: t.group_by(["h1", "h2"]).aggregate([]))
+    if merged is None:
+        return pa.table({"h1": pa.array([], pa.uint64()),
+                         "h2": pa.array([], pa.uint64())})
+    return merged
+
+
+def _bloom_indices(h1: np.ndarray, h2: np.ndarray, num_bits: int,
+                   num_hashes: int) -> np.ndarray:
+    """(n, k) bit indices via double hashing: idx_j = (h1 + j*h2) mod m."""
+    j = np.arange(num_hashes, dtype=np.uint64)
+    return ((h1[:, None] + j[None, :] * h2[:, None])
+            % np.uint64(num_bits)).astype(np.int64)
+
+
+def _set_bits(words: np.ndarray, idx: np.ndarray) -> None:
+    np.bitwise_or.at(words, idx >> 6,
+                     np.uint64(1) << (idx.astype(np.uint64)
+                                      & np.uint64(63)))
+
+
+def _test_bits(words: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """AND over each row's k probed bits."""
+    probed = (words[idx >> 6] >> (idx.astype(np.uint64) & np.uint64(63))
+              ) & np.uint64(1)
+    return probed.all(axis=1)
+
+
+def build_text_bloom(benchmark: "rd.Dataset", num_bits: int = 1 << 24,
+                     num_hashes: int = 4,
+                     text_col: str = "text") -> np.ndarray:
+    """Bloom filter (packed uint64 words) over the benchmark's texts:
+    per-block partial filters OR-merged up a remote fan-in tree.  The
+    bit-array rides the tree as a single fixed-width binary cell per
+    table (m/8 bytes — 2 MiB at the default 2^24 bits)."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(num_bits // 64, dtype=np.uint64)
+        if t.num_rows:
+            h1, h2 = _text_pairs(t.column(text_col))
+            _set_bits(words, _bloom_indices(h1, h2, num_bits, num_hashes))
+        return pa.table({"bits": pa.array([words.tobytes()],
+                                          pa.large_binary())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        acc = np.zeros(num_bits // 64, dtype=np.uint64)
+        for cell in t.column("bits"):
+            acc |= np.frombuffer(cell.as_py(), dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()],
+                                          pa.large_binary())})
+
+    partials = benchmark.map_batches(partial, batch_format="pyarrow")
+    merged = tree_aggregate(partials, combine)
+    if merged is None:
+        return np.zeros(num_bits // 64, dtype=np.uint64)
+    return np.frombuffer(merged.column("bits")[0].as_py(),
+                         dtype=np.uint64).copy()
+
+
+def _pair_membership(h1: np.ndarray, h2: np.ndarray, sh1: np.ndarray,
+                     sh2: np.ndarray) -> np.ndarray:
+    """Vectorized (h1, h2) membership against lexsorted pair arrays."""
+    hit = np.zeros(len(h1), dtype=bool)
+    if sh1.size == 0 or len(h1) == 0:
+        return hit
+    lo = np.searchsorted(sh1, h1, side="left")
+    hi = np.searchsorted(sh1, h1, side="right")
+    one = hi - lo == 1
+    hit[one] = sh2[lo[one]] == h2[one]
+    # h1 collisions across distinct texts: astronomically rare, bounded
+    for i in np.nonzero(hi - lo > 1)[0]:
+        hit[i] = h2[i] in sh2[lo[i]:hi[i]]
+    return hit
+
+
+def decontaminate(corpus: "rd.Dataset", benchmark: "rd.Dataset",
+                  mode: str = "exact", text_col: str = "text",
+                  num_bits: int = 1 << 24,
+                  num_hashes: int = 4) -> "rd.Dataset":
+    """Drop every corpus doc whose ``text_col`` appears in ``benchmark``.
+
+    ``mode="exact"``: Bloom pre-filter + exact dual-hash verify — the
+    removed set equals the text-equality anti-join (SQL-mirrorable; the
+    ``corpus_prep`` oracle gates this path end-to-end).  ``mode="bloom"``:
+    Bloom only — never misses a benchmark text, may over-remove at the
+    documented false-positive rate; memory independent of benchmark size."""
+    import ray
+
+    if mode not in ("exact", "bloom"):
+        raise ValueError(f"unknown decontaminate mode {mode!r}")
+    words_ref = ray.put(build_text_bloom(
+        benchmark, num_bits=num_bits, num_hashes=num_hashes,
+        text_col=text_col))
+    pairs_ref = None
+    if mode == "exact":
+        pairs = benchmark_hash_pairs(benchmark, text_col=text_col)
+        h1 = pairs.column("h1").to_numpy()
+        h2 = pairs.column("h2").to_numpy()
+        order = np.lexsort((h2, h1))
+        pairs_ref = ray.put((h1[order], h2[order]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h1, h2 = _text_pairs(batch.column(text_col))
+        cand = _test_bits(ray.get(words_ref),
+                          _bloom_indices(h1, h2, num_bits, num_hashes))
+        if pairs_ref is not None and cand.any():
+            sh1, sh2 = ray.get(pairs_ref)
+            idx = np.nonzero(cand)[0]
+            cand[idx] = _pair_membership(h1[idx], h2[idx], sh1, sh2)
+        return batch.filter(pa.array(~cand))
+
+    return corpus.map_batches(keep, batch_format="pyarrow")

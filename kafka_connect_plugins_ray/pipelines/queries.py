@@ -1190,10 +1190,23 @@ FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
 
 
 def q_top_terms(sf_dir: str) -> pa.Table:
-    from .text import top_terms_per_lang
+    """Exact distributed top-k terms per language, CROSS-GATED against
+    the Misra–Gries mergeable-summary path: with capacity ≥ the
+    dictionary the MG tree must reproduce the exact exchange's table
+    bit-for-bit, so one driver slot oracle-checks both the token-hash
+    exchange and the no-shuffle summary machinery (truncation behavior
+    is pinned separately in pytest)."""
+    from .text import top_terms_per_lang, top_terms_per_lang_mg
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return top_terms_per_lang(docs, k=10)
+    exact = top_terms_per_lang(docs, k=10)
+    docs2 = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    approx = top_terms_per_lang_mg(docs2, k=10, capacity=200_000)
+    if not exact.to_pandas().equals(approx.to_pandas()):
+        raise AssertionError(
+            "Misra-Gries path diverged from the exact top-k at "
+            "dictionary-covering capacity")
+    return exact
 
 
 TOP_TERMS_ORACLE = """
@@ -1230,18 +1243,33 @@ FROM documents
 """
 
 
+_BENCH_THR = 17293822569102704640  # 15/16 * 2^64: ~6% "benchmark" subset
+
+
 def q_corpus_prep(sf_dir: str) -> "rd.Dataset":
     """The end-to-end training-data prep flow as ONE streaming pipeline:
-    quality gate → exact-dedup keep (engine's exchange-computed keep-set
-    broadcast into a vectorized anti-filter) → 50% hash-deterministic
-    sample → token count.  Every stage's predicate is SQL-mirrorable, so
-    the whole composition is driver-gated."""
+    benchmark decontamination (Bloom pre-filter + exact dual-hash verify
+    against a hash-deterministic "benchmark" slice — SQL mirrors it as a
+    text anti-join) → quality gate → exact-dedup keep (engine's
+    exchange-computed keep-set broadcast into a vectorized anti-filter)
+    → 50% hash-deterministic sample → token count.  Every stage's
+    predicate is SQL-mirrorable, so the whole composition is
+    driver-gated."""
     import ray
 
     from ..functions.vhash import murmur64
+    from .decontam import decontaminate
 
+    def bench_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(murmur64(ids) >= np.uint64(_BENCH_THR)))
+
+    benchmark = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(bench_slice, batch_format="pyarrow")
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    keep_t = exact_dedup(docs)
+    docs = decontaminate(docs, benchmark, mode="exact")
+    keep_t = exact_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
     keep_ids = np.sort(keep_t.column("keep_doc_id").to_numpy())
     keep_ref = ray.put(keep_ids)
     thr = np.uint64(9223372036854775808)  # 0.5 * 2^64
@@ -1263,9 +1291,10 @@ def q_corpus_prep(sf_dir: str) -> "rd.Dataset":
     return docs.map_batches(prep, batch_format="pandas")
 
 
-# mirrors the composed predicates: quality thresholds, keep = min doc per
+# mirrors the composed predicates: text anti-join against the
+# hash-selected benchmark slice, quality thresholds, keep = min doc per
 # text class, hash(doc_id) < 0.5*2^64
-CORPUS_PREP_ORACLE = """
+CORPUS_PREP_ORACLE = f"""
 WITH q AS (
   SELECT doc_id, text,
          CASE WHEN trim(text) = '' THEN 0
@@ -1274,11 +1303,14 @@ WITH q AS (
          round(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
                / greatest(length(text), 1), 4) AS punct_ratio
   FROM documents),
-k AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text)
+k AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text),
+bench AS (SELECT text FROM documents
+          WHERE hash(doc_id) >= {_BENCH_THR}::UBIGINT)
 SELECT doc_id, n_tokens FROM q
 WHERE punct_ratio <= 0.05 AND n_tokens >= 30
   AND doc_id IN (SELECT keep_id FROM k)
   AND hash(doc_id) < 9223372036854775808::UBIGINT
+  AND text NOT IN (SELECT text FROM bench)
 """
 
 

@@ -957,3 +957,58 @@ def test_top_terms_mg_heavy_hitter_bound():
     assert true_hot - bound <= got["hot"] <= true_hot
     assert true_warm - bound <= got["warm"] <= true_warm
     assert got["hot"] > got["warm"]
+
+
+def _decontam_corpora():
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    bench_texts = [f"benchmark question {i} answer {rng.randint(1e6)}"
+                   for i in range(50)]
+    clean_texts = [f"ordinary web document {i} body {rng.randint(1e6)}"
+                   for i in range(400)]
+    # plant benchmark texts inside the corpus
+    corpus_texts = clean_texts + bench_texts[:20]
+    corpus = pa.table({
+        "doc_id": pa.array(range(len(corpus_texts)), pa.int64()),
+        "text": pa.array(corpus_texts)})
+    bench = pa.table({
+        "doc_id": pa.array(range(len(bench_texts)), pa.int64()),
+        "text": pa.array(bench_texts)})
+    return rd.from_arrow(corpus), rd.from_arrow(bench), corpus_texts, bench_texts
+
+
+def test_decontaminate_exact_matches_text_anti_join():
+    import ray
+
+    from kafka_connect_plugins_ray.pipelines.decontam import decontaminate
+
+    corpus, bench, corpus_texts, bench_texts = _decontam_corpora()
+    out = decontaminate(corpus, bench, mode="exact")
+    got = sorted(pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    ).column("text").to_pylist())
+    want = sorted(t for t in corpus_texts if t not in set(bench_texts))
+    assert got == want  # planted contamination fully removed, rest kept
+
+
+def test_decontaminate_bloom_no_false_negatives_bounded_fp():
+    import ray
+
+    from kafka_connect_plugins_ray.pipelines.decontam import decontaminate
+
+    corpus, bench, corpus_texts, bench_texts = _decontam_corpora()
+    num_bits, k = 1 << 12, 4  # deliberately small filter to surface FPs
+    out = decontaminate(corpus, bench, mode="bloom",
+                        num_bits=num_bits, num_hashes=k)
+    kept = set(pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    ).column("text").to_pylist())
+    # NO false negatives: every planted benchmark text is gone
+    assert not (kept & set(bench_texts))
+    # false-positive over-removal bounded: <= 4x the analytic rate
+    n, m = len(bench_texts), num_bits
+    fp_rate = (1 - np.exp(-k * n / m)) ** k
+    clean = [t for t in corpus_texts if t not in set(bench_texts)]
+    removed_clean = len(clean) - len(kept & set(clean))
+    assert removed_clean <= max(4 * fp_rate * len(clean), 3.0)
