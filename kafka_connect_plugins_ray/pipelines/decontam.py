@@ -157,16 +157,23 @@ def decontaminate(corpus: "rd.Dataset", benchmark: "rd.Dataset",
 
     if mode not in ("exact", "bloom"):
         raise ValueError(f"unknown decontaminate mode {mode!r}")
-    words_ref = ray.put(build_text_bloom(
-        benchmark, num_bits=num_bits, num_hashes=num_hashes,
-        text_col=text_col))
     pairs_ref = None
     if mode == "exact":
+        # one benchmark scan: the Bloom pre-filter derives from the
+        # collected distinct pairs (already ≤ 16 B per benchmark text)
         pairs = benchmark_hash_pairs(benchmark, text_col=text_col)
         h1 = pairs.column("h1").to_numpy()
         h2 = pairs.column("h2").to_numpy()
+        words = np.zeros(num_bits // 64, dtype=np.uint64)
+        if len(h1):
+            _set_bits(words, _bloom_indices(h1, h2, num_bits, num_hashes))
+        words_ref = ray.put(words)
         order = np.lexsort((h2, h1))
         pairs_ref = ray.put((h1[order], h2[order]))
+    else:
+        words_ref = ray.put(build_text_bloom(
+            benchmark, num_bits=num_bits, num_hashes=num_hashes,
+            text_col=text_col))
 
     def keep(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
