@@ -110,15 +110,55 @@ def winnow_fingerprint(text: str, k: int = 16, w: int = 8) -> int:
     return acc
 
 
+# transient budget for one winnow slice: the sweep+selection transients
+# are ~60-75 B per input byte (hashes, sliding mins, selection/lexsort
+# arrays), so 4 MB of text bounds a slice's peak at ~300 MB regardless
+# of the Ray block size feeding the stage
+_WINNOW_SLICE_BYTES = 1 << 22
+
+
+def _winnow_slice(out: np.ndarray, data: np.ndarray, starts: np.ndarray,
+                  lens: np.ndarray, rows: np.ndarray, k: int,
+                  w: int) -> None:
+    """Winnow fingerprints for the docs in ``rows`` (all with len >= k),
+    writing into ``out``.  The hash sweep runs over the contiguous data
+    span covering those docs; per-doc window ranges read exactly the
+    per-doc positions, so interleaved/straddling bytes are computed but
+    never read."""
+    s0 = int(starts[rows[0]])
+    e0 = int(starts[rows[-1]] + lens[rows[-1]])
+    hs = _rolling_from_bytes(data[s0:e0], k)
+    smin = _sliding_min(hs, w) if hs.size >= w else hs
+    lens_r = lens[rows]
+    m = lens_r - k + 1
+    n_sel = np.where(m > w, m - w + 1, m)
+    total = int(n_sel.sum())
+    grp_starts = np.concatenate(([0], np.cumsum(n_sel)[:-1]))
+    intra = np.arange(total) - np.repeat(grp_starts, n_sel)
+    gidx = np.repeat(starts[rows] - s0, n_sel) + intra
+    use_min = np.repeat(m > w, n_sel)
+    vals = np.empty(total, dtype=np.uint64)
+    vals[use_min] = smin[gidx[use_min]]
+    vals[~use_min] = hs[gidx[~use_min]]
+    doc_of = np.repeat(rows, n_sel)
+    # unique-within-doc then XOR-reduce per doc
+    order = np.lexsort((vals, doc_of))
+    dv, vv = doc_of[order], vals[order]
+    first = np.concatenate(([True], (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])))
+    dv, vv = dv[first], vv[first]
+    run_starts = np.nonzero(np.concatenate(([True], dv[1:] != dv[:-1])))[0]
+    out[dv[run_starts]] = np.bitwise_xor.reduceat(vv, run_starts)
+
+
 def winnow_fingerprints_batch(texts, k: int = 16, w: int = 8) -> np.ndarray:
-    """Winnowed fingerprints for a WHOLE batch in one pass — the round-2
-    review's hot-spot fix for the per-doc ``Series.map`` dispatch: all
-    docs' bytes are viewed as one concatenated Arrow buffer, ONE rolling
-    Karp–Rabin sweep and ONE sliding-min pass run over it, and the per-doc
-    unique-XOR combine is a lexsort + ``np.bitwise_xor.reduceat`` over doc
-    boundaries.  Value-identical to ``winnow_fingerprint`` per doc (the
-    in-doc window ranges read exactly the per-doc positions; windows that
-    straddle doc boundaries are computed but never read).
+    """Winnowed fingerprints for a WHOLE batch — the round-2 review's
+    hot-spot fix for the per-doc ``Series.map`` dispatch: docs' bytes are
+    viewed as one concatenated Arrow buffer and processed in doc slices
+    of ≤ ``_WINNOW_SLICE_BYTES`` text bytes, each slice one vectorized
+    rolling Karp–Rabin sweep + sliding-min pass + lexsort/XOR-reduce
+    combine (the slice budget bounds peak transients independent of the
+    Ray block size — round-3 review finding).  Value-identical to
+    ``winnow_fingerprint`` per doc (pinned in tests).
 
     ``texts``: iterable of str / pandas Series / Arrow string array.
     Returns a uint64 array."""
@@ -153,26 +193,14 @@ def winnow_fingerprints_batch(texts, k: int = 16, w: int = 8) -> np.ndarray:
             int(hashlib.sha256(s.encode()).hexdigest()[:15], 16))
     if not long_enough.any():
         return out
-    hs = _rolling_from_bytes(data, k)          # one sweep, all docs
-    smin = _sliding_min(hs, w) if hs.size >= w else hs
-    # per-doc selected values: docs with m (= len-k+1) windows pick
-    # smin[start .. start+m-w] when m > w, else all m raw hashes
-    m = np.where(long_enough, lens - k + 1, 0)
-    n_sel = np.where(m > w, m - w + 1, m)
-    total = int(n_sel.sum())
-    grp_starts = np.concatenate(([0], np.cumsum(n_sel)[:-1]))
-    intra = np.arange(total) - np.repeat(grp_starts, n_sel)
-    gidx = np.repeat(starts, n_sel) + intra
-    use_min = np.repeat(m > w, n_sel)
-    vals = np.empty(total, dtype=np.uint64)
-    vals[use_min] = smin[gidx[use_min]]
-    vals[~use_min] = hs[gidx[~use_min]]
-    doc_of = np.repeat(np.arange(n), n_sel)
-    # unique-within-doc then XOR-reduce per doc
-    order = np.lexsort((vals, doc_of))
-    dv, vv = doc_of[order], vals[order]
-    first = np.concatenate(([True], (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])))
-    dv, vv = dv[first], vv[first]
-    run_starts = np.nonzero(np.concatenate(([True], dv[1:] != dv[:-1])))[0]
-    out[dv[run_starts]] = np.bitwise_xor.reduceat(vv, run_starts)
+    le_rows = np.nonzero(long_enough)[0]
+    ends_b = np.cumsum(lens[le_rows])
+    lo = 0
+    while lo < len(le_rows):
+        base = ends_b[lo - 1] if lo else 0
+        hi = int(np.searchsorted(ends_b, base + _WINNOW_SLICE_BYTES,
+                                 side="right"))
+        hi = max(hi, lo + 1)  # always take >= 1 doc
+        _winnow_slice(out, data, starts, lens, le_rows[lo:hi], k, w)
+        lo = hi
     return out

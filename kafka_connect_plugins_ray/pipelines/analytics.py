@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..exchange import Broadcast, tree_aggregate
+from ..schema import floor_div_int
 from ..sources.readers import read_table
 
 
@@ -147,7 +148,7 @@ def events_hopping(sf_dir: str, hop_us: int = 1_800_000_000) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())
-        w0 = pc.divide(us, hop_us)
+        w0 = floor_div_int(us, hop_us)
         ones = pa.array(np.ones(t.num_rows, np.int64))
         a = pa.table({"user_id": t["user_id"], "win": w0,
                       "sum_value": t["value"], "n_events": ones})
@@ -176,10 +177,10 @@ def events_hourly(sf_dir: str, num_buckets: int = 32) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())
-        # truncating division, deliberately matching the oracle's `//`
-        # (both sides truncate; events testdata is post-1970 — see the
-        # floor_div_int note in CLAUDE.md for calendar-correct windows)
-        win = pc.divide(us, 3_600_000_000)
+        # FLOOR division (calendar-correct for pre-1970 events); the
+        # oracle mirrors it with an explicit negative-remainder
+        # correction since DuckDB's `//` truncates toward zero
+        win = floor_div_int(us, 3_600_000_000)
         pairs = pa.table({
             "win": win, "user_id": t["user_id"],
             "sum_value": t["value"],

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..exchange import tree_aggregate
@@ -47,6 +48,17 @@ def _text_pairs(col) -> "tuple[np.ndarray, np.ndarray]":
     return h1, h2
 
 
+def _drop_null_texts(t: pa.Table, text_col: str) -> pa.Table:
+    """NULL texts are excluded from the benchmark set (a null is not a
+    document that can leak; SQL's anti-join on text likewise never
+    matches NULL = NULL).  Without this, polars' fixed null hash would
+    make one null benchmark row 'contaminate' every null corpus row."""
+    col = t.column(text_col)
+    if col.null_count:
+        t = t.filter(pc.is_valid(col))
+    return t
+
+
 def _pairs_table(h1: np.ndarray, h2: np.ndarray) -> pa.Table:
     t = pa.table({"h1": pa.array(h1, pa.uint64()),
                   "h2": pa.array(h2, pa.uint64())})
@@ -60,6 +72,7 @@ def benchmark_hash_pairs(benchmark: "rd.Dataset",
     per block and deduped at every level of a remote fan-in tree."""
 
     def partial(t: pa.Table) -> pa.Table:
+        t = _drop_null_texts(t, text_col)
         h1, h2 = _text_pairs(t.column(text_col))
         return _pairs_table(h1, h2)
 
@@ -105,6 +118,7 @@ def build_text_bloom(benchmark: "rd.Dataset", num_bits: int = 1 << 24,
 
     def partial(t: pa.Table) -> pa.Table:
         words = np.zeros(num_bits // 64, dtype=np.uint64)
+        t = _drop_null_texts(t, text_col)
         if t.num_rows:
             h1, h2 = _text_pairs(t.column(text_col))
             _set_bits(words, _bloom_indices(h1, h2, num_bits, num_hashes))
@@ -181,6 +195,9 @@ def decontaminate(corpus: "rd.Dataset", benchmark: "rd.Dataset",
         h1, h2 = _text_pairs(batch.column(text_col))
         cand = _test_bits(ray.get(words_ref),
                           _bloom_indices(h1, h2, num_bits, num_hashes))
+        # a NULL corpus text is never "contaminated" (nothing to match)
+        valid = np.asarray(pc.is_valid(batch.column(text_col)))
+        cand &= valid
         if pairs_ref is not None and cand.any():
             sh1, sh2 = ray.get(pairs_ref)
             idx = np.nonzero(cand)[0]

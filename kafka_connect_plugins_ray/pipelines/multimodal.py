@@ -256,16 +256,28 @@ class MediaDecoder:
             idat_len = self._be32(hdr, _PNG_IDAT_LEN_OFF)
             decoded: list = []
             png_rows = np.nonzero(is_png)[0]
+            bad: list = []
             for i in png_rows:
                 s = starts[i] + _PNG_IDAT_DATA_OFF
-                raw = zlib.decompress(
-                    data[s:s + idat_len[i]].tobytes())
+                # clamp to the ROW's end: a corrupt length field must not
+                # read the neighboring row's bytes
+                e = min(s + int(idat_len[i]), int(starts[i] + lens[i]))
+                try:
+                    raw = zlib.decompress(data[s:e].tobytes())
+                except zlib.error as exc:
+                    if self.strict:
+                        raise ValueError(
+                            f"corrupt PNG IDAT stream: {exc}") from exc
+                    bad.append(i)
+                    raw = b""  # non-strict: row degrades to null metadata
                 decoded.append(raw)
             dl = np.array([len(d) for d in decoded], dtype=np.int64)
             n_bytes[png_rows] = dl
             # content hash over the DECODED bytes for entropy-coded rows
             h[png_rows] = hash64_column(
                 pa.array(decoded, pa.binary())).view(np.int64)
+            if bad:
+                is_png[np.array(bad, dtype=np.int64)] = False
         m = is_bmp | is_png
         meta = pa.StructArray.from_arrays(
             [pa.array(np.where(m, n_bytes, 0), pa.int64()),

@@ -1500,8 +1500,13 @@ GROUP BY 1
 """
 
 # tumbling window aggregate + windowed exact COUNT DISTINCT, one query
+# window id is FLOOR(epoch_us / width): DuckDB's `//` truncates toward
+# zero, so negative (pre-1970) epochs subtract one when there is a
+# remainder — mirrors schema.floor_div_int exactly
 EVENTS_HOURLY_ORACLE = """
-SELECT epoch_us(ts) // 3600000000 AS win,
+SELECT (epoch_us(ts) // 3600000000)
+       - CASE WHEN epoch_us(ts) < 0 AND epoch_us(ts) % 3600000000 <> 0
+              THEN 1 ELSE 0 END AS win,
        round(sum(value), 2) AS sum_value,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users
@@ -1546,7 +1551,12 @@ FROM ps
 
 
 EVENTS_HOPPING_ORACLE = """
-WITH e AS (SELECT user_id, epoch_us(ts) // 1800000000 AS w0, value FROM events),
+WITH e AS (SELECT user_id,
+                  (epoch_us(ts) // 1800000000)
+                  - CASE WHEN epoch_us(ts) < 0
+                              AND epoch_us(ts) % 1800000000 <> 0
+                         THEN 1 ELSE 0 END AS w0,
+                  value FROM events),
      x AS (SELECT user_id, w0 AS win, value FROM e
            UNION ALL
            SELECT user_id, w0 - 1 AS win, value FROM e)

@@ -191,9 +191,20 @@ def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
             match = np.zeros((e - s, len(ids)), dtype=bool)
             for t in range(qb_all.shape[1]):
                 match |= qb_all[s:e, t][:, None] == cb[:, t][None, :]
-            sims = np.where(match, qn[s:e] @ cn.T, -np.inf)
-            f = _topk_frame(qids[s:e], sims, ids, k)
+            # matmul only the candidates some query actually probes —
+            # this is where LSH saves compute vs brute force (round-3
+            # review finding: a full matmul + mask pays 100% of the
+            # brute-force FLOPs)
+            cols = np.nonzero(match.any(axis=0))[0]
+            if cols.size == 0:
+                continue
+            sims = np.where(match[:, cols], qn[s:e] @ cn[cols].T, -np.inf)
+            f = _topk_frame(qids[s:e], sims, ids[cols], k)
             frames.append(f[f["score"] > -np.inf])
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
         return _concat_frames(frames)
 
     per_batch = candidates.map_batches(bucket_topk, batch_format="pandas",
@@ -316,9 +327,19 @@ def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
             match = np.zeros((e - s, len(ids)), dtype=bool)
             for j in range(probe_.shape[1]):
                 match |= probe_[s:e, j][:, None] == assign[None, :]
-            sims = np.where(match, qn_[s:e] @ cn.T, -np.inf)
-            f = _topk_frame(qids[s:e], sims, ids, k)
+            # matmul only the candidates whose list some query probes —
+            # the inverted-list saving IVF exists for (round-3 review)
+            cols = np.nonzero(match.any(axis=0))[0]
+            if cols.size == 0:
+                continue
+            sims = np.where(match[:, cols], qn_[s:e] @ cn[cols].T,
+                            -np.inf)
+            f = _topk_frame(qids[s:e], sims, ids[cols], k)
             frames.append(f[f["score"] > -np.inf])
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
         return _concat_frames(frames)
 
     per_batch = candidates.map_batches(probe_topk, batch_format="pandas",

@@ -1012,3 +1012,51 @@ def test_decontaminate_bloom_no_false_negatives_bounded_fp():
     clean = [t for t in corpus_texts if t not in set(bench_texts)]
     removed_clean = len(clean) - len(kept & set(clean))
     assert removed_clean <= max(4 * fp_rate * len(clean), 3.0)
+
+
+def test_media_decoder_corrupt_png_nonstrict_null_strict_raises():
+    # a payload with a valid PNG signature but corrupt IDAT must degrade
+    # to null metadata in non-strict mode (not kill the task) and raise
+    # in strict mode; the IDAT slice is clamped to the row so the bad
+    # length can't read a neighbor's bytes (round-3 review finding)
+    import struct
+    import zlib as _z
+
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        MediaDecoder,
+        PNG_SIG,
+        attach_payload,
+    )
+    good = attach_payload(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["good png payload here"], pa.string()),
+    })).column("payload").to_pylist()[0]
+    # corrupt: valid sig + junk body with a huge claimed IDAT length
+    corrupt = PNG_SIG + b"\x00" * 45 + struct.pack(">I", 1 << 30) \
+        + b"IDAT" + b"not-deflate-data" * 4
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([good, corrupt], pa.binary()),
+    })
+    out = MediaDecoder(strict=False)(batch)
+    meta = out.column("media_meta").to_pylist()
+    assert meta[0] is not None and meta[0]["n_bytes"] == len(
+        "good png payload here")
+    assert meta[1] is None  # degraded, not crashed
+    with pytest.raises(ValueError, match="IDAT"):
+        MediaDecoder(strict=True)(batch)
+
+
+def test_winnow_batch_sliced_equals_per_doc(monkeypatch):
+    # force multiple slices: per-slice processing must stay
+    # value-identical to the per-doc reference
+    import kafka_connect_plugins_ray.functions.hashing as H
+
+    rng = np.random.RandomState(5)
+    texts = ["".join(chr(rng.randint(97, 123)) for _ in range(rng.randint(4, 400)))
+             for _ in range(80)]
+    want = np.array([H.winnow_fingerprint(t) for t in texts],
+                    dtype=np.uint64)
+    monkeypatch.setattr(H, "_WINNOW_SLICE_BYTES", 256)
+    got = H.winnow_fingerprints_batch(texts)
+    assert (got == want).all()
