@@ -198,8 +198,13 @@ def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
             cols = np.nonzero(match.any(axis=0))[0]
             if cols.size == 0:
                 continue
-            sims = np.where(match[:, cols], qn[s:e] @ cn[cols].T, -np.inf)
-            f = _topk_frame(qids[s:e], sims, ids[cols], k)
+            if cols.size <= len(ids) // 2:
+                sims = np.where(match[:, cols], qn[s:e] @ cn[cols].T,
+                                -np.inf)
+                f = _topk_frame(qids[s:e], sims, ids[cols], k)
+            else:  # probed union ~= everything: gather would only copy
+                sims = np.where(match, qn[s:e] @ cn.T, -np.inf)
+                f = _topk_frame(qids[s:e], sims, ids, k)
             frames.append(f[f["score"] > -np.inf])
         if not frames:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
@@ -332,9 +337,13 @@ def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
             cols = np.nonzero(match.any(axis=0))[0]
             if cols.size == 0:
                 continue
-            sims = np.where(match[:, cols], qn_[s:e] @ cn[cols].T,
-                            -np.inf)
-            f = _topk_frame(qids[s:e], sims, ids[cols], k)
+            if cols.size <= len(ids) // 2:
+                sims = np.where(match[:, cols], qn_[s:e] @ cn[cols].T,
+                                -np.inf)
+                f = _topk_frame(qids[s:e], sims, ids[cols], k)
+            else:  # probed union ~= everything: gather would only copy
+                sims = np.where(match, qn_[s:e] @ cn.T, -np.inf)
+                f = _topk_frame(qids[s:e], sims, ids, k)
             frames.append(f[f["score"] > -np.inf])
         if not frames:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
