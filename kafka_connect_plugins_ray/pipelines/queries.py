@@ -1315,12 +1315,15 @@ WHERE punct_ratio <= 0.05 AND n_tokens >= 30
 
 
 def q_text_metrics(sf_dir: str) -> "rd.Dataset":
-    """Text analysis as ONE streaming pass gating FOUR operators —
+    """Text analysis as ONE streaming pass gating FIVE operators —
     language ID (marker scores + argmax prediction), quality scoring
     (chars/tokens/punct/avg-token-len), token counting (whitespace +
-    BPE-ish subword regex), and md5 document fingerprinting — each an
+    BPE-ish subword regex), md5 document fingerprinting, and the
+    Gopher-style duplicated-bigram repetition ratio (r3) — each an
     independent column family mirrored 1:1 in the composed SQL oracle, so
-    one driver slot hash-checks all four kernels."""
+    one driver slot hash-checks all five kernels."""
+    from .text import repetition_batch, round_half_up
+
     lang = LangId()
     qual = QualityScore()
     fp = Fingerprint()
@@ -1333,6 +1336,8 @@ def q_text_metrics(sf_dir: str) -> "rd.Dataset":
             out[c] = q[c]
         out["n_subtokens"] = token_count_batch(batch)["n_subtokens"]
         out["fingerprint"] = fp(batch)["fingerprint"]
+        out["rep_bigram_ratio"] = round_half_up(
+            repetition_batch(batch["text"]), 4)
         return out
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1400,14 +1405,45 @@ FROM documents
 # the composed text-analysis oracle: each operator's published oracle is a
 # subquery joined on doc_id, so column semantics stay exactly the four
 # originals'
+# duplicated-bigram fraction per doc (Gopher repetition rule): exact
+# distinct over consecutive token PAIRS (struct_pack, not string concat
+# — pair identity survives tokens containing any separator byte)
+REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+           AS ord
+  FROM documents WHERE trim(text) <> ''
+),
+bi AS (
+  SELECT doc_id, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+  FROM toks
+),
+agg AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE nxt IS NOT NULL) AS n_bi,
+         count(DISTINCT struct_pack(a := tok, b := nxt))
+           FILTER (WHERE nxt IS NOT NULL) AS n_distinct
+  FROM bi GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       round(CASE WHEN coalesce(a.n_bi, 0) > 0
+                  THEN 1.0 - a.n_distinct * 1.0 / a.n_bi
+                  ELSE 0.0 END, 4) AS rep_bigram_ratio
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
 TEXT_METRICS_ORACLE = f"""
 SELECT l.doc_id, l.s_en, l.s_de, l.s_fr, l.s_es, l.s_zh, l.lang_pred,
        t.n_chars_actual, t.n_tokens, t.punct_ratio, t.avg_token_len,
-       k.n_subtokens, f.fingerprint
+       k.n_subtokens, f.fingerprint, r.rep_bigram_ratio
 FROM ({LANG_ID_ORACLE}) l
 JOIN ({TEXT_QUALITY_ORACLE}) t ON l.doc_id = t.doc_id
 JOIN ({TOKEN_COUNT_ORACLE}) k ON l.doc_id = k.doc_id
 JOIN ({FINGERPRINT_ORACLE}) f ON l.doc_id = f.doc_id
+JOIN ({REPETITION_ORACLE}) r ON l.doc_id = r.doc_id
 """
 
 

@@ -264,6 +264,44 @@ def top_terms_per_lang_mg(docs, k: int = 10, capacity: int = 256,
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def repetition_batch(texts) -> np.ndarray:
+    """Gopher-style repetition quality signal, fully vectorized: per doc
+    the duplicated-bigram fraction ``1 - distinct_bigrams / bigrams``
+    (0.0 for docs with < 2 tokens).  Boilerplate/spam pages repeat
+    consecutive token pairs; clean prose doesn't.  EXACT — tokens are
+    integer-factorized via arrow ``dictionary_encode`` (no hashing), and
+    per-doc distinct pairs come from one lexsort over (doc, id_a, id_b).
+
+    ``texts``: pandas Series / Arrow string array.  Returns float64
+    (UNROUNDED; callers round for SQL parity)."""
+    from ..functions.tokenize import flat_tokens
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        col = texts
+    else:
+        col = pa.array(texts.astype(str), pa.string())
+    flat, counts = flat_tokens(col)
+    n = len(counts)
+    nbi = np.maximum(counts - 1, 0)
+    total = int(nbi.sum())
+    if total == 0:
+        return np.zeros(n, dtype=np.float64)
+    enc = flat.dictionary_encode()
+    ids = np.asarray(enc.indices, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    bi_starts = np.concatenate(([0], np.cumsum(nbi)[:-1]))
+    intra = np.arange(total) - np.repeat(bi_starts, nbi)
+    gidx = np.repeat(starts, nbi) + intra
+    a, b = ids[gidx], ids[gidx + 1]
+    doc_of = np.repeat(np.arange(n), nbi)
+    order = np.lexsort((b, a, doc_of))
+    dv, av, bv = doc_of[order], a[order], b[order]
+    first = np.concatenate(([True], (dv[1:] != dv[:-1])
+                            | (av[1:] != av[:-1]) | (bv[1:] != bv[:-1])))
+    distinct = np.bincount(dv[first], minlength=n)
+    return np.where(nbi > 0, 1.0 - distinct / np.maximum(nbi, 1), 0.0)
+
+
 def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
     text = batch["text"].astype(str)
     out = batch[["doc_id"]].copy()

@@ -1060,3 +1060,19 @@ def test_winnow_batch_sliced_equals_per_doc(monkeypatch):
     monkeypatch.setattr(H, "_WINNOW_SLICE_BYTES", 256)
     got = H.winnow_fingerprints_batch(texts)
     assert (got == want).all()
+
+
+def test_repetition_batch_hand_computed():
+    from kafka_connect_plugins_ray.pipelines.text import repetition_batch
+
+    texts = pa.array([
+        "a b a b a",      # bigrams: ab ba ab ba -> 2 distinct / 4 = 0.5 rep
+        "x y z",          # all distinct -> 0.0
+        "w w w w",        # ww ww ww -> 1 distinct / 3
+        "one",            # < 2 tokens -> 0.0
+        "",               # empty -> 0.0
+        None,             # null -> 0.0
+    ], pa.string())
+    got = repetition_batch(texts)
+    want = np.array([0.5, 0.0, 1 - 1 / 3, 0.0, 0.0, 0.0])
+    assert np.allclose(got, want)
