@@ -1076,3 +1076,28 @@ def test_repetition_batch_hand_computed():
     got = repetition_batch(texts)
     want = np.array([0.5, 0.0, 1 - 1 / 3, 0.0, 0.0, 0.0])
     assert np.allclose(got, want)
+
+
+def test_decontaminate_null_texts_never_match():
+    # explicit NULL semantics (round-3 review): null benchmark texts are
+    # excluded from the set; null corpus texts are never removed (the
+    # fixed polars null hash must not cross-match nulls)
+    import ray
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.decontam import decontaminate
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["keep me", None, "leaked text", None],
+                         pa.string())}))
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["leaked text", None], pa.string())}))
+    for mode in ("exact", "bloom"):
+        out = pa.concat_tables([
+            t for t in ray.get(
+                decontaminate(corpus, bench, mode=mode).to_arrow_refs())
+            if t.num_rows])
+        got = sorted(out.column("doc_id").to_pylist())
+        assert got == [0, 1, 3], mode  # only the real leak is removed
