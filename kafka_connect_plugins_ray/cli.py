@@ -49,9 +49,17 @@ def main(argv: "list[str] | None" = None) -> int:
     pi.add_argument("--cycles", type=int, default=1,
                     help="tail-follow mode: run N ingest cycles, each over "
                          "the next deterministic binlog segment")
+    pi.add_argument("--mode", choices=["cow", "delta"], default="cow",
+                    help="cow rewrites touched partitions; delta appends "
+                         "one LWW-reduced delta file per touched partition "
+                         "(fold chains back with `compact`)")
 
     ps = sub.add_parser("show", help="print the current manifest")
     ps.add_argument("--lake", required=True)
+
+    pc = sub.add_parser(
+        "compact", help="fold delta chains into one base file/partition")
+    pc.add_argument("--lake", required=True)
 
     pg = sub.add_parser("gc", help="garbage-collect old versions")
     pg.add_argument("--lake", required=True)
@@ -131,17 +139,26 @@ def main(argv: "list[str] | None" = None) -> int:
                     m = ingest(args.lake,
                                full_cdc_events(args.sf_dir, rounds=args.rounds,
                                                base_lsn=base),
-                               num_partitions=args.partitions)
+                               num_partitions=args.partitions,
+                               mode=args.mode)
                 else:
                     m = ingest(args.lake,
                                binlog_from_documents(args.sf_dir,
                                                      rounds=args.rounds,
                                                      base_lsn=base),
                                transforms=transforms,
-                               num_partitions=args.partitions)
+                               num_partitions=args.partitions,
+                               mode=args.mode)
                 print(json.dumps({"version": m.version,
                                   "high_water_lsn": m.high_water_lsn,
-                                  "partitions": len(m.files)}))
+                                  "partitions": len(m.files),
+                                  "delta_partitions": len(m.deltas)}))
+        elif args.cmd == "compact":
+            from .pipelines.maintenance import compact_lake
+
+            m = compact_lake(args.lake)
+            print(json.dumps({"version": m.version,
+                              "delta_partitions": len(m.deltas)}))
         elif args.cmd == "repartition":
             from .pipelines.maintenance import repartition_lake
 

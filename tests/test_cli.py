@@ -119,3 +119,25 @@ def test_cli_get_point_lookup(tmp_path, capsys):
     assert main(["get", "--lake", lake, "repo-1", "src/doc_1.txt"]) == 0
     rows = _json.loads(capsys.readouterr().out)
     assert len(rows) == 1 and rows[0]["path"] == "src/doc_1.txt"
+
+
+def test_cli_delta_mode_and_compact(tmp_path, capsys):
+    import json as _json
+
+    from kafka_connect_plugins_ray.cli import main
+    from tests.test_cdc_ingest import _state_hash
+
+    lake = str(tmp_path / "dlake")
+    assert main(["ingest", "--lake", lake,
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    capsys.readouterr()
+    # tail-follow a delta segment, then fold the chains back
+    assert main(["ingest", "--lake", lake, "--mode", "delta",
+                 "--sf-dir", "/root/testdata/sf0.001", "--rounds", "1"]) == 0
+    res = _json.loads(capsys.readouterr().out)
+    assert res["delta_partitions"] > 0
+    h = _state_hash(lake)
+    assert main(["compact", "--lake", lake]) == 0
+    res = _json.loads(capsys.readouterr().out)
+    assert res["delta_partitions"] == 0
+    assert _state_hash(lake) == h  # compaction is representation-only
