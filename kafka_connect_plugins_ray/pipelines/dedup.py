@@ -636,16 +636,75 @@ def filter_pairs_jaccard(threshold: float):
     return apply
 
 
+def _member_text_lengths(docs: "rd.Dataset",
+                         member_ids: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(sorted ids, text byte-lengths) for the given doc ids — ONE
+    streaming pass over the corpus with the (bounded) member-id set
+    broadcast; null texts get length -1 so any non-null doc wins."""
+    import ray
+
+    ids_ref = ray.put(np.sort(np.unique(member_ids)).astype(np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = t.column("doc_id").to_numpy()
+        idx = np.clip(np.searchsorted(want, ids), 0, max(want.size - 1, 0))
+        sel = t.filter(pa.array(
+            (want[idx] == ids) if want.size else np.zeros(len(ids), bool)))
+        n = pc.fill_null(pc.cast(pc.binary_length(
+            pc.cast(sel.column("text"), pa.binary())), pa.int64()), -1)
+        return pa.table({"doc_id": sel.column("doc_id"), "n": n})
+
+    parts = [t for t in ray.get(
+        docs.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+        if t is not None and t.num_rows]
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    t = pa.concat_tables(parts)
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    n = t.column("n").to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], n[order]
+
+
+def _drop_from_components(node: np.ndarray, label: np.ndarray,
+                          docs: "rd.Dataset",
+                          keep_policy: str) -> np.ndarray:
+    """Sorted doc ids to DROP: every cluster member except its
+    representative.  ``min_id`` keeps each cluster's smallest doc_id
+    (the SQL-oracle form); ``longest`` keeps the member with the longest
+    text (tie-break min doc_id) — the usual corpus-dedup policy of
+    preferring the most complete near-duplicate."""
+    if keep_policy == "min_id":
+        # label IS the component min (labels propagate mins)
+        return np.sort(node[node != label])
+    if keep_policy != "longest":
+        raise ValueError(f"unknown keep_policy {keep_policy!r}")
+    sids, slens = _member_text_lengths(docs, node)
+    idx = np.clip(np.searchsorted(sids, node), 0, max(sids.size - 1, 0))
+    ln = np.where((sids.size > 0) & (sids[idx] == node), slens[idx], -1)
+    order = np.lexsort((node, -ln, label))
+    lo = label[order]
+    rep_first = np.concatenate(([True], lo[1:] != lo[:-1]))
+    return np.sort(node[order][~rep_first])
+
+
 def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
                        distributed_cc: bool = False,
+                       keep_policy: str = "min_id",
                        **lsh_kwargs) -> "rd.Dataset":
     """End-to-end near-dup REMOVAL: LSH candidate pairs -> connected
-    components -> keep each cluster's min doc_id -> anti-filter the corpus
-    (drop-set broadcast into a vectorized map_batches filter).
+    components -> keep each cluster's representative -> anti-filter the
+    corpus (drop-set broadcast into a vectorized map_batches filter).
 
     ``pair_filter(pairs, docs) -> pairs`` optionally narrows the candidate
     set before clustering (e.g. ``filter_pairs_identical_text`` for the
     exactly-verifiable dedup mode the SQL oracle checks).
+
+    ``keep_policy``: ``"min_id"`` (default, the SQL-oracle form) keeps
+    each cluster's smallest doc_id; ``"longest"`` keeps the member with
+    the longest text, tie-break min doc_id (one extra bounded
+    member-length gather pass).
 
     ``distributed_cc=True`` routes clustering through
     ``connected_components_distributed``: pair shards never leave the
@@ -664,7 +723,7 @@ def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
         comp_t = connected_components_distributed(refs)
         node = comp_t.column("node").to_numpy()
         label = comp_t.column("label").to_numpy()
-        drop = np.sort(node[node != label])
+        drop = _drop_from_components(node, label, docs, keep_policy)
         drop_ref = ray.put(drop.astype(np.int64))
 
         def keep_batch(batch: pa.Table) -> pa.Table:
@@ -682,8 +741,10 @@ def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
     if pair_filter is not None:
         pairs = pair_filter(pairs, docs)
     comp = connected_components(pairs)
-    drop = sorted(d for d, rep in comp.items() if d != rep)
-    drop_ref = ray.put(np.asarray(drop, dtype=np.int64))
+    node = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+    label = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+    drop = _drop_from_components(node, label, docs, keep_policy)
+    drop_ref = ray.put(drop.astype(np.int64))
 
     def keep(batch: pa.Table) -> pa.Table:
         drop_ids = ray.get(drop_ref)

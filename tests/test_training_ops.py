@@ -1101,3 +1101,34 @@ def test_decontaminate_null_texts_never_match():
             if t.num_rows])
         got = sorted(out.column("doc_id").to_pylist())
         assert got == [0, 1, 3], mode  # only the real leak is removed
+
+
+def test_minhash_dedup_keep_longest_policy():
+    import ray
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.dedup import minhash_dedup_keep
+
+    # cluster A: docs 0,1,2 near-identical, doc 1 is the longest;
+    # cluster B: docs 3,4 identical length -> tie-break min id (3);
+    # doc 5 is a singleton and always kept
+    base = "shared near duplicate text body " * 8
+    texts = [base, base + "tail", base,
+             "another duplicate family text " * 6,
+             "another duplicate family text " * 6,
+             "completely unrelated single document"]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts)})
+    for dist in (False, True):
+        kept = minhash_dedup_keep(rd.from_arrow(t), keep_policy="longest",
+                                  distributed_cc=dist)
+        ids = sorted(pa.concat_tables(
+            [b for b in ray.get(kept.to_arrow_refs()) if b.num_rows]
+        ).column("doc_id").to_pylist())
+        assert ids == [1, 3, 5], f"distributed_cc={dist}"
+    # default policy unchanged: min id per cluster
+    kept = minhash_dedup_keep(rd.from_arrow(t))
+    ids = sorted(pa.concat_tables(
+        [b for b in ray.get(kept.to_arrow_refs()) if b.num_rows]
+    ).column("doc_id").to_pylist())
+    assert ids == [0, 3, 5]
