@@ -32,6 +32,17 @@ def _tokenize(text: str) -> list[str]:
     return text.split()
 
 
+def _in_sorted(ids: np.ndarray, sorted_wanted: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``ids`` in an already-SORTED id array —
+    the broadcast-set filter idiom shared by the keep/drop/gather
+    stages (one searchsorted, safe on an empty set)."""
+    if sorted_wanted.size == 0:
+        return np.zeros(len(ids), dtype=bool)
+    idx = np.clip(np.searchsorted(sorted_wanted, ids), 0,
+                  sorted_wanted.size - 1)
+    return sorted_wanted[idx] == ids
+
+
 def _word_shingles(tokens: list[str], k: int = 3) -> set[int]:
     """Exact k-token shingle hash set — used by ``verify_jaccard``'s
     driver-side exact-Jaccard check (the signature hot path uses the
@@ -638,7 +649,7 @@ def filter_pairs_jaccard(threshold: float):
 
 def _member_text_lengths(docs: "rd.Dataset",
                          member_ids: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
-    """(sorted ids, text byte-lengths) for the given doc ids — ONE
+    """(sorted ids, text CHARACTER lengths) for the given doc ids — ONE
     streaming pass over the corpus with the (bounded) member-id set
     broadcast; null texts get length -1 so any non-null doc wins."""
     import ray
@@ -646,13 +657,10 @@ def _member_text_lengths(docs: "rd.Dataset",
     ids_ref = ray.put(np.sort(np.unique(member_ids)).astype(np.int64))
 
     def pick(t: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        ids = t.column("doc_id").to_numpy()
-        idx = np.clip(np.searchsorted(want, ids), 0, max(want.size - 1, 0))
         sel = t.filter(pa.array(
-            (want[idx] == ids) if want.size else np.zeros(len(ids), bool)))
-        n = pc.fill_null(pc.cast(pc.binary_length(
-            pc.cast(sel.column("text"), pa.binary())), pa.int64()), -1)
+            _in_sorted(t.column("doc_id").to_numpy(), ray.get(ids_ref))))
+        n = pc.fill_null(pc.cast(pc.utf8_length(sel.column("text")),
+                                 pa.int64()), -1)
         return pa.table({"doc_id": sel.column("doc_id"), "n": n})
 
     parts = [t for t in ray.get(
@@ -731,9 +739,7 @@ def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
             if drop_ids.size == 0:
                 return batch
             ids = batch.column("doc_id").to_numpy()
-            idx = np.clip(np.searchsorted(drop_ids, ids), 0,
-                          drop_ids.size - 1)
-            return batch.filter(pa.array(drop_ids[idx] != ids))
+            return batch.filter(pa.array(~_in_sorted(ids, drop_ids)))
 
         return docs.map_batches(keep_batch, batch_format="pyarrow")
 
@@ -751,10 +757,7 @@ def minhash_dedup_keep(docs: "rd.Dataset", pair_filter=None,
         if drop_ids.size == 0:
             return batch
         ids = batch.column("doc_id").to_numpy()
-        idx = np.searchsorted(drop_ids, ids)
-        idx = np.clip(idx, 0, drop_ids.size - 1)
-        mask = drop_ids[idx] != ids
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(~_in_sorted(ids, drop_ids)))
 
     return docs.map_batches(keep, batch_format="pyarrow")
 

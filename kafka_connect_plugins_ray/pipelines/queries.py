@@ -1407,15 +1407,21 @@ FROM documents
 # originals'
 # duplicated-bigram fraction per doc (Gopher repetition rule): exact
 # distinct over consecutive token PAIRS (struct_pack, not string concat
-# — pair identity survives tokens containing any separator byte)
+# — pair identity survives tokens containing any separator byte).  The
+# split class reproduces Python str.split() / arrow
+# utf8_split_whitespace EXACTLY — full Unicode White_Space (RE2 \s +
+# \x0b + NEL + Zs/Zl/Zp) with edge-empty tokens dropped — verified
+# against repetition_batch on tab/NBSP/NEL/line-sep adversarial texts
 REPETITION_ORACLE = r"""
-WITH toks AS (
+WITH raw AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
-           AS ord
-  FROM documents WHERE trim(text) <> ''
+         unnest(regexp_split_to_array(
+             text, '[\s\x0b\x85\p{Zs}\p{Zl}\p{Zp}]+')) AS tok,
+         generate_subscripts(regexp_split_to_array(
+             text, '[\s\x0b\x85\p{Zs}\p{Zl}\p{Zp}]+'), 1) AS ord
+  FROM documents WHERE text IS NOT NULL
 ),
+toks AS (SELECT doc_id, tok, ord FROM raw WHERE tok <> ''),
 bi AS (
   SELECT doc_id, tok,
          lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt

@@ -44,6 +44,25 @@ def _concat_frames(frames: "list[pd.DataFrame]") -> pd.DataFrame:
             else pd.concat(frames, ignore_index=True))
 
 
+def _probe_chunk_topk(match: np.ndarray, qn_chunk: np.ndarray,
+                      cn: np.ndarray, ids: np.ndarray, qids_chunk,
+                      k: int) -> "pd.DataFrame | None":
+    """Top-k for one query chunk given its bool probe-match matrix:
+    matmul only the union of matched candidates when that union is
+    sparse (where probing saves FLOPs), else the full masked matmul
+    (the gather would only add a copy).  None when nothing matches."""
+    cols = np.nonzero(match.any(axis=0))[0]
+    if cols.size == 0:
+        return None
+    if cols.size <= len(ids) // 2:
+        sims = np.where(match[:, cols], qn_chunk @ cn[cols].T, -np.inf)
+        f = _topk_frame(qids_chunk, sims, ids[cols], k)
+    else:
+        sims = np.where(match, qn_chunk @ cn.T, -np.inf)
+        f = _topk_frame(qids_chunk, sims, ids, k)
+    return f[f["score"] > -np.inf]
+
+
 def _topk_frame(qids, sims: np.ndarray, cand_ids: np.ndarray, k: int) -> pd.DataFrame:
     """Per-query top-k from a sims matrix (queries × candidates) — one
     row-wise lexsort over the whole matrix, no per-query Python loop.
@@ -191,21 +210,9 @@ def knn_lsh(candidates: "rd.Dataset", query_ids: np.ndarray,
             match = np.zeros((e - s, len(ids)), dtype=bool)
             for t in range(qb_all.shape[1]):
                 match |= qb_all[s:e, t][:, None] == cb[:, t][None, :]
-            # matmul only the candidates some query actually probes —
-            # this is where LSH saves compute vs brute force (round-3
-            # review finding: a full matmul + mask pays 100% of the
-            # brute-force FLOPs)
-            cols = np.nonzero(match.any(axis=0))[0]
-            if cols.size == 0:
-                continue
-            if cols.size <= len(ids) // 2:
-                sims = np.where(match[:, cols], qn[s:e] @ cn[cols].T,
-                                -np.inf)
-                f = _topk_frame(qids[s:e], sims, ids[cols], k)
-            else:  # probed union ~= everything: gather would only copy
-                sims = np.where(match, qn[s:e] @ cn.T, -np.inf)
-                f = _topk_frame(qids[s:e], sims, ids, k)
-            frames.append(f[f["score"] > -np.inf])
+            f = _probe_chunk_topk(match, qn[s:e], cn, ids, qids[s:e], k)
+            if f is not None:
+                frames.append(f)
         if not frames:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                  "neighbor_id": pd.Series([], dtype="int64"),
@@ -332,19 +339,10 @@ def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
             match = np.zeros((e - s, len(ids)), dtype=bool)
             for j in range(probe_.shape[1]):
                 match |= probe_[s:e, j][:, None] == assign[None, :]
-            # matmul only the candidates whose list some query probes —
-            # the inverted-list saving IVF exists for (round-3 review)
-            cols = np.nonzero(match.any(axis=0))[0]
-            if cols.size == 0:
-                continue
-            if cols.size <= len(ids) // 2:
-                sims = np.where(match[:, cols], qn_[s:e] @ cn[cols].T,
-                                -np.inf)
-                f = _topk_frame(qids[s:e], sims, ids[cols], k)
-            else:  # probed union ~= everything: gather would only copy
-                sims = np.where(match, qn_[s:e] @ cn.T, -np.inf)
-                f = _topk_frame(qids[s:e], sims, ids, k)
-            frames.append(f[f["score"] > -np.inf])
+            f = _probe_chunk_topk(match, qn_[s:e], cn, ids, qids[s:e],
+                                  k)
+            if f is not None:
+                frames.append(f)
         if not frames:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                  "neighbor_id": pd.Series([], dtype="int64"),

@@ -1132,3 +1132,30 @@ def test_minhash_dedup_keep_longest_policy():
         [b for b in ray.get(kept.to_arrow_refs()) if b.num_rows]
     ).column("doc_id").to_pylist())
     assert ids == [0, 3, 5]
+
+
+def test_repetition_oracle_matches_on_adversarial_whitespace():
+    # the REPETITION_ORACLE's split class must reproduce str.split() /
+    # arrow utf8_split_whitespace on tab-edged, NBSP, NEL, vertical-tab
+    # and line-separator texts (round-3 review finding)
+    import duckdb
+
+    from kafka_connect_plugins_ray.pipelines.queries import (
+        REPETITION_ORACLE,
+    )
+    from kafka_connect_plugins_ray.pipelines.text import repetition_batch
+
+    texts = ["\tfoo bar foo bar", "a b a b", " x ", "", None,
+             "a b a b a", "w w w w", "line1\nline2 line1\nline2",
+             "u v u v", "nel\x85sep nel\x85sep",
+             "v\x0bw v\x0bw"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    con = duckdb.connect()
+    con.register("documents", t)
+    oracle = dict(con.sql(
+        f"SELECT doc_id, rep_bigram_ratio FROM ({REPETITION_ORACLE})"
+    ).fetchall())
+    got = np.round(repetition_batch(t.column("text")), 4)
+    for i in range(len(texts)):
+        assert abs(oracle[i] - got[i]) < 1e-9, (i, texts[i])
