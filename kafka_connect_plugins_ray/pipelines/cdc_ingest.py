@@ -369,6 +369,13 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         # different P would put a key's events in a partition that does not
         # hold its current row, silently duplicating it
         num_partitions = parent.num_partitions
+    if parent is not None and parent.key_cols:
+        # likewise the KEY is pinned: merging a custom-key lake under the
+        # parameter-default key would route on absent columns / merge the
+        # wrong identity (same class as the lookup_key r3 fix)
+        key_cols = tuple(parent.key_cols)
+    if parent is not None and parent.op_col:
+        op_col = parent.op_col
 
     if parent is not None and resume:
         hw = parent.high_water_lsn

@@ -189,11 +189,14 @@ def repartition_lake(lake_root: str, new_num_partitions: int,
         raise ValueError("cannot repartition an empty lake")
     version = parent.version + 1
 
+    # route on the key columns the lake was INGESTED with (the
+    # manifest's), not the parameter default — a custom-key lake would
+    # otherwise route on absent columns and duplicate keys
+    key_cols = list(parent.key_cols or key_cols)
+
     state = read_lake(lake_root)
     state = state.map_batches(
         AssignPartition(key_cols, new_num_partitions), batch_format="pyarrow")
-
-    key_cols = list(key_cols)
 
     import secrets
 

@@ -338,3 +338,31 @@ def test_delta_ingest_resume_high_water(tmp_path):
                 mode="delta")
     assert m2.high_water_lsn == m.high_water_lsn
     assert _state_hash(lake) == h
+
+
+def test_repartition_custom_key_lake(tmp_path):
+    # repartition must route on the manifest's recorded key columns, not
+    # the parameter default (round-3 review family: same bug class as
+    # lookup_key); also covers repartition-with-pending-deltas
+    from kafka_connect_plugins_ray.pipelines.cdc_ingest import ingest
+
+    lake = _fresh(tmp_path, "rck")
+    ev = binlog_from_documents(SF).map_batches(
+        lambda t: t.drop_columns(["repo"]), batch_format="pyarrow")
+    ingest(lake, ev, key_cols=("path",), num_partitions=8)
+    ev2 = binlog_from_documents(SF, rounds=1, base_lsn=10_000).map_batches(
+        lambda t: t.drop_columns(["repo"]), batch_format="pyarrow")
+    ingest(lake, ev2, mode="delta")
+
+    from kafka_connect_plugins_ray.functions.hashing import (
+        table_state_sha256,
+    )
+    from tests.test_cdc_ingest import _state_table
+
+    def keyed_hash():
+        return table_state_sha256(_state_table(lake), ["path"])
+
+    h = keyed_hash()
+    m = repartition_lake(lake, 16)
+    assert m.num_partitions == 16 and not m.deltas
+    assert keyed_hash() == h
