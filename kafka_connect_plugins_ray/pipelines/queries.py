@@ -1196,12 +1196,19 @@ def q_top_terms(sf_dir: str) -> pa.Table:
     bit-for-bit, so one driver slot oracle-checks both the token-hash
     exchange and the no-shuffle summary machinery (truncation behavior
     is pinned separately in pytest)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .text import top_terms_per_lang, top_terms_per_lang_mg
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    exact = top_terms_per_lang(docs, k=10)
     docs2 = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    approx = top_terms_per_lang_mg(docs2, k=10, capacity=200_000)
+    # the two paths are independent pipelines over independent Datasets;
+    # overlap their driver-blocking executions so the cross-gate costs
+    # max(exact, mg) wall rather than the sum
+    with ThreadPoolExecutor(2) as pool:
+        f_exact = pool.submit(top_terms_per_lang, docs, 10)
+        f_mg = pool.submit(top_terms_per_lang_mg, docs2, 10, 200_000)
+        exact, approx = f_exact.result(), f_mg.result()
     if not exact.to_pandas().equals(approx.to_pandas()):
         raise AssertionError(
             "Misra-Gries path diverged from the exact top-k at "
