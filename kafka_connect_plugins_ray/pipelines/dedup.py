@@ -911,3 +911,168 @@ def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3,
     pairs = pa.concat_tables(shards, promote_options="permissive")
     g = pairs.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
     return g.rename_columns(["doc_a", "doc_b", "hamming"])
+
+
+# --------------------------------------------------------------------------
+# sub-document (line-level) dedup — the C4/RefinedWeb boilerplate shape
+# --------------------------------------------------------------------------
+
+def _u64_key(doc: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """(doc_id, line_idx) packed exactly into uint64 (doc < 2^32 and
+    idx < 2^32 enforced — raise rather than silently alias keys)."""
+    doc = doc.astype(np.uint64)
+    idx = idx.astype(np.uint64)
+    if doc.size and (doc.max() >= (1 << 32) or idx.max() >= (1 << 32)):
+        raise ValueError("line_dedup packs (doc_id, line_idx) into uint64: "
+                         "doc_id and per-doc line counts must be < 2^32")
+    return (doc << np.uint64(32)) | idx
+
+
+def line_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS,
+               sep: str = "\n") -> "rd.Dataset":
+    """Sub-document dedup (the C4/RefinedWeb boilerplate-removal shape):
+    every duplicate NON-EMPTY line across the whole corpus keeps only its
+    FIRST occurrence (min (doc_id, line_idx) — also collapses repeats
+    within one doc); docs reassemble from their surviving lines in order,
+    empty lines always kept as formatting, and docs left with no
+    non-empty line drop entirely.
+
+    Two exchanges, nothing corpus-sized on the driver:
+
+    1. explode lines → per-batch pre-reduce to the min (doc, idx) per
+       distinct dual-hash (≤ one row per distinct line per block) →
+       hash exchange on line-hash → per-bucket global winner per line →
+       winner (doc_id, idx) rows stay in the OBJECT STORE
+       (materialize=False), re-keyed by doc bucket.
+    2. tagged-union exchange of winner rows + doc rows on doc_id bucket
+       → per bucket rebuild: vectorized re-split, winner-set membership
+       via one packed-uint64 searchsorted, list rebuild +
+       ``pc.binary_join`` — no per-line Python.
+    """
+    import ray
+
+    from ..exchange import hash_exchange
+
+    B = num_buckets
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        split = pc.split_pattern(pc.fill_null(col, ""), sep)
+        flat = pc.list_flatten(split)
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        counts = offs[1:] - offs[:-1]
+        doc_of = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64), counts)
+        idx = np.arange(int(counts.sum())) - np.repeat(offs[:-1], counts)
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(nonempty))
+        doc_of, idx = doc_of[nonempty], idx[nonempty]
+        h1 = hash64_column(flat, seed=0)
+        h2 = hash64_column(flat, seed=0x9E3779B9)
+        # per-batch pre-reduce: min (doc, idx) per distinct line
+        order = np.lexsort((idx, doc_of, h2, h1))
+        h1o, h2o = h1[order], h2[order]
+        first = np.concatenate(
+            ([True], (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
+        sel = order[first]
+        return pa.table({
+            "h1": pa.array(h1[sel].view(np.int64), pa.int64()),
+            "h2": pa.array(h2[sel].view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc_of[sel], pa.int64()),
+            "idx": pa.array(idx[sel], pa.int64()),
+            "bucket": pa.array((h1[sel] % np.uint64(B)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    lines = docs.map_batches(explode, batch_format="pyarrow")
+
+    def win_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        if t.num_rows == 0:
+            return None
+        h1 = t.column("h1").to_numpy()
+        h2 = t.column("h2").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        i = t.column("idx").to_numpy()
+        order = np.lexsort((i, d, h2, h1))
+        h1o, h2o = h1[order], h2[order]
+        first = np.concatenate(
+            ([True], (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
+        sel = order[first]
+        return pa.table({
+            "doc_id": pa.array(d[sel], pa.int64()),
+            "idx": pa.array(i[sel], pa.int64()),
+            "text": pa.nulls(int(first.sum()), pa.string()),
+            "dbucket": pa.array((d[sel] % B).astype(np.int32), pa.int32()),
+        })
+
+    winner_refs = hash_exchange(lines, "bucket", B, win_bucket,
+                                materialize=False)
+    winners = rd.from_arrow_refs(list(winner_refs))
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "idx": pa.nulls(t.num_rows, pa.int64()),
+            # the union tags rows by text validity (winner rows carry a
+            # null text), so a NULL-text doc must become "" here — it
+            # then drops naturally as a no-surviving-line doc
+            "text": pc.fill_null(pc.cast(t.column("text"), pa.string()),
+                                 ""),
+            "dbucket": pa.array((d % B).astype(np.int32), pa.int32()),
+        })
+
+    tagged = winners.union(docs.map_batches(tag_docs,
+                                            batch_format="pyarrow"))
+
+    def rebuild(pid: int, t: pa.Table) -> "pa.Table | None":
+        is_doc = pc.is_valid(t["text"])
+        w = t.filter(pc.invert(is_doc))
+        d = t.filter(is_doc)
+        if d.num_rows == 0:
+            return None
+        keys = np.sort(_u64_key(w.column("doc_id").to_numpy(),
+                                w.column("idx").to_numpy()))
+        col = d.column("text").combine_chunks() \
+            if isinstance(d.column("text"), pa.ChunkedArray) \
+            else d.column("text")
+        split = pc.split_pattern(col, sep)
+        flat = pc.list_flatten(split)
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        counts = offs[1:] - offs[:-1]
+        doc_ids = d.column("doc_id").to_numpy().astype(np.int64)
+        doc_of = np.repeat(doc_ids, counts)
+        idx = np.arange(int(counts.sum())) - np.repeat(offs[:-1], counts)
+        empty = np.asarray(pc.equal(flat, ""))
+        k = _u64_key(doc_of, idx)
+        pos = np.clip(np.searchsorted(keys, k), 0, max(keys.size - 1, 0))
+        is_winner = (keys[pos] == k) if keys.size else \
+            np.zeros(len(k), dtype=bool)
+        keep = empty | is_winner
+        # per-doc surviving counts -> new list offsets -> binary_join
+        cum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+        new_counts = cum[offs[1:]] - cum[offs[:-1]]
+        kept_flat = flat.filter(pa.array(keep))
+        new_offs = np.concatenate(([0], np.cumsum(new_counts))).astype(
+            np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                       kept_flat.combine_chunks()
+                                       if isinstance(kept_flat,
+                                                     pa.ChunkedArray)
+                                       else kept_flat)
+        joined = pc.binary_join(lst, sep)
+        # drop docs with no surviving NON-EMPTY line
+        ne_cum = np.concatenate(
+            ([0], np.cumsum((keep & ~empty).astype(np.int64))))
+        survive = (ne_cum[offs[1:]] - ne_cum[offs[:-1]]) > 0
+        out = pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                        "text": joined})
+        return out.filter(pa.array(survive))
+
+    shards = hash_exchange(tagged, "dbucket", B, rebuild,
+                           materialize=False)
+    return rd.from_arrow_refs(list(shards))

@@ -1159,3 +1159,68 @@ def test_repetition_oracle_matches_on_adversarial_whitespace():
     got = np.round(repetition_batch(t.column("text")), 4)
     for i in range(len(texts)):
         assert abs(oracle[i] - got[i]) < 1e-9, (i, texts[i])
+
+
+def _line_dedup_reference(texts, sep="\n"):
+    # straightforward single-threaded reference: first occurrence of each
+    # non-empty line wins globally (docs scanned in doc_id order, lines
+    # in order); empty lines always kept; docs with no surviving
+    # non-empty line drop
+    seen = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        if text is None:
+            continue
+        kept = []
+        for line in text.split(sep):
+            if line == "":
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if any(l != "" for l in kept):
+            out[doc_id] = sep.join(kept)
+    return out
+
+
+def test_line_dedup_matches_reference():
+    import ray
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.dedup import line_dedup
+
+    texts = [
+        "header boilerplate\nunique a1\nunique a2",
+        "header boilerplate\nunique b1\n\nunique b2",   # dup line + empty
+        "unique c1\nunique c1\nunique c2",              # in-doc repeat
+        "header boilerplate",                            # fully duplicate
+        "",                                              # empty doc
+        None,                                            # null doc
+        "unique d1",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = line_dedup(rd.from_arrow(t), num_buckets=4)
+    got = {r["doc_id"]: r["text"]
+           for b in ray.get(out.to_arrow_refs()) if b is not None
+           for r in b.to_pylist()}
+    assert got == _line_dedup_reference(texts)
+
+
+def test_line_dedup_randomized_vs_reference():
+    import ray
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.dedup import line_dedup
+
+    rng = np.random.RandomState(11)
+    pool = [f"line-{i}" for i in range(40)]  # heavy cross-doc duplication
+    texts = ["\n".join(rng.choice(pool, size=rng.randint(1, 12)))
+             for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = line_dedup(rd.from_arrow(t), num_buckets=8)
+    got = {r["doc_id"]: r["text"]
+           for b in ray.get(out.to_arrow_refs()) if b is not None
+           for r in b.to_pylist()}
+    assert got == _line_dedup_reference(texts)
