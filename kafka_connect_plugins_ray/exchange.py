@@ -268,6 +268,25 @@ class Broadcast:
 
 
 @ray.remote
+def _none_to_empty(schema: pa.Schema, t):
+    t = _as_table(t)
+    return t if t is not None else schema.empty_table()
+
+
+def refs_to_dataset(refs, schema: pa.Schema):
+    """Wrap ``hash_exchange(..., materialize=False)`` output refs into a
+    Dataset.  Empty buckets resolve to ``None`` (``_reduce_partition``
+    forwards nothing and many reduce fns return ``None`` for no-op
+    shards), which ``rd.from_arrow_refs`` rejects — coerce each one to a
+    zero-row table with the declared schema first (a tiny remote per ref;
+    non-empty tables pass through by reference)."""
+    import ray.data as rd
+
+    return rd.from_arrow_refs(
+        [_none_to_empty.remote(schema, r) for r in refs])
+
+
+@ray.remote
 def _combine(combine_fn: Callable[[pa.Table], pa.Table], *tables: pa.Table):
     tables = [_as_table(t) for t in tables]
     live = [t for t in tables if t is not None and t.num_rows]
@@ -284,6 +303,13 @@ def tree_aggregate(ds, combine_fn: Callable[[pa.Table], pa.Table],
     refs = list(ds.to_arrow_refs())
     if not refs:
         return None
+    if len(refs) == 1:
+        # combine_fn must still run once: a single block can hold several
+        # partial rows (e.g. a map_batches stage fed sub-block batches),
+        # and callers like build_text_bloom read exactly ONE combined row
+        # from the result — returning the raw block would silently drop
+        # every partial after the first.
+        return ray.get(_combine.remote(combine_fn, refs[0]))
     while len(refs) > 1:
         nxt = []
         for i in range(0, len(refs), fanin):

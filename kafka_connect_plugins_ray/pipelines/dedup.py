@@ -689,8 +689,14 @@ def _drop_from_components(node: np.ndarray, label: np.ndarray,
     if keep_policy != "longest":
         raise ValueError(f"unknown keep_policy {keep_policy!r}")
     sids, slens = _member_text_lengths(docs, node)
-    idx = np.clip(np.searchsorted(sids, node), 0, max(sids.size - 1, 0))
-    ln = np.where((sids.size > 0) & (sids[idx] == node), slens[idx], -1)
+    if sids.size == 0:
+        # no member id found in the corpus at all (e.g. pairs over ids the
+        # corpus no longer contains): every length is the -1 fallback —
+        # sids[idx] below would IndexError on the empty gather
+        ln = np.full(node.shape, -1, dtype=np.int64)
+    else:
+        idx = np.clip(np.searchsorted(sids, node), 0, sids.size - 1)
+        ln = np.where(sids[idx] == node, slens[idx], -1)
     order = np.lexsort((node, -ln, label))
     lo = label[order]
     rep_first = np.concatenate(([True], lo[1:] != lo[:-1]))
@@ -1010,7 +1016,13 @@ def line_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS,
 
     winner_refs = hash_exchange(lines, "bucket", B, win_bucket,
                                 materialize=False)
-    winners = rd.from_arrow_refs(list(winner_refs))
+    # empty buckets resolve to None (sparse corpora relative to B) —
+    # coerce to schema-typed empty tables before building the Dataset
+    from ..exchange import refs_to_dataset
+
+    winners = refs_to_dataset(list(winner_refs), pa.schema([
+        ("doc_id", pa.int64()), ("idx", pa.int64()),
+        ("text", pa.string()), ("dbucket", pa.int32())]))
 
     def tag_docs(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
@@ -1057,13 +1069,15 @@ def line_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS,
         cum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
         new_counts = cum[offs[1:]] - cum[offs[:-1]]
         kept_flat = flat.filter(pa.array(keep))
+        # int64 offsets (LargeList): a bucket's surviving line count can
+        # exceed 2^31 at 100-TB scale — int32 offsets would wrap silently
+        # and corrupt the reassembled documents
         new_offs = np.concatenate(([0], np.cumsum(new_counts))).astype(
-            np.int32)
-        lst = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
-                                       kept_flat.combine_chunks()
-                                       if isinstance(kept_flat,
-                                                     pa.ChunkedArray)
-                                       else kept_flat)
+            np.int64)
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()),
+            kept_flat.combine_chunks()
+            if isinstance(kept_flat, pa.ChunkedArray) else kept_flat)
         joined = pc.binary_join(lst, sep)
         # drop docs with no surviving NON-EMPTY line
         ne_cum = np.concatenate(
@@ -1075,4 +1089,5 @@ def line_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS,
 
     shards = hash_exchange(tagged, "dbucket", B, rebuild,
                            materialize=False)
-    return rd.from_arrow_refs(list(shards))
+    return refs_to_dataset(list(shards), pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string())]))

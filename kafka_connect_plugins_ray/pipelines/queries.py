@@ -1330,7 +1330,8 @@ WITH q AS (
   FROM documents),
 k AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text),
 bench AS (SELECT text FROM documents
-          WHERE hash(doc_id) >= {_BENCH_THR}::UBIGINT)
+          WHERE hash(doc_id) >= {_BENCH_THR}::UBIGINT
+            AND text IS NOT NULL)
 SELECT doc_id, n_tokens FROM q
 WHERE punct_ratio <= 0.05 AND n_tokens >= 30
   AND doc_id IN (SELECT keep_id FROM k)

@@ -1224,3 +1224,52 @@ def test_line_dedup_randomized_vs_reference():
            for b in ray.get(out.to_arrow_refs()) if b is not None
            for r in b.to_pylist()}
     assert got == _line_dedup_reference(texts)
+
+
+def test_line_dedup_sparse_buckets():
+    # regression (round-4 advice): a corpus sparse relative to num_buckets
+    # leaves some exchange buckets empty; their refs used to resolve to
+    # None and crash rd.from_arrow_refs ("Not a block type: None")
+    import ray
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.dedup import line_dedup
+
+    texts = ["a\nb", "a\nc", "b", "d"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = line_dedup(rd.from_arrow(t), num_buckets=8)
+    got = {r["doc_id"]: r["text"] for r in out.take_all()}
+    assert got == _line_dedup_reference(texts)
+
+
+def test_tree_aggregate_combines_single_block():
+    # regression (round-4 advice): a partials Dataset that collapses to a
+    # single ref must STILL run combine_fn once — e.g. a block carrying
+    # several per-batch partial rows that need a group-sum
+    t = pa.table({"k": pa.array(["x", "x", "y"], pa.string()),
+                  "n": pa.array([1, 2, 5], pa.int64())})
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["k"]).aggregate([("n", "sum")])
+        return g.rename_columns(["k", "n"])
+
+    out = tree_aggregate(rd.from_arrow(t), combine)
+    got = dict(zip(out.column("k").to_pylist(), out.column("n").to_pylist()))
+    assert got == {"x": 3, "y": 5}
+
+
+def test_drop_from_components_longest_empty_gather():
+    # regression (round-4 advice): keep_policy='longest' with component
+    # member ids entirely absent from the corpus used to IndexError on the
+    # empty length-gather; must fall back to length -1 for every member
+    # (representative = min id)
+    from kafka_connect_plugins_ray.pipelines.dedup import _drop_from_components
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["t", "u"], pa.string())}))
+    node = np.array([1, 2, 3], dtype=np.int64)
+    label = np.array([1, 1, 1], dtype=np.int64)
+    drop = _drop_from_components(node, label, docs, "longest")
+    assert drop.tolist() == [2, 3]
