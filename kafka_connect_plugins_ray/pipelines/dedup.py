@@ -258,6 +258,56 @@ def exact_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS) -> pa.Tabl
     return pa.concat_tables(shards, promote_options="permissive")
 
 
+def exact_dedup_drop(docs: "rd.Dataset",
+                     num_buckets: int = DEDUP_BUCKETS) -> np.ndarray:
+    """Sorted doc_ids to DROP under exact content dedup — every member of
+    a duplicate-text class except its min-doc_id representative.  This is
+    the bounded complement of ``exact_dedup``'s keep set: the result is
+    O(duplicate volume), not O(corpus), so broadcasting it into a
+    vectorized anti-filter stays cheap at any corpus size (a keep set is
+    ~one id per document and was the round-3 review's flagged
+    corpus-sized broadcast in ``corpus_prep``).
+
+    Shuffle shape: each batch ships one (h1, h2, doc_id) row per doc
+    (24 B — non-min ids must survive the exchange to be droppable, so
+    the ids can't pre-reduce to min/count like ``exact_dedup``'s
+    partials; 24 B/doc is ~0.25% of corpus bytes at 10 KB/doc) → hash
+    exchange on the hash prefix → per-bucket drop rows = every id above
+    its (h1, h2) group's min."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h1 = hash64_column(batch.column("text"), seed=0)
+        h2 = hash64_column(batch.column("text"), seed=1)
+        return pa.table({
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "bucket": pa.array((h1 % np.uint64(num_buckets)).astype(
+                np.int32), pa.int32()),
+        })
+
+    rows = docs.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        h1 = t.column("h1").to_numpy()
+        h2 = t.column("h2").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        order = np.lexsort((d, h2, h1))
+        h1o, h2o = h1[order], h2[order]
+        keep_first = np.concatenate(
+            ([True], (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
+        drops = d[order][~keep_first]
+        if drops.size == 0:
+            return None
+        return pa.table({"doc_id": pa.array(drops, pa.int64())})
+
+    shards = hash_exchange(rows, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return np.zeros(0, dtype=np.int64)
+    return np.sort(np.concatenate(
+        [s.column("doc_id").to_numpy() for s in shards]))
+
+
 def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
                       num_bands: int = 16, shingle_k: int = 3,
                       num_buckets: int = DEDUP_BUCKETS,

@@ -1268,15 +1268,18 @@ def q_corpus_prep(sf_dir: str) -> "rd.Dataset":
     """The end-to-end training-data prep flow as ONE streaming pipeline:
     benchmark decontamination (Bloom pre-filter + exact dual-hash verify
     against a hash-deterministic "benchmark" slice — SQL mirrors it as a
-    text anti-join) → quality gate → exact-dedup keep (engine's
-    exchange-computed keep-set broadcast into a vectorized anti-filter)
-    → 50% hash-deterministic sample → token count.  Every stage's
-    predicate is SQL-mirrorable, so the whole composition is
-    driver-gated."""
+    text anti-join) → quality gate → exact-dedup keep (the engine's
+    exchange computes the DROP set — duplicate-class members minus the
+    min-id representative, O(duplicate volume) not O(corpus) — broadcast
+    once into a vectorized searchsorted anti-filter; keeping a doc ⟺ its
+    id is absent from the drop set) → 50% hash-deterministic sample →
+    token count.  Every stage's predicate is SQL-mirrorable, so the whole
+    composition is driver-gated."""
     import ray
 
     from ..functions.vhash import murmur64
     from .decontam import decontaminate
+    from .dedup import _in_sorted, exact_dedup_drop
 
     def bench_slice(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
@@ -1288,15 +1291,14 @@ def q_corpus_prep(sf_dir: str) -> "rd.Dataset":
         .map_batches(bench_slice, batch_format="pyarrow")
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     # the benchmark-summary build (inside decontaminate) and the
-    # exact-dedup keep-set are independent pipelines — overlap them
+    # exact-dedup drop-set are independent pipelines — overlap them
     with ThreadPoolExecutor(2) as pool:
         f_docs = pool.submit(decontaminate, docs, benchmark)
-        f_keep = pool.submit(
-            exact_dedup,
+        f_drop = pool.submit(
+            exact_dedup_drop,
             read_table(sf_dir, "documents", columns=["doc_id", "text"]))
-        docs, keep_t = f_docs.result(), f_keep.result()
-    keep_ids = np.sort(keep_t.column("keep_doc_id").to_numpy())
-    keep_ref = ray.put(keep_ids)
+        docs, drop_ids = f_docs.result(), f_drop.result()
+    drop_ref = ray.put(drop_ids)  # O(duplicates), not O(corpus)
     thr = np.uint64(9223372036854775808)  # 0.5 * 2^64
     scorer = QualityScore()
 
@@ -1305,8 +1307,8 @@ def q_corpus_prep(sf_dir: str) -> "rd.Dataset":
         mask = ((scored["punct_ratio"] <= 0.05)
                 & (scored["n_tokens"] >= 30)).to_numpy()
         ids = scored["doc_id"].to_numpy()
-        mask &= np.isin(ids, ray.get(keep_ref))     # exact-dedup keep set
-        mask &= murmur64(ids) < thr                 # 50% stable sample
+        mask &= ~_in_sorted(ids, ray.get(drop_ref))  # exact-dedup drop set
+        mask &= murmur64(ids) < thr                  # 50% stable sample
         kept = scored[mask]
         return pa.table({
             "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),

@@ -1273,3 +1273,33 @@ def test_drop_from_components_longest_empty_gather():
     label = np.array([1, 1, 1], dtype=np.int64)
     drop = _drop_from_components(node, label, docs, "longest")
     assert drop.tolist() == [2, 3]
+
+
+def test_exact_dedup_drop_is_bounded_by_duplicates():
+    # round-4 design fix: corpus_prep broadcasts the exact-dedup DROP set,
+    # which must be O(duplicates) — on a low-dup corpus of N docs with d
+    # duplicate extras the payload is exactly d ids, never ~N
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        exact_dedup,
+        exact_dedup_drop,
+    )
+
+    n = 5000
+    texts = [f"unique document body number {i} with some filler words"
+             for i in range(n)]
+    # plant 7 duplicate extras across 3 duplicate classes
+    dup_ids = [n, n + 1, n + 2, n + 3, n + 4, n + 5, n + 6]
+    dup_texts = [texts[0], texts[0], texts[1], texts[1], texts[1],
+                 texts[2], texts[2]]
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)) + dup_ids, pa.int64()),
+        "text": pa.array(texts + dup_texts, pa.string()),
+    })
+    drop = exact_dedup_drop(rd.from_arrow(t), num_buckets=8)
+    assert drop.tolist() == sorted(dup_ids)  # exactly the extras, sorted
+    # complement check: keep set + drop set partition the corpus, and the
+    # drop set matches exact_dedup's min-id survivorship
+    keep = exact_dedup(rd.from_arrow(t), num_buckets=8)
+    keep_ids = set(keep.column("keep_doc_id").to_pylist())
+    assert keep_ids.isdisjoint(drop.tolist())
+    assert len(keep_ids) + len(drop) == n + len(dup_ids)
