@@ -58,8 +58,56 @@ def hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
 
 
+def shingle_hash_flat(col, k: int = 3) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized k-token word-shingle hashing for a whole string column —
+    the SimHasher pattern (no per-doc Python anywhere): ONE arrow
+    whitespace split (``functions/tokenize.flat_tokens``), ONE polars
+    xxhash over every token, then each k-token shingle's hash is a
+    murmur-chain mix of its k consecutive token hashes; the rolling
+    window is one global vectorized pass with a scatter at per-doc
+    output offsets.  Docs with 0 < tokens < k get one shingle mixing all
+    their tokens (k-1 vectorized passes); null / empty / whitespace-only
+    docs get none.  MinHash over the resulting multiset equals MinHash
+    over the set (duplicates never change a min); set consumers unique
+    each doc's slice.  Returns (flat uint64 shingle hashes in doc order,
+    shingle count per doc)."""
+    from ..functions.tokenize import flat_tokens
+
+    toks, counts = flat_tokens(col)
+    counts = counts.astype(np.int64)
+    sh_counts = np.where(counts >= k, counts - k + 1,
+                         (counts > 0).astype(np.int64))
+    out = np.empty(int(sh_counts.sum()), dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return out, sh_counts
+    h = hash64_column(toks)
+    doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    sh_start = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
+    full = counts >= k
+    if full.any():
+        # a window starting at global i is valid iff it stays inside its
+        # doc; gather only the valid window positions per full doc
+        win = mix_columns_u64([h[j:total - k + 1 + j] for j in range(k)])
+        n_w = counts[full] - k + 1
+        intra = np.arange(int(n_w.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_w)[:-1])), n_w)
+        out[np.repeat(sh_start[full], n_w) + intra] = \
+            win[np.repeat(doc_start[full], n_w) + intra]
+    for c in range(1, k):  # short docs: one shingle mixing all c tokens
+        sel = counts == c
+        if sel.any():
+            starts = doc_start[sel]
+            out[sh_start[sel]] = mix_columns_u64(
+                [h[starts + j] for j in range(c)])
+    return out, sh_counts
+
+
 class MinHasher:
-    """Stateful minhash stage: permutation parameters built once per actor."""
+    """Stateful minhash stage: permutation parameters built once per actor.
+
+    Null / empty / whitespace-only docs have no shingles and get the
+    all-max signature (same no-token semantics as ``SimHasher``)."""
 
     def __init__(self, num_perm: int = 64, seed: int = 7, shingle_k: int = 3):
         rng = np.random.RandomState(seed)
@@ -79,70 +127,29 @@ class MinHasher:
         prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return prod.min(axis=1)
 
-    def _shingle_hashes(self, texts: pd.Series):
-        """Vectorized shingle hashing for the whole batch: ONE polars
-        xxhash call over every token, then each k-token shingle's hash is
-        a murmur-chain mix of its k consecutive token hashes (no
-        per-shingle Python, no string joins).  MinHash over the resulting
-        multiset equals MinHash over the set — duplicates never change a
-        min.  Docs with 0 < tokens < k get one shingle mixing all their
-        tokens (mirrors the joined-tokens fallback).  Returns (flat shingle
-        hashes, shingle count per doc)."""
-        k = self.shingle_k
-        tok_lists = texts.str.split()
-        counts = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
-        total = int(counts.sum())
-        sh_counts = np.where(counts >= k, counts - k + 1,
-                             (counts > 0).astype(np.int64))
-        if total == 0:
-            return np.empty(0, dtype=np.uint64), sh_counts
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for toks in tok_lists:
-            if toks:
-                flat[pos:pos + len(toks)] = toks
-                pos += len(toks)
-        h = hash64_column(pa.array(flat, pa.string()))
-        doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        # rolling k-window mix over the flat array; a window starting at
-        # global i is valid iff it stays inside its doc
-        if total >= k:
-            win = mix_columns_u64([h[j:total - k + 1 + j] for j in range(k)])
-        else:
-            win = np.empty(0, dtype=np.uint64)
-        out = np.empty(int(sh_counts.sum()), dtype=np.uint64)
-        opos = 0
-        for d in np.nonzero(sh_counts)[0]:
-            c, s = counts[d], doc_start[d]
-            if c >= k:
-                n_w = c - k + 1
-                out[opos:opos + n_w] = win[s:s + n_w]
-                opos += n_w
-            else:  # short doc: one shingle mixing all its tokens
-                out[opos] = mix_columns_u64(
-                    [h[s + j:s + j + 1] for j in range(c)])[0]
-                opos += 1
-        return out, sh_counts
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # all docs' shingle hashes concatenated once; per-permutation min
-        # via reduceat over doc boundaries (vectorized across the whole
-        # batch, memory bounded to one permutation row at a time)
-        x, counts = self._shingle_hashes(batch["text"].astype(str))
-        nonempty = counts > 0
-        out = batch[["doc_id"]].copy()
-        if x.size == 0:
-            out["sig"] = [self.signature(set()).tobytes()] * len(batch)
-            return out
-        starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
-        sigs = np.full((len(batch), self.num_perm),
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # all docs' shingle hashes concatenated once (arrow-native shared
+        # kernel); per-permutation min via reduceat over doc boundaries
+        # (vectorized across the whole batch, memory bounded to one
+        # permutation row at a time)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        x, counts = shingle_hash_flat(col, self.shingle_k)
+        doc_ids = pc.cast(batch.column("doc_id"), pa.int64())
+        sigs = np.full((batch.num_rows, self.num_perm),
                        np.iinfo(np.uint64).max, dtype=np.uint64)
-        ne_rows = np.nonzero(nonempty)[0]
-        for j in range(self.num_perm):
-            hj = (self.a[j] * x + self.b[j]) % _MERSENNE
-            sigs[ne_rows, j] = np.minimum.reduceat(hj, starts)
-        out["sig"] = [row.tobytes() for row in sigs]
-        return out
+        if x.size:
+            nonempty = counts > 0
+            starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+            ne_rows = np.nonzero(nonempty)[0]
+            for j in range(self.num_perm):
+                hj = (self.a[j] * x + self.b[j]) % _MERSENNE
+                sigs[ne_rows, j] = np.minimum.reduceat(hj, starts)
+        return pa.table({
+            "doc_id": doc_ids,
+            "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
+        })
 
 
 class BandExplode:
@@ -323,7 +330,7 @@ def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
     keeps worst-case work bounded (no silent cap: skips are counted in
     the task log)."""
     sigs = docs.map_batches(MinHasher(num_perm, shingle_k=shingle_k),
-                            batch_format="pandas", batch_size=2048)
+                            batch_format="pyarrow", batch_size=2048)
     explode = BandExplode(num_bands)
 
     def explode_with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -369,8 +376,11 @@ def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
 
 def verify_jaccard(pairs: pa.Table, texts_by_id: dict[int, str],
                    shingle_k: int = 3) -> pa.Table:
-    """Exact word-shingle Jaccard for candidate pairs (driver-side or inside
-    a map stage with a broadcast text lookup for the candidate subset).
+    """Exact word-shingle Jaccard for candidate pairs against an in-memory
+    text dict — the SMALL-SCALE REFERENCE implementation (unit tests and
+    interactive use on bounded pair sets).  Production paths verify
+    inside the bucket reduce tasks via ``verify_pairs_distributed`` so
+    candidate texts never reach the driver.
 
     Semantics match ``filter_pairs_jaccard``: byte-identical texts —
     including degenerate empty/whitespace docs whose shingle sets are
@@ -609,7 +619,9 @@ def connected_components_distributed(pair_refs, num_buckets: int = 16,
 def gather_texts(docs: "rd.Dataset", ids: np.ndarray) -> dict[int, str]:
     """Fetch the texts of a bounded id set from the corpus: broadcast id
     membership filter, distributed scan, small driver-side result (bounded
-    by len(ids), never the corpus)."""
+    by len(ids), never the corpus).  For PAIR verification prefer
+    ``verify_pairs_distributed`` — at 100-TB candidate volumes even the
+    candidate texts are too large for one driver dict."""
     import ray
 
     ids = np.unique(np.asarray(ids, dtype=np.int64))
@@ -633,33 +645,221 @@ def gather_texts(docs: "rd.Dataset", ids: np.ndarray) -> dict[int, str]:
                     small.column("text").to_pylist()))
 
 
+def _text_lookup(texts: "pa.Table | None", ids: np.ndarray,
+                 on_missing: str):
+    """Positions of ``ids`` in a doc_id-sorted (doc_id, text) shard.
+    Returns (pos, found mask); raises KeyError for absent ids when
+    ``on_missing == 'raise'`` (an id absent from the corpus scan is an
+    upstream bug on verification paths that gate 100%-recall oracles —
+    a silent drop would convert a scan bug into unexplained recall
+    loss; NULL-text docs are PRESENT with a null text, not missing)."""
+    if texts is None or texts.num_rows == 0:
+        found = np.zeros(len(ids), dtype=bool)
+        pos = np.zeros(len(ids), dtype=np.int64)
+    else:
+        td = texts.column("doc_id").to_numpy()
+        pos = np.clip(np.searchsorted(td, ids), 0, td.size - 1)
+        found = td[pos] == ids
+    if on_missing == "raise" and not found.all():
+        missing = np.asarray(ids)[~found][:5]
+        raise KeyError(
+            f"candidate pairs reference doc ids absent from the corpus "
+            f"scan: {missing.tolist()} (null-text docs must be present "
+            "as None, not missing)")
+    return pos, found
+
+
+def _bucket_jaccard(t: pa.Table, shingle_k: int) -> "tuple[np.ndarray, np.ndarray]":
+    """(byte-identical mask, exact word-shingle Jaccard) for one bucket's
+    (text_a, text_b) pair rows (all texts non-null): byte-identical rows
+    fast-path to exactly 1.0; the rest get shingle sets from the shared
+    vectorized kernel (hashed shingles — 64-bit collisions are the only
+    approximation, negligible at any bucket size) and a per-pair sorted
+    intersect.  ``identical`` stays strict byte equality (a
+    whitespace-variant pair can reach jaccard 1.0 without identical
+    bytes); jaccard is UNROUNDED so downstream ``== 1.0`` gates can't be
+    fooled by a 0.99995 near-identical pair."""
+    ta, tb = t.column("text_a"), t.column("text_b")
+    eq = pc.equal(ta, tb)
+    if isinstance(eq, pa.ChunkedArray):
+        eq = eq.combine_chunks()
+    identical = np.asarray(eq, dtype=bool)
+    jac = np.where(identical, 1.0, 0.0)
+    ni = np.nonzero(~identical)[0]
+    if ni.size == 0:
+        return identical, jac
+    take = pa.array(ni, pa.int64())
+    a_ids = t.column("doc_a").to_numpy()[ni]
+    b_ids = t.column("doc_b").to_numpy()[ni]
+    ids2 = np.concatenate([a_ids, b_ids])
+    txt2 = pa.concat_arrays([
+        c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        for c in (ta.take(take), tb.take(take))])
+    order = np.argsort(ids2, kind="stable")
+    first = np.concatenate(([True], ids2[order][1:] != ids2[order][:-1]))
+    uids = ids2[order][first]
+    utxt = txt2.take(pa.array(order[first], pa.int64()))
+    flat, cnts = shingle_hash_flat(utxt, shingle_k)
+    offs = np.concatenate(([0], np.cumsum(cnts))).astype(np.int64)
+    sets = {int(d): np.unique(flat[offs[i]:offs[i + 1]])
+            for i, d in enumerate(uids)}
+    for j, r in enumerate(ni):
+        sa, sb = sets[int(a_ids[j])], sets[int(b_ids[j])]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        jac[r] = inter / union if union else 0.0
+    return identical, jac
+
+
+def verify_pairs_distributed(pairs: pa.Table, docs: "rd.Dataset", *,
+                             shingle_k: int = 3,
+                             num_buckets: int = DEDUP_BUCKETS,
+                             on_missing: str = "raise") -> pa.Table:
+    """Distributed candidate-pair verification — candidate TEXTS never
+    reach the driver (the round-3 review's flagged anti-pattern; the old
+    driver-side text dict grows to GBs when an LSH pass over a
+    boilerplate-heavy 100-TB corpus emits millions of candidates).
+
+    Shape: broadcast the bounded candidate-ID set → ONE corpus pass
+    routes candidate (doc_id, text) rows through a hash exchange into B
+    doc-keyed shards that stay in the OBJECT STORE → pairs join text_a
+    in their ``doc_a % B`` shard and re-route by ``doc_b % B`` → each
+    ``doc_b`` bucket joins text_b against the SAME shard set and
+    verifies (vectorized byte-equality fast path + exact word-shingle
+    Jaccard via ``shingle_hash_flat``).  Per-bucket transients are
+    bounded by that bucket's candidate volume.
+
+    Returns (idx, identical, jaccard): ``idx`` is the pair's row number
+    in ``pairs``; rows where either text is NULL are absent (a null
+    never matches — SQL parity).  ``on_missing``: ``'raise'`` fails
+    loudly when a pair references an id the corpus lacks (the
+    verification-path contract); ``'drop'`` silently skips such pairs
+    (the pair-filter contract)."""
+    import ray
+
+    from ..exchange import _split_by_pid, bucket_slices
+
+    empty = pa.table({"idx": pa.array([], pa.int64()),
+                      "identical": pa.array([], pa.bool_()),
+                      "jaccard": pa.array([], pa.float64())})
+    if pairs.num_rows == 0:
+        return empty
+    B = num_buckets
+    a = pairs.column("doc_a").to_numpy().astype(np.int64)
+    b = pairs.column("doc_b").to_numpy().astype(np.int64)
+    cand_ref = ray.put(np.unique(np.concatenate([a, b])))
+
+    def pick(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sel = t.filter(pa.array(_in_sorted(d, ray.get(cand_ref))))
+        dd = sel.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "doc_id": pa.array(dd, pa.int64()),
+            "text": pc.cast(sel.column("text"), pa.string()),
+            "bucket": pa.array((dd % B).astype(np.int32), pa.int32()),
+        })
+
+    def text_shard(pid: int, t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        order = np.argsort(d, kind="stable")
+        first = np.concatenate(([True], d[order][1:] != d[order][:-1]))
+        return t.take(pa.array(order[first], pa.int64())).select(
+            ["doc_id", "text"])
+
+    shard_refs = hash_exchange(
+        docs.map_batches(pick, batch_format="pyarrow"),
+        "bucket", B, text_shard, materialize=False)
+    if not shard_refs:  # empty corpus: every candidate id is missing
+        shard_refs = [None] * B
+
+    @ray.remote(num_returns=B)
+    def attach_a(texts, pairs_t):
+        if pairs_t is None:
+            return tuple([None] * B)
+        pa_ids = pairs_t.column("doc_a").to_numpy()
+        pos, found = _text_lookup(texts, pa_ids, on_missing)
+        if not found.all():
+            pairs_t = pairs_t.filter(pa.array(found))
+            pos = pos[found]
+        if pairs_t.num_rows == 0:
+            return tuple([None] * B)
+        db = pairs_t.column("doc_b").to_numpy()
+        joined = pa.table({
+            "idx": pairs_t.column("idx"),
+            "doc_a": pairs_t.column("doc_a"),
+            "doc_b": pairs_t.column("doc_b"),
+            "text_a": texts.column("text").take(pa.array(pos, pa.int64())),
+            "b2": pa.array((db % B).astype(np.int32), pa.int32()),
+        })
+        return _split_by_pid("b2", B, 1, 0, joined)
+
+    @ray.remote
+    def verify_b(texts, *parts):
+        live = [p for p in parts if p is not None and p.num_rows]
+        if not live:
+            return None
+        t = pa.concat_tables(live, promote_options="permissive")
+        pos, found = _text_lookup(texts, t.column("doc_b").to_numpy(),
+                                  on_missing)
+        if not found.all():
+            t = t.filter(pa.array(found))
+            pos = pos[found]
+        if t.num_rows == 0:
+            return None
+        t = t.append_column(
+            "text_b", texts.column("text").take(pa.array(pos, pa.int64())))
+        valid = pc.and_(pc.is_valid(t.column("text_a")),
+                        pc.is_valid(t.column("text_b")))
+        t = t.filter(valid)
+        if t.num_rows == 0:
+            return None
+        identical, jac = _bucket_jaccard(t, shingle_k)
+        return pa.table({
+            "idx": t.column("idx"),
+            "identical": pa.array(identical, pa.bool_()),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+    idx = np.arange(pairs.num_rows, dtype=np.int64)
+    pair_parts = bucket_slices({"idx": idx, "doc_a": a, "doc_b": b},
+                               a % B, B)
+    a_parts = [attach_a.remote(shard_refs[p], pair_parts[p])
+               for p in range(B)]
+    futs = [verify_b.remote(shard_refs[p], *[ap[p] for ap in a_parts])
+            for p in range(B)]
+    shards = [s for s in ray.get(futs) if s is not None and s.num_rows]
+    if not shards:
+        return empty
+    # result is one row per surviving PAIR — the same driver-side volume
+    # the caller already holds in `pairs`
+    return pa.concat_tables(shards, promote_options="permissive")
+
+
 def filter_pairs_identical_text(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table:
     """Keep only candidate pairs whose two texts are byte-identical,
-    verified against the corpus.  The gather is bounded by the candidate
-    set — this is the hard-verification step that turns probabilistic
-    LSH output into an exactly-checkable subset (the SQL oracle derives
-    the same pairs with a self-join on text equality)."""
+    verified IN the bucket reduce tasks against the corpus
+    (``verify_pairs_distributed`` — no driver-side text dict).  This is
+    the hard-verification step that turns probabilistic LSH output into
+    an exactly-checkable subset (the SQL oracle derives the same pairs
+    with a self-join on text equality).  Pairs with null or missing
+    texts never match."""
     if pairs.num_rows == 0:
         return pairs
-    texts = _gather_pair_texts(pairs, docs)
-    mask = [texts.get(a) is not None and texts.get(a) == texts.get(b)
-            for a, b in zip(pairs.column("doc_a").to_pylist(),
-                            pairs.column("doc_b").to_pylist())]
+    v = verify_pairs_distributed(pairs, docs, on_missing="drop")
+    mask = np.zeros(pairs.num_rows, dtype=bool)
+    ident = np.asarray(v.column("identical"), dtype=bool)
+    mask[v.column("idx").to_numpy()[ident]] = True
     return pairs.filter(pa.array(mask))
-
-
-def _gather_pair_texts(pairs: pa.Table, docs: "rd.Dataset") -> dict:
-    return gather_texts(docs, np.concatenate([
-        pairs.column("doc_a").to_numpy(),
-        pairs.column("doc_b").to_numpy()]))
 
 
 def filter_pairs_jaccard(threshold: float):
     """Pair-filter OPTION for ``minhash_dedup_keep`` (a building block,
     not a standalone gated operator — the keep path's driver gate is
     ``dedup_minhash_keep`` and jaccard verification's is
-    ``dedup_jaccard``): verify candidates' EXACT word-shingle Jaccard on
-    the bounded candidate set and keep only pairs at or above
+    ``dedup_jaccard``): verify candidates' EXACT word-shingle Jaccard
+    inside the bucket reduce tasks and keep only pairs at or above
     ``threshold`` — LSH candidates are probabilistic, and clustering
     unverified pairs can merge unrelated docs through a band collision.
 
@@ -670,29 +870,11 @@ def filter_pairs_jaccard(threshold: float):
     def apply(pairs: pa.Table, docs: "rd.Dataset") -> pa.Table:
         if pairs.num_rows == 0:
             return pairs
-        texts = _gather_pair_texts(pairs, docs)
-        keep = []
-        cache: dict[int, set] = {}
-
-        def sh(d):
-            if d not in cache:
-                cache[d] = _word_shingles(_tokenize(texts[d]))
-            return cache[d]
-
-        for a, b in zip(pairs.column("doc_a").to_pylist(),
-                        pairs.column("doc_b").to_pylist()):
-            ta, tb = texts.get(a), texts.get(b)
-            if ta is None or tb is None:
-                keep.append(False)
-                continue
-            if ta == tb:  # identical bytes: jaccard 1.0 by definition
-                keep.append(True)
-                continue
-            sa, sb = sh(a), sh(b)
-            union = len(sa | sb)
-            j = (len(sa & sb) / union) if union else 0.0
-            keep.append(j >= threshold)
-        return pairs.filter(pa.array(keep))
+        v = verify_pairs_distributed(pairs, docs, on_missing="drop")
+        mask = np.zeros(pairs.num_rows, dtype=bool)
+        ok = v.column("jaccard").to_numpy() >= threshold
+        mask[v.column("idx").to_numpy()[ok]] = True
+        return pairs.filter(pa.array(mask))
 
     return apply
 

@@ -1171,22 +1171,27 @@ GROUP BY 1
 
 def q_dedup_jaccard(sf_dir: str) -> pa.Table:
     """N-gram (word-shingle) Jaccard dedup: LSH candidates over corpus ∪
-    shifted-copy, exact shingle-Jaccard verification, keep only pairs at
-    jaccard == 1.0 — derivable in SQL as the text-equality pair set
-    (identical text ⟺ identical shingle set ⟺ jaccard 1.0; a
-    shingle-set collision for different texts would fail the oracle).
-    The equality filter compares the UNROUNDED jaccard (verify_jaccard
-    also fast-paths byte-identical texts to exactly 1.0), so a
-    0.99995-near-identical pair can never round its way into the set."""
-    from .dedup import gather_texts, verify_jaccard
+    shifted-copy, exact shingle-Jaccard verification INSIDE the bucket
+    reduce tasks (``verify_pairs_distributed`` — candidate texts never
+    reach the driver), keep only pairs at jaccard == 1.0 — derivable in
+    SQL as the text-equality pair set (identical text ⟺ identical
+    shingle set ⟺ jaccard 1.0; a shingle-set collision for different
+    texts would fail the oracle).  The equality filter compares the
+    UNROUNDED jaccard (byte-identical texts fast-path to exactly 1.0),
+    so a 0.99995-near-identical pair can never round its way in."""
+    from .dedup import verify_pairs_distributed
 
     docs = _docs_with_copy(sf_dir)
     pairs = minhash_lsh_pairs(docs)
-    texts = gather_texts(docs, np.concatenate([
-        pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]))
-    verified = verify_jaccard(pairs, texts)
-    exact = verified.filter(pc.equal(verified["jaccard"], 1.0))
-    return exact.select(["doc_a", "doc_b", "jaccard"])
+    v = verify_pairs_distributed(pairs, docs, on_missing="raise")
+    jac = v.column("jaccard").to_numpy()
+    idx = np.sort(v.column("idx").to_numpy()[jac == 1.0])
+    exact = pairs.take(pa.array(idx, pa.int64()))
+    return pa.table({
+        "doc_a": exact.column("doc_a"),
+        "doc_b": exact.column("doc_b"),
+        "jaccard": pa.array(np.ones(len(idx)), pa.float64()),
+    })
 
 
 DEDUP_JACCARD_ORACLE = f"""

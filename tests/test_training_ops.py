@@ -1303,3 +1303,45 @@ def test_exact_dedup_drop_is_bounded_by_duplicates():
     keep_ids = set(keep.column("keep_doc_id").to_pylist())
     assert keep_ids.isdisjoint(drop.tolist())
     assert len(keep_ids) + len(drop) == n + len(dup_ids)
+
+
+def test_verify_pairs_distributed_semantics():
+    # round-4 design fix: pair verification happens inside bucket reduce
+    # tasks (no driver-side text dict).  Semantics must match the
+    # reference verify_jaccard/filter family: byte-identical -> identical
+    # True + jaccard exactly 1.0 (including degenerate empty docs); a
+    # whitespace-variant pair can reach shingle-jaccard 1.0 but is NOT
+    # byte-identical; null-text pairs are absent; missing ids raise in
+    # 'raise' mode and drop silently in 'drop' mode
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        verify_pairs_distributed,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog " * 5
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([body, body, body.replace("quick ", "quick  "),
+                          None, "", "", body + "tail"], pa.string()),
+    }))
+    pairs = pa.table({
+        "doc_a": pa.array([0, 0, 0, 4, 0], pa.int64()),
+        "doc_b": pa.array([1, 2, 3, 5, 6], pa.int64()),
+    })
+    v = verify_pairs_distributed(pairs, ds, num_buckets=4)
+    rows = {int(i): (bool(ident), float(j)) for i, ident, j in zip(
+        v.column("idx").to_pylist(), v.column("identical").to_pylist(),
+        v.column("jaccard").to_pylist())}
+    assert rows[0] == (True, 1.0)            # byte-identical
+    assert rows[1][0] is False               # double-space variant: same
+    assert rows[1][1] == 1.0                 # shingles, different bytes
+    assert 2 not in rows                     # null text -> pair absent
+    assert rows[3] == (True, 1.0)            # identical empty docs
+    assert rows[4][0] is False and 0.5 < rows[4][1] < 1.0  # near-dup
+
+    missing = pa.table({"doc_a": pa.array([0], pa.int64()),
+                        "doc_b": pa.array([99], pa.int64())})
+    with pytest.raises(KeyError, match="absent"):
+        verify_pairs_distributed(missing, ds, num_buckets=4)
+    dropped = verify_pairs_distributed(missing, ds, num_buckets=4,
+                                       on_missing="drop")
+    assert dropped.num_rows == 0
