@@ -7,8 +7,19 @@ import os
 import ray.data as rd
 
 
+def strip_schema_metadata(t):
+    """Drop schema-level metadata (e.g. the b'pandas' blob pandas-written
+    parquet carries): ``pa.Schema`` with any schema metadata is
+    UNHASHABLE, so every downstream block concat in Ray's unify path
+    logs "Failed to hash the schemas (for deduplication)" and skips its
+    fast path.  Metadata-only op, zero copy."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def read_table(sf_dir: str, name: str, columns: "list[str] | None" = None,
                **kwargs) -> "rd.Dataset":
     """Read one testdata table with column pruning (TESTDATA.md layout)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return rd.read_parquet(path, columns=columns, **kwargs)
+    ds = rd.read_parquet(path, columns=columns, **kwargs)
+    # fuses with the downstream map chain — no extra task boundary
+    return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
