@@ -1167,7 +1167,7 @@ def _u64_key(doc: np.ndarray, idx: np.ndarray) -> np.ndarray:
 
 
 def line_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS,
-               sep: str = "\n") -> "rd.Dataset":
+               sep: str = "\n", return_refs: bool = False):
     """Sub-document dedup (the C4/RefinedWeb boilerplate-removal shape):
     every duplicate NON-EMPTY line across the whole corpus keeps only its
     FIRST occurrence (min (doc_id, line_idx) — also collapses repeats
@@ -1321,5 +1321,10 @@ def line_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS,
 
     shards = hash_exchange(tagged, "dbucket", B, rebuild,
                            materialize=False)
+    if return_refs:
+        # raw per-bucket futures, index = doc_id % num_buckets (may
+        # resolve to None for empty buckets) — for consumers that join
+        # the rebuilt docs bucket-by-bucket without re-exchanging them
+        return list(shards)
     return refs_to_dataset(list(shards), pa.schema([
         ("doc_id", pa.int64()), ("text", pa.string())]))

@@ -1348,14 +1348,39 @@ WHERE punct_ratio <= 0.05 AND n_tokens >= 30
 
 
 def q_text_metrics(sf_dir: str) -> "rd.Dataset":
-    """Text analysis as ONE streaming pass gating FIVE operators —
-    language ID (marker scores + argmax prediction), quality scoring
-    (chars/tokens/punct/avg-token-len), token counting (whitespace +
-    BPE-ish subword regex), md5 document fingerprinting, and the
-    Gopher-style duplicated-bigram repetition ratio (r3) — each an
-    independent column family mirrored 1:1 in the composed SQL oracle, so
-    one driver slot hash-checks all five kernels."""
+    """Text analysis gating SIX operators — language ID (marker scores +
+    argmax prediction), quality scoring (chars/tokens/punct/avg-token-len),
+    token counting (whitespace + BPE-ish subword regex), md5 document
+    fingerprinting, the Gopher-style duplicated-bigram repetition ratio
+    (r3), and the C4-shape LINE-LEVEL DEDUP (r4): each metric row carries
+    the doc's post-line-dedup character length (``ld_len``, -1 when the
+    doc loses every non-empty line and drops) and an md5 of the rebuilt
+    text (``ld_fingerprint``, null when dropped — gates winner selection,
+    line ORDER and the rebuild join byte-for-byte).  The testdata docs
+    are single-line, so the dedup is instantiated at WORD level
+    (``sep=" "`` — every whitespace-delimited segment is a "line"):
+    same operator, same code path, but with real cross-doc duplication
+    so the gate is non-trivial at every scale factor.
+
+    Shape: the per-doc metric kernels are one streaming pass; line_dedup
+    runs its two exchanges and leaves rebuilt docs in B object-store
+    shards keyed by ``doc_id %% B``; metric rows route through ONE more
+    exchange on the same key and join their shard in the reduce — the
+    rebuilt texts are never re-shuffled and nothing corpus-sized touches
+    the driver.  Every column family is mirrored 1:1 in the composed SQL
+    oracle, so one driver slot hash-checks all six kernels."""
+    import hashlib
+
+    import ray
+
+    from ..exchange import hash_exchange, refs_to_dataset
+    from .dedup import line_dedup
     from .text import repetition_batch, round_half_up
+
+    B = 32
+    ld_refs = line_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_buckets=B, sep=" ", return_refs=True)
 
     lang = LangId()
     qual = QualityScore()
@@ -1371,10 +1396,52 @@ def q_text_metrics(sf_dir: str) -> "rd.Dataset":
         out["fingerprint"] = fp(batch)["fingerprint"]
         out["rep_bigram_ratio"] = round_half_up(
             repetition_batch(batch["text"]), 4)
+        out["bucket"] = (out["doc_id"].to_numpy() % B).astype("int32")
         return out
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(metrics, batch_format="pandas")
+    m = docs.map_batches(metrics, batch_format="pandas")
+
+    def join_ld(pid: int, t: pa.Table) -> pa.Table:
+        shard = ray.get(ld_refs[pid])  # rebuilt docs with doc_id % B == pid
+        ids = t.column("doc_id").to_numpy()
+        if shard is None or shard.num_rows == 0:
+            ld_len = np.full(len(ids), -1, dtype=np.int64)
+            ld_fp = pa.nulls(len(ids), pa.string())
+        else:
+            sd = shard.column("doc_id").to_numpy()
+            order = np.argsort(sd, kind="stable")
+            sd = sd[order]
+            stext = shard.column("text").take(pa.array(order, pa.int64()))
+            if isinstance(stext, pa.ChunkedArray):
+                stext = stext.combine_chunks()
+            lens = np.asarray(pc.utf8_length(stext), dtype=np.int64)
+            # md5 of the rebuilt text: per-row digest is the SQL-parity
+            # requirement (same rule as the Fingerprint stage)
+            fps = pa.array([hashlib.md5(s.encode()).hexdigest()
+                            for s in stext.to_pylist()], pa.string())
+            pos = np.clip(np.searchsorted(sd, ids), 0, sd.size - 1)
+            found = sd[pos] == ids
+            ld_len = np.where(found, lens[pos], -1)
+            ld_fp = pc.if_else(pa.array(found),
+                               fps.take(pa.array(pos, pa.int64())),
+                               pa.nulls(len(ids), pa.string()))
+        out = t.drop_columns(["bucket"])
+        out = out.append_column("ld_len", pa.array(ld_len, pa.int64()))
+        return out.append_column("ld_fingerprint", ld_fp)
+
+    shards = hash_exchange(m, "bucket", B, join_ld, materialize=False)
+    return refs_to_dataset(list(shards), pa.schema([
+        ("doc_id", pa.int64()),
+        ("s_en", pa.int64()), ("s_de", pa.int64()), ("s_fr", pa.int64()),
+        ("s_es", pa.int64()), ("s_zh", pa.int64()),
+        ("lang_pred", pa.string()),
+        ("n_chars_actual", pa.int64()), ("n_tokens", pa.int64()),
+        ("punct_ratio", pa.float64()), ("avg_token_len", pa.float64()),
+        ("n_subtokens", pa.int64()), ("fingerprint", pa.string()),
+        ("rep_bigram_ratio", pa.float64()),
+        ("ld_len", pa.int64()), ("ld_fingerprint", pa.string()),
+    ]))
 
 
 def _occ_sql(markers: list[str]) -> str:
@@ -1474,15 +1541,51 @@ SELECT d.doc_id AS doc_id,
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
+# line-level dedup (the C4 boilerplate-removal shape) in pure SQL,
+# instantiated at word level (sep=' ' — the testdata docs are
+# single-line): split docs into segments, the globally-first occurrence
+# (min doc_id, then segment index) of each distinct NON-EMPTY segment
+# wins, empty segments always kept, docs with no surviving non-empty
+# segment drop, survivors rebuild in order — mirrors
+# pipelines/dedup.line_dedup exactly
+LINE_DEDUP_ORACLE = """
+WITH ld_lines AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS line,
+         generate_subscripts(str_split(text, ' '), 1) AS lidx
+  FROM documents WHERE text IS NOT NULL
+),
+ld_winners AS (
+  SELECT doc_id, lidx FROM (
+    SELECT doc_id, lidx,
+           row_number() OVER (PARTITION BY line
+                              ORDER BY doc_id, lidx) AS rn
+    FROM ld_lines WHERE line <> ''
+  ) WHERE rn = 1
+),
+ld_kept AS (
+  SELECT l.doc_id, l.lidx, l.line
+  FROM ld_lines l LEFT JOIN ld_winners w
+    ON l.doc_id = w.doc_id AND l.lidx = w.lidx
+  WHERE l.line = '' OR w.doc_id IS NOT NULL
+)
+SELECT doc_id,
+       length(string_agg(line, ' ' ORDER BY lidx)) AS ld_len,
+       md5(string_agg(line, ' ' ORDER BY lidx)) AS ld_fingerprint
+FROM ld_kept GROUP BY doc_id
+HAVING count(*) FILTER (WHERE line <> '') > 0
+"""
+
 TEXT_METRICS_ORACLE = f"""
 SELECT l.doc_id, l.s_en, l.s_de, l.s_fr, l.s_es, l.s_zh, l.lang_pred,
        t.n_chars_actual, t.n_tokens, t.punct_ratio, t.avg_token_len,
-       k.n_subtokens, f.fingerprint, r.rep_bigram_ratio
+       k.n_subtokens, f.fingerprint, r.rep_bigram_ratio,
+       coalesce(ld.ld_len, -1) AS ld_len, ld.ld_fingerprint
 FROM ({LANG_ID_ORACLE}) l
 JOIN ({TEXT_QUALITY_ORACLE}) t ON l.doc_id = t.doc_id
 JOIN ({TOKEN_COUNT_ORACLE}) k ON l.doc_id = k.doc_id
 JOIN ({FINGERPRINT_ORACLE}) f ON l.doc_id = f.doc_id
 JOIN ({REPETITION_ORACLE}) r ON l.doc_id = r.doc_id
+LEFT JOIN ({LINE_DEDUP_ORACLE}) ld ON l.doc_id = ld.doc_id
 """
 
 
