@@ -375,6 +375,136 @@ class FakeFeatureExtractor:
             pa.field("embedding", pa.list_(pa.float32())), embs)
 
 
+class ByteHistogramFeatures:
+    """Deterministic HEAVY feature-extraction stage over the DECODED media
+    bytes — the production inference shape (actor pool; model-equivalent
+    state, here a seeded 256×DIM Gaussian projection, built ONCE per
+    actor in ``__init__``) with a real compute kernel instead of a neural
+    encoder (whose weights are not derivable from public knowledge —
+    ``FakeFeatureExtractor`` remains the declared hash-stub): per row a
+    256-bin byte histogram of the decoded payload (BMP = slice past the
+    54-byte header, PNG = the real zlib inflate of the IDAT), L1-
+    normalized, projected by ONE (rows × 256) @ (256 × DIM) matmul per
+    batch and L2-normalized.  Every decoded byte is touched — the same
+    arithmetic intensity class as a real encoder's first layer — so the
+    batch_size × concurrency heap math this stage benches is honest.
+
+    Undecodable / null rows get a null embedding.  Output columns:
+    ``vec_id`` (= doc_id) + ``embedding`` (list<float32>), the corpus
+    side of the ANN operators."""
+
+    DIM = 16
+
+    def __init__(self, seed: int = 13, dim: int = DIM,
+                 strict: bool = False):
+        rng = np.random.RandomState(seed)
+        self.W = rng.randn(256, dim)  # per-actor "model" state
+        self.dim = dim
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("payload")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        valid = np.asarray(pc.is_valid(col))
+        buffers = col.buffers()
+        off_dtype = (np.int64 if pa.types.is_large_binary(col.type)
+                     else np.int32)
+        offs = np.frombuffer(buffers[1], dtype=off_dtype)[
+            col.offset: col.offset + n + 1].astype(np.int64)
+        data = (np.frombuffer(buffers[2], dtype=np.uint8)
+                if buffers[2] is not None else np.empty(0, np.uint8))
+        starts, lens = offs[:-1], offs[1:] - offs[:-1]
+        hist = np.zeros((n, 256), dtype=np.float64)
+        present = valid & (lens >= BMP_HEADER_LEN)
+        # vectorized format detection: one fixed-width header gather
+        # (same pattern as MediaDecoder)
+        gather_len = _PNG_IDAT_DATA_OFF
+        if data.size == 0 or not present.any():
+            hdr = np.zeros((n, gather_len), dtype=np.uint8)
+        else:
+            gidx = starts[:, None] + np.arange(gather_len)
+            gidx = np.minimum(gidx, data.size - 1)
+            hdr = data[np.where(present[:, None], gidx, 0)]
+        is_bmp = present & (hdr[:, 0] == 0x42) & (hdr[:, 1] == 0x4D)
+        sig = np.frombuffer(PNG_SIG, dtype=np.uint8)
+        is_png = present & (hdr[:, :8] == sig[None, :]).all(axis=1) \
+            & (lens >= _PNG_IDAT_DATA_OFF)
+        if self.strict and bool((valid & ~is_bmp & ~is_png).any()):
+            raise NotImplementedError(
+                "payload is neither BMP nor PNG: JPEG/video feature "
+                "extraction requires codec libraries not present here")
+        ok = is_bmp.copy()
+        # BMP rows: ONE variable-length gather of every payload byte,
+        # then one combined bincount (row_local*256 + byte) for the
+        # whole batch's histograms — no per-row Python
+        bmp_rows = np.nonzero(is_bmp)[0]
+        if bmp_rows.size:
+            p_starts = starts[bmp_rows] + BMP_HEADER_LEN
+            p_lens = lens[bmp_rows] - BMP_HEADER_LEN
+            cum = np.concatenate(([0], np.cumsum(p_lens)))
+            idx = (np.repeat(p_starts - cum[:-1], p_lens)
+                   + np.arange(int(cum[-1])))
+            row_of = np.repeat(np.arange(bmp_rows.size, dtype=np.int64),
+                               p_lens)
+            counts = np.bincount(row_of * 256 + data[idx],
+                                 minlength=bmp_rows.size * 256)
+            hist[bmp_rows] = counts.reshape(bmp_rows.size, 256)
+        # PNG rows: inflate is inherently per-stream (the honest
+        # entropy-decode cost); histogram per row is one C bincount
+        idat_len = ((hdr[:, _PNG_IDAT_LEN_OFF].astype(np.int64) << 24)
+                    | (hdr[:, _PNG_IDAT_LEN_OFF + 1].astype(np.int64) << 16)
+                    | (hdr[:, _PNG_IDAT_LEN_OFF + 2].astype(np.int64) << 8)
+                    | hdr[:, _PNG_IDAT_LEN_OFF + 3].astype(np.int64))
+        for i in np.nonzero(is_png)[0]:
+            s = starts[i] + _PNG_IDAT_DATA_OFF
+            e = min(s + int(idat_len[i]), int(starts[i] + lens[i]))
+            try:
+                dec = np.frombuffer(
+                    zlib.decompress(data[s:e].tobytes()), np.uint8)
+            except zlib.error:
+                if self.strict:
+                    raise
+                continue
+            ok[i] = True
+            if dec.size:
+                hist[i] = np.bincount(dec, minlength=256)
+        totals = hist.sum(axis=1, keepdims=True)
+        hist /= np.maximum(totals, 1.0)        # L1 normalize
+        emb = hist @ self.W                    # one matmul per batch
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb /= np.maximum(norms, 1e-12)        # L2 normalize
+        if ok.all():
+            flat = pa.array(emb.ravel().astype(np.float32), pa.float32())
+            embs = pa.FixedSizeListArray.from_arrays(flat, self.dim) \
+                .cast(pa.list_(pa.float32()))
+        else:
+            py = emb.astype(np.float32).tolist()
+            embs = pa.array(
+                [py[i] if ok[i] else None for i in range(n)],
+                pa.list_(pa.float32()))
+        return pa.table({
+            "vec_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "embedding": embs,
+        })
+
+
+def media_embeddings(docs: "rd.Dataset", *, batch_size: int = 1024,
+                     concurrency=(2, 8), dim: int = ByteHistogramFeatures.DIM,
+                     seed: int = 13) -> "rd.Dataset":
+    """End-to-end media feature pipeline: documents → container payloads →
+    actor-pool byte-histogram feature extraction → (vec_id, embedding)
+    ready for the ANN operators (``knn_lsh`` / ``knn_bruteforce``).  The
+    decode work (header parse + PNG inflate) happens inside the feature
+    actor — one pass over the payload bytes, no second decode stage."""
+    with_payload = docs.map_batches(attach_payload, batch_format="pyarrow")
+    return with_payload.map_batches(
+        ByteHistogramFeatures(seed=seed, dim=dim),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def decode_documents(docs: "rd.Dataset", *, batch_size: int = 1024,
                      concurrency=(2, 8)) -> "rd.Dataset":
     """documents → BMP container payload → actor-pool decode → flattened

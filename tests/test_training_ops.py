@@ -1345,3 +1345,78 @@ def test_verify_pairs_distributed_semantics():
     dropped = verify_pairs_distributed(missing, ds, num_buckets=4,
                                        on_missing="drop")
     assert dropped.num_rows == 0
+
+
+def _media_corpus(n=60):
+    # distinct byte distributions per doc so embeddings separate; mixed
+    # BMP (even ids) / PNG (odd ids) via attach_payload's parity rule
+    texts = ["".join(chr(97 + (i * 3 + j) % 26) * ((i * 7 + j) % 4 + 1)
+                     for j in range(60)) + f" tail {i}"
+             for i in range(n)]
+    return pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_media_embeddings_end_to_end_ann():
+    # round-4: the heavy deterministic feature kernel (byte histogram +
+    # seeded projection over DECODED bytes) drives decode → embedding →
+    # knn_lsh end to end; the whole chain must be deterministic and
+    # self-matching
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        ByteHistogramFeatures,
+        attach_payload,
+        media_embeddings,
+    )
+    from kafka_connect_plugins_ray.pipelines.similarity import knn_lsh
+
+    t = _media_corpus()
+
+    def run():
+        embs = media_embeddings(rd.from_arrow(t).repartition(3),
+                                batch_size=16, concurrency=2)
+        df = embs.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        return df
+
+    one, two = run(), run()
+    assert one["vec_id"].tolist() == two["vec_id"].tolist()
+    for a, b in zip(one["embedding"], two["embedding"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # driver-side reference on the first 3 docs = the same deterministic
+    # kernel, so queries are exact corpus members
+    ref = ByteHistogramFeatures()(attach_payload(t.slice(0, 3)))
+    qids = np.array([0, 1, 2], dtype=np.int64)
+    qmat = np.stack(ref.column("embedding").to_pylist()).astype(np.float64)
+    embs = media_embeddings(rd.from_arrow(t).repartition(3),
+                            batch_size=16, concurrency=2)
+    ann = knn_lsh(embs, qids, qmat, k=3, n_planes=3)
+    rows = ann.to_pylist() if hasattr(ann, "to_pylist") else \
+        ann.to_pandas().to_dict("records")
+    best = {}
+    for r in rows:
+        q = r["query_id"]
+        if q not in best or r["score"] > best[q][1]:
+            best[q] = (r["neighbor_id"], r["score"])
+    for q in qids:
+        nb, score = best[int(q)]
+        assert nb == int(q), (q, best)          # self top-1
+        assert abs(score - 1.0) < 1e-6
+
+
+def test_byte_histogram_features_decode_parity():
+    # the feature stage's internal decode (BMP slice / PNG inflate) must
+    # see exactly the payload bytes MediaDecoder sees: equal texts in
+    # different containers (even=BMP, odd=PNG) embed identically
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        ByteHistogramFeatures,
+        attach_payload,
+    )
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(["same bytes here", "same bytes here",
+                                    "other content!", None], pa.string())})
+    out = ByteHistogramFeatures()(attach_payload(t))
+    embs = out.column("embedding").to_pylist()
+    assert embs[0] == embs[1]       # BMP vs PNG container, same payload
+    assert embs[0] != embs[2]
+    assert embs[3] is None          # null payload -> null embedding
