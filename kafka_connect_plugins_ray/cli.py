@@ -53,6 +53,13 @@ def main(argv: "list[str] | None" = None) -> int:
                     help="cow rewrites touched partitions; delta appends "
                          "one LWW-reduced delta file per touched partition "
                          "(fold chains back with `compact`)")
+    pi.add_argument("--compact-threshold", type=int, default=None,
+                    help="tail mode: after each cycle, compact when any "
+                         "partition's pending delta chain exceeds this "
+                         "length (manifest lineage, no file scan)")
+    pi.add_argument("--gc-keep", type=int, default=None,
+                    help="tail mode: gc versions past this keep window "
+                         "after each maintenance step")
 
     ps = sub.add_parser("show", help="print the current manifest")
     ps.add_argument("--lake", required=True)
@@ -149,10 +156,17 @@ def main(argv: "list[str] | None" = None) -> int:
                                transforms=transforms,
                                num_partitions=args.partitions,
                                mode=args.mode)
-                print(json.dumps({"version": m.version,
-                                  "high_water_lsn": m.high_water_lsn,
-                                  "partitions": len(m.files),
-                                  "delta_partitions": len(m.deltas)}))
+                report = {"version": m.version,
+                          "high_water_lsn": m.high_water_lsn,
+                          "partitions": len(m.files),
+                          "delta_partitions": len(m.deltas)}
+                if args.compact_threshold is not None:
+                    from .pipelines.maintenance import tail_maintenance
+
+                    report["maintenance"] = tail_maintenance(
+                        args.lake, args.compact_threshold,
+                        gc_keep=args.gc_keep)
+                print(json.dumps(report))
         elif args.cmd == "compact":
             from .pipelines.maintenance import compact_lake
 

@@ -99,6 +99,37 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
             "kept": sorted(keep)}
 
 
+def max_delta_chain(manifest: "Manifest | None") -> int:
+    """Longest pending delta chain across partitions (0 when none) — the
+    manifest's per-partition lineage is the compaction trigger signal."""
+    if manifest is None:
+        return 0
+    return max((len(c) for c in manifest.deltas.values()), default=0)
+
+
+def tail_maintenance(lake_root: str, compact_threshold: int,
+                     gc_keep: "int | None" = None) -> dict:
+    """One steady-state maintenance step for tail-follow ingest loops
+    (the reference's deployed shape: connector appends continuously,
+    maintenance amortizes in the background): fold every pending delta
+    chain into base files once ANY partition's chain exceeds
+    ``compact_threshold`` (read from the manifest lineage — no file
+    scans), then garbage-collect versions past ``gc_keep``.  Bounds both
+    merge-on-read amplification (chains ≤ threshold between steps) and
+    on-disk file count (old versions collected as soon as they fall out
+    of the keep window)."""
+    store = LakeStore(lake_root)
+    chain = max_delta_chain(store.current())
+    compacted = False
+    if chain > compact_threshold:
+        compact_lake(lake_root)
+        compacted = True
+    out = {"max_chain": chain, "compacted": compacted}
+    if gc_keep is not None:
+        out["gc"] = gc(lake_root, keep_versions=gc_keep)
+    return out
+
+
 def compact_lake(lake_root: str) -> Manifest:
     """Small-file compaction: fold every partition's pending delta chain
     (``ingest(mode="delta")`` appends) back into ONE base file at a new

@@ -366,3 +366,46 @@ def test_repartition_custom_key_lake(tmp_path):
     m = repartition_lake(lake, 16)
     assert m.num_partitions == 16 and not m.deltas
     assert keyed_hash() == h
+
+
+def test_tail_mode_randomized_cycles_equal_oneshot_cow(tmp_path):
+    # round-4 operational tail mode: N randomized delta-ingest cycles with
+    # threshold-triggered compaction + gc must land byte-identical state
+    # to the same segments ingested as plain COW cycles, with delta chains
+    # and on-disk file count bounded throughout
+    import glob
+
+    import numpy as np
+
+    from kafka_connect_plugins_ray.pipelines.maintenance import (
+        max_delta_chain,
+        tail_maintenance,
+    )
+
+    rng = np.random.RandomState(11)
+    rounds_seq = [int(rng.randint(0, 3)) for _ in range(6)]
+    P, THRESH, KEEP = 8, 2, 2
+
+    tail = _fresh(tmp_path, "tail")
+    cow = _fresh(tmp_path, "tailcow")
+    for r in rounds_seq:
+        for lake, mode in ((tail, "delta"), (cow, "cow")):
+            cur = LakeStore(lake).current()
+            base = (cur.high_water_lsn + 1) if cur else 0
+            ingest(lake, binlog_from_documents(SF, rounds=r, base_lsn=base),
+                   num_partitions=P, mode=mode)
+        summary = tail_maintenance(tail, THRESH, gc_keep=KEEP)
+        # the trigger reads the manifest lineage; chains stay bounded
+        assert max_delta_chain(LakeStore(tail).current()) <= THRESH
+        if summary["compacted"]:
+            assert summary["max_chain"] > THRESH
+
+    assert _state_hash(tail) == _state_hash(cow)
+    # bounded on-disk footprint: ≤ keep-window versions of base files plus
+    # ≤ THRESH pending deltas per partition (a no-maintenance run keeps
+    # every cycle's files: ~len(rounds_seq) × P)
+    n_files = len(glob.glob(os.path.join(tail, "data", "*", "*.parquet")))
+    assert n_files <= P * (KEEP + THRESH + 1)
+    # high-water advanced identically on both lakes
+    assert (LakeStore(tail).current().high_water_lsn
+            == LakeStore(cow).current().high_water_lsn)
