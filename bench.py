@@ -221,6 +221,68 @@ def run_blob() -> None:
     }))
 
 
+def run_media() -> None:
+    """Blob-sized media payloads through the full decode → feature →
+    ANN path: 96 rows × ~5 MB containers (even rows BMP, odd rows PNG
+    with a REAL zlib deflate/inflate round-trip) into the actor-pool
+    ByteHistogramFeatures stage (256-bin histogram over every decoded
+    byte + seeded projection), then knn_lsh over the resulting
+    embeddings.  batch_size=4 keeps the per-batch transient at
+    ~payload × batch ≈ 20 MB per actor (plus the inflate copy), the
+    documented heap formula for multi-MB media."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.multimodal import media_embeddings
+    from kafka_connect_plugins_ray.pipelines.similarity import knn_lsh
+
+    n_rows, blob_mb = 96, 5
+    rng = np.random.RandomState(0)
+    texts = []
+    for i in range(n_rows):
+        texts.append("".join(chr(97 + c) for c in rng.randint(0, 26, 64))
+                     * (blob_mb * 1024 * 1024 // 64))
+    t = pa.table({"doc_id": pa.array(range(n_rows), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    in_bytes = sum(len(s) for s in texts)
+
+    t0 = time.perf_counter()
+    ds = rd.from_arrow([t.slice(i, 6) for i in range(0, n_rows, 6)])
+    embs = media_embeddings(ds, batch_size=4, concurrency=(2, 8))
+    emb_t = pa.concat_tables(
+        [b for b in ray.get(embs.to_arrow_refs()) if b.num_rows])
+    feat_wall = time.perf_counter() - t0
+    qmat = np.stack(emb_t.column("embedding").to_pylist()[:8]) \
+        .astype(np.float64)
+    qids = emb_t.column("vec_id").to_numpy()[:8]
+    t1 = time.perf_counter()
+    ann = knn_lsh(rd.from_arrow(emb_t), qids, qmat, k=5, n_planes=3)
+    ann_rows = ann.num_rows
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "media_5mb_decode_features_ann_wall_sec",
+        "value": round(wall, 3), "unit": "sec",
+        "feature_sec": round(feat_wall, 3),
+        "ann_sec": round(time.perf_counter() - t1, 3),
+        "rows": emb_t.num_rows, "ann_rows": ann_rows,
+        "input_mb": round(in_bytes / 1e6, 1),
+        "decoded_mb_per_sec": round(in_bytes / 1e6 / feat_wall, 1),
+        "batch_size": 4, "concurrency": [2, 8],
+        "per_actor_batch_transient_mb": round(4 * blob_mb, 1),
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_endurance() -> None:
     """10M-event ingest endurance; GRAFT_P selects the lake partition
     count (4096 exercises the hierarchical sqrt(P) exchange end-to-end)."""
@@ -413,6 +475,8 @@ def main():
         run_annbench()
     elif "--blob" in sys.argv:
         run_blob()
+    elif "--media" in sys.argv:
+        run_media()
     elif "--endurance" in sys.argv:
         run_endurance()
     elif "--headline-only" in sys.argv:

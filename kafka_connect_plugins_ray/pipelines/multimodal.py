@@ -500,7 +500,8 @@ def media_embeddings(docs: "rd.Dataset", *, batch_size: int = 1024,
     actor — one pass over the payload bytes, no second decode stage."""
     with_payload = docs.map_batches(attach_payload, batch_format="pyarrow")
     return with_payload.map_batches(
-        ByteHistogramFeatures(seed=seed, dim=dim),
+        ByteHistogramFeatures,
+        fn_constructor_kwargs={"seed": seed, "dim": dim},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
