@@ -50,7 +50,11 @@ def _as_table(block) -> "pa.Table | None":
     import pandas as pd
 
     if isinstance(block, pd.DataFrame):
-        return pa.Table.from_pandas(block, preserve_index=False)
+        # drop the b'pandas' schema metadata from_pandas attaches: any
+        # schema-level metadata makes pa.Schema unhashable, which defeats
+        # Ray's block-concat schema dedup ("Failed to hash the schemas")
+        return pa.Table.from_pandas(
+            block, preserve_index=False).replace_schema_metadata(None)
     return pa.table(block)
 
 

@@ -713,7 +713,7 @@ def _bucket_jaccard(t: pa.Table, shingle_k: int) -> "tuple[np.ndarray, np.ndarra
 
 def verify_pairs_distributed(pairs: pa.Table, docs: "rd.Dataset", *,
                              shingle_k: int = 3,
-                             num_buckets: int = DEDUP_BUCKETS,
+                             num_buckets: "int | None" = None,
                              on_missing: str = "raise") -> pa.Table:
     """Distributed candidate-pair verification — candidate TEXTS never
     reach the driver (the round-3 review's flagged anti-pattern; the old
@@ -734,7 +734,12 @@ def verify_pairs_distributed(pairs: pa.Table, docs: "rd.Dataset", *,
     never matches — SQL parity).  ``on_missing``: ``'raise'`` fails
     loudly when a pair references an id the corpus lacks (the
     verification-path contract); ``'drop'`` silently skips such pairs
-    (the pair-filter contract)."""
+    (the pair-filter contract).
+
+    ``num_buckets`` defaults ADAPTIVELY to the candidate volume (~2k
+    pairs per bucket, capped at 256): the pair count is known
+    driver-side, and a fixed B wastes 3× the wall in per-task fixed
+    costs on small candidate sets while under-splitting huge ones."""
     import ray
 
     from ..exchange import _split_by_pid, bucket_slices
@@ -744,7 +749,8 @@ def verify_pairs_distributed(pairs: pa.Table, docs: "rd.Dataset", *,
                       "jaccard": pa.array([], pa.float64())})
     if pairs.num_rows == 0:
         return empty
-    B = num_buckets
+    B = num_buckets if num_buckets is not None else \
+        int(np.clip(pairs.num_rows // 2000 + 1, 4, 256))
     a = pairs.column("doc_a").to_numpy().astype(np.int64)
     b = pairs.column("doc_b").to_numpy().astype(np.int64)
     cand_ref = ray.put(np.unique(np.concatenate([a, b])))

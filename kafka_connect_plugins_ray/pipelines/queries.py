@@ -1378,10 +1378,6 @@ def q_text_metrics(sf_dir: str) -> "rd.Dataset":
     from .text import repetition_batch, round_half_up
 
     B = 32
-    ld_refs = line_dedup(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
-        num_buckets=B, sep=" ", return_refs=True)
-
     lang = LangId()
     qual = QualityScore()
     fp = Fingerprint()
@@ -1399,8 +1395,20 @@ def q_text_metrics(sf_dir: str) -> "rd.Dataset":
         out["bucket"] = (out["doc_id"].to_numpy() % B).astype("int32")
         return out
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    m = docs.map_batches(metrics, batch_format="pandas")
+    # line_dedup's exchanges and the metric kernels are independent until
+    # the join — overlap their driver-blocking executions
+    with ThreadPoolExecutor(2) as pool:
+        f_ld = pool.submit(
+            line_dedup,
+            read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+            num_buckets=B, sep=" ", return_refs=True)
+        f_m = pool.submit(
+            lambda: docs.map_batches(metrics,
+                                     batch_format="pandas").materialize())
+        ld_refs, m = f_ld.result(), f_m.result()
 
     def join_ld(pid: int, t: pa.Table) -> pa.Table:
         shard = ray.get(ld_refs[pid])  # rebuilt docs with doc_id % B == pid

@@ -18,8 +18,19 @@ def strip_schema_metadata(t):
 
 def read_table(sf_dir: str, name: str, columns: "list[str] | None" = None,
                **kwargs) -> "rd.Dataset":
-    """Read one testdata table with column pruning (TESTDATA.md layout)."""
+    """Read one testdata table with column pruning (TESTDATA.md layout).
+
+    Passes an explicit metadata-free schema (footer schema with the
+    b'pandas' blob removed) so every block the read emits is clean at
+    the source — the warning fires inside ReadParquet->SplitBlocks,
+    before any downstream map could strip it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ds = rd.read_parquet(path, columns=columns, **kwargs)
-    # fuses with the downstream map chain — no extra task boundary
-    return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+    if "schema" not in kwargs:
+        sch = pq.read_schema(path).remove_metadata()
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+        kwargs["schema"] = sch
+    return rd.read_parquet(path, columns=columns, **kwargs)
