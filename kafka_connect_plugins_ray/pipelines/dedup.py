@@ -751,6 +751,9 @@ def verify_pairs_distributed(pairs: pa.Table, docs: "rd.Dataset", *,
         return empty
     B = num_buckets if num_buckets is not None else \
         int(np.clip(pairs.num_rows // 2000 + 1, 4, 256))
+    # ray's num_returns=1 yields a bare ref (not a 1-tuple), breaking the
+    # per-bucket routing below — 2 buckets is the degenerate minimum
+    B = max(B, 2)
     a = pairs.column("doc_a").to_numpy().astype(np.int64)
     b = pairs.column("doc_b").to_numpy().astype(np.int64)
     cand_ref = ray.put(np.unique(np.concatenate([a, b])))

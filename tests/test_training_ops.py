@@ -1420,3 +1420,57 @@ def test_byte_histogram_features_decode_parity():
     assert embs[0] == embs[1]       # BMP vs PNG container, same payload
     assert embs[0] != embs[2]
     assert embs[3] is None          # null payload -> null embedding
+
+
+def test_verify_pairs_distributed_randomized_vs_reference():
+    # property check: the distributed bucket verification must agree with
+    # the driver-side reference (verify_jaccard) on random corpora with
+    # dup classes, near-dups, empties and nulls, at several bucket counts
+    rng = np.random.RandomState(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(120):
+        kind = rng.randint(0, 4)
+        if kind == 0 and texts:          # exact dup of an earlier doc
+            texts.append(texts[rng.randint(0, len(texts))])
+        elif kind == 1:
+            texts.append(" ".join(rng.choice(vocab, size=rng.randint(5, 30))))
+        elif kind == 2:                  # degenerate
+            texts.append(rng.choice(["", " ", None]))
+        else:                            # near-dup: mutate one token
+            base = " ".join(rng.choice(vocab, size=20)).split()
+            base[rng.randint(0, 20)] = "MUT"
+            texts.append(" ".join(base))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    # candidate pairs: random sample of id pairs (includes non-dups)
+    a = rng.randint(0, len(texts), size=300).astype(np.int64)
+    b = rng.randint(0, len(texts), size=300).astype(np.int64)
+    keep = a < b
+    pairs = pa.table({"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep])})
+
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        verify_pairs_distributed,
+    )
+
+    texts_by_id = dict(enumerate(texts))
+    ref = verify_jaccard(pairs, texts_by_id)
+    ref_map = {}
+    for r in ref.to_pylist():
+        # reference emits one row per pair occurrence in order; keep all
+        ref_map.setdefault((r["doc_a"], r["doc_b"]), []).append(r["jaccard"])
+    for B in (1, 4, 32):
+        v = verify_pairs_distributed(pairs, rd.from_arrow(t).repartition(3),
+                                     num_buckets=B)
+        got = {}
+        for i, ident, j in zip(v.column("idx").to_pylist(),
+                               v.column("identical").to_pylist(),
+                               v.column("jaccard").to_pylist()):
+            pa_, pb_ = a[keep][i], b[keep][i]
+            got.setdefault((pa_, pb_), []).append(j)
+            assert ident == (texts[pa_] == texts[pb_]
+                             and texts[pa_] is not None)
+        assert set(got) == set(ref_map), B
+        for k in ref_map:
+            for x, y in zip(sorted(ref_map[k]), sorted(got[k])):
+                assert abs(x - y) < 1e-12, (k, ref_map[k], got[k])
