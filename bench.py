@@ -283,6 +283,47 @@ def run_media() -> None:
     }))
 
 
+def run_bpe() -> None:
+    """Trained-BPE end-to-end over the sf documents table: distributed
+    word-frequency summary → vectorized merge learning (driver sees only
+    the capped summary) → actor-pool subtoken counting with per-actor
+    distinct-word caches."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kafka_connect_plugins_ray.functions.bpe import (
+        bpe_token_counts, corpus_word_counts_topk, train_bpe)
+    from kafka_connect_plugins_ray.sources.readers import read_table
+
+    docs = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    wc = corpus_word_counts_topk(docs, top_k=30000)
+    t1 = time.perf_counter()
+    merges = train_bpe(wc, 512)
+    t2 = time.perf_counter()
+    out = bpe_token_counts(docs, merges, concurrency=8)
+    n_docs = out.count()
+    total = int(out.sum("n_bpe_tokens"))
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "bpe_train_and_count_wall_sec",
+        "value": round(wall, 3), "unit": "sec",
+        "wordcount_sec": round(t1 - t0, 3),
+        "train_sec": round(t2 - t1, 3),
+        "count_sec": round(wall - (t2 - t0), 3),
+        "n_merges": len(merges), "distinct_words": int(len(wc)),
+        "docs": n_docs, "bpe_tokens": total,
+        "tokens_per_sec": round(total / wall),
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_endurance() -> None:
     """10M-event ingest endurance; GRAFT_P selects the lake partition
     count (4096 exercises the hierarchical sqrt(P) exchange end-to-end)."""
@@ -477,6 +518,8 @@ def main():
         run_blob()
     elif "--media" in sys.argv:
         run_media()
+    elif "--bpe" in sys.argv:
+        run_bpe()
     elif "--endurance" in sys.argv:
         run_endurance()
     elif "--headline-only" in sys.argv:

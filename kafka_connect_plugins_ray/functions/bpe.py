@@ -1,0 +1,330 @@
+"""Byte-pair-encoding subword tokenizer — TRAINED, not a regex proxy.
+
+Public-knowledge algorithm throughout: the merge-learning loop is
+Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+Subword Units", ACL) — learn merges greedily from a word-frequency
+summary with an explicit end-of-word symbol — and the apply-merges-per-
+distinct-word-with-a-cache pattern is the GPT-2 encoder idiom (Radford
+et al. 2019).  No external vocab, no model weights: everything derives
+deterministically from the corpus.
+
+Scale shape (the reason this lives here and not in a notebook):
+
+- TRAINING never touches raw text on the driver.  It operates on the
+  word-frequency summary: per-batch arrow word counts (one
+  ``utf8_split_whitespace`` + one hash-group-by per block) → hash
+  exchange on word hash (every word's global count lives wholly in one
+  bucket) → per-bucket exact sums and per-bucket top-K → the driver
+  merges B small top-K lists.  The driver holds at most ``B × top_k``
+  (word, count) rows; the corpus never leaves the object store.  This
+  is how production subword trainers work at scale — they train on a
+  capped word-count table, not on documents.
+- The merge loop itself is VECTORIZED: the whole word summary is one
+  flat int32 symbol array; each iteration computes all adjacent-pair
+  counts with one ``np.unique`` + ``np.bincount`` and collapses every
+  non-overlapping occurrence of the winning pair with boolean-mask
+  surgery.  O(total_symbols) numpy work per merge, no per-word Python.
+- APPLICATION (``BPECounter``) is a stateful actor-pool stage: the
+  merge table and symbol ids are built once per actor in ``__init__``;
+  per batch, tokens are factorized with arrow ``dictionary_encode`` and
+  merges are applied ONCE PER DISTINCT UNCACHED WORD — vectorized over
+  the whole distinct-word set with the same mask-surgery kernel — then
+  results broadcast back to token positions with one gather +
+  segment-sum.  The per-actor cache makes steady-state batches nearly
+  free (natural-language word frequency is Zipfian).
+
+Determinism: ties in the merge loop break on (count desc, pair-string
+asc); training twice on the same counts yields identical merge lists,
+and encoding is a pure function of (merges, word).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+END_WORD = "</w>"  # Sennrich end-of-word marker (its own final symbol)
+
+
+# ---------------------------------------------------------------------------
+# vectorized symbol-array machinery (shared by training and encoding)
+# ---------------------------------------------------------------------------
+
+def _explode_words(words: "list[str]", sym2id: "dict[str, int]",
+                   symbols: "list[str]", *, grow: bool = True
+                   ) -> "tuple[np.ndarray, np.ndarray]":
+    """chars + END_WORD per word → (flat symbol-id array, word-id array).
+    Unknown characters get fresh ids when ``grow`` (training) or are
+    likewise appended when encoding — a fresh id can never equal a merge
+    output, so unseen chars simply never merge."""
+    lens = np.fromiter((len(w) + 1 for w in words), dtype=np.int64,
+                       count=len(words))
+    total = int(lens.sum())
+    sym = np.empty(total, dtype=np.int64)
+    wid = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+    pos = 0
+    for w in words:
+        for ch in w:
+            i = sym2id.get(ch)
+            if i is None:
+                i = len(symbols)
+                sym2id[ch] = i
+                symbols.append(ch)
+            sym[pos] = i
+            pos += 1
+        sym[pos] = sym2id[END_WORD]
+        pos += 1
+    return sym, wid
+
+
+def _pair_keys(sym: np.ndarray, wid: np.ndarray
+               ) -> "tuple[np.ndarray, np.ndarray]":
+    """(adjacent-within-word mask over positions [0, n-1), packed pair
+    key a<<32|b).  Symbol ids stay < 2^31 by construction."""
+    same = wid[1:] == wid[:-1]
+    key = (sym[:-1] << np.int64(32)) | sym[1:]
+    return same, key
+
+
+def _merge_occurrences(sym: np.ndarray, wid: np.ndarray, key_val: int,
+                       new_id: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Collapse every non-overlapping (leftmost-first) occurrence of the
+    pair ``key_val`` into ``new_id``.  Overlaps only arise for (x, x)
+    pairs; run-parity selection (keep even offsets within each run of
+    consecutive matches) reproduces the sequential leftmost scan."""
+    same, key = _pair_keys(sym, wid)
+    match = same & (key == key_val)
+    if not match.any():
+        return sym, wid
+    idx = np.arange(match.size, dtype=np.int64)
+    run_start = match & ~np.concatenate(([False], match[:-1]))
+    start_of_run = np.maximum.accumulate(np.where(run_start, idx, -1))
+    sel = match & ((idx - start_of_run) % 2 == 0)
+    p = np.flatnonzero(sel)
+    sym = sym.copy()
+    sym[p] = new_id
+    keep = np.ones(sym.size, dtype=bool)
+    keep[p + 1] = False
+    return sym[keep], wid[keep]
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+def train_bpe(word_counts: "dict[str, int] | pd.Series", n_merges: int,
+              min_count: int = 2) -> "list[tuple[str, str]]":
+    """Learn up to ``n_merges`` merges from a word→count summary
+    (Sennrich alg. 1, vectorized).  Stops early when the best pair's
+    count drops below ``min_count``.  Ties break (count desc, pair asc)
+    so training is order-independent and deterministic."""
+    if isinstance(word_counts, dict):
+        items = sorted(word_counts.items())
+    else:
+        items = sorted(word_counts.items())
+    words = [w for w, _ in items if w]
+    counts = np.array([c for w, c in items if w], dtype=np.int64)
+    symbols: list[str] = [END_WORD]
+    sym2id: dict[str, int] = {END_WORD: 0}
+    if not words:
+        return []
+    sym, wid = _explode_words(words, sym2id, symbols)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        same, key = _pair_keys(sym, wid)
+        if not same.any():
+            break
+        k = key[same]
+        w = counts[wid[:-1][same]]
+        uniq, inv = np.unique(k, return_inverse=True)
+        totals = np.bincount(inv, weights=w).astype(np.int64)
+        best = int(totals.max())
+        if best < min_count:
+            break
+        # deterministic tie-break: smallest (a_str, b_str) among the max
+        cand = uniq[totals == best]
+        pairs = [(symbols[int(c >> np.int64(32))],
+                  symbols[int(c & np.int64(0xFFFFFFFF))]) for c in cand]
+        a_str, b_str = min(pairs)
+        key_val = int(cand[pairs.index((a_str, b_str))])
+        new_id = len(symbols)
+        symbols.append(a_str + b_str)
+        sym2id[a_str + b_str] = new_id
+        sym, wid = _merge_occurrences(sym, wid, key_val, new_id)
+        merges.append((a_str, b_str))
+    return merges
+
+
+def corpus_word_counts_topk(docs, top_k: int = 30000,
+                            num_buckets: int = 32) -> pd.Series:
+    """Distributed word-frequency summary capped at ``top_k`` distinct
+    words: per-batch arrow counts → hash exchange on word → per-bucket
+    exact sums + per-bucket top-K → driver merge of B top-K lists.
+    The cap bounds driver memory AND training cost at 100 TB; dropped
+    tail words simply stay character-segmented (standard practice).
+
+    Soundness of the cap: per-bucket top-K keeps every word whose GLOBAL
+    count could reach the global top-K (a word's global count is wholly
+    inside one bucket — the exchange key is the word itself)."""
+    from ..exchange import hash_exchange
+    from ..functions.vhash import hash64_column
+    from .tokenize import flat_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(batch.column("text"))
+        vc = flat.value_counts()
+        words = vc.field("values")
+        n = vc.field("counts").cast(pa.int64())
+        bucket = (hash64_column(words) % num_buckets).astype(np.int32)
+        return pa.table({"word": words, "n": n,
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        df = t.to_pandas()
+        g = df.groupby("word", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "word"], ascending=[False, True]).head(top_k)
+        if g.empty:
+            return None
+        return pa.Table.from_pandas(g.reset_index(drop=True),
+                                    preserve_index=False)
+
+    shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return pd.Series(dtype="int64")
+    allc = pa.concat_tables(shards).to_pandas()
+    allc = allc.sort_values(["n", "word"],
+                            ascending=[False, True]).head(top_k)
+    return allc.set_index("word")["n"]
+
+
+def train_bpe_from_dataset(docs, n_merges: int = 512, top_k: int = 30000,
+                           min_count: int = 2,
+                           num_buckets: int = 32) -> "list[tuple[str, str]]":
+    """End-to-end: distributed word summary → deterministic merge list."""
+    wc = corpus_word_counts_topk(docs, top_k=top_k, num_buckets=num_buckets)
+    return train_bpe(wc, n_merges, min_count=min_count)
+
+
+# ---------------------------------------------------------------------------
+# application
+# ---------------------------------------------------------------------------
+
+class BPEEncoder:
+    """Applies a learned merge list.  ``encode_words`` is vectorized over
+    the whole distinct-word set (merges applied in learned order — the
+    Sennrich apply order, equivalent to GPT-2's rank-priority order);
+    results are cached per instance so repeated words cost one dict hit."""
+
+    def __init__(self, merges: "list[tuple[str, str]]"):
+        self.merges = list(merges)
+        self.symbols: list[str] = [END_WORD]
+        self.sym2id: dict[str, int] = {END_WORD: 0}
+        self._merge_plan: list[tuple[int, int]] = []  # (packed key, new id)
+        for a, b in self.merges:
+            ia = self._intern(a)
+            ib = self._intern(b)
+            new_id = self._intern(a + b)
+            self._merge_plan.append(((ia << 32) | ib, new_id))
+        self._n_base_symbols = len(self.symbols)
+        self._cache: dict[str, int] = {}        # word -> subtoken count
+        self._tok_cache: dict[str, list[str]] = {}
+
+    def _intern(self, s: str) -> int:
+        i = self.sym2id.get(s)
+        if i is None:
+            i = len(self.symbols)
+            self.sym2id[s] = i
+            self.symbols.append(s)
+        return i
+
+    def _apply_all(self, words: "list[str]"
+                   ) -> "tuple[np.ndarray, np.ndarray]":
+        sym, wid = _explode_words(words, self.sym2id, self.symbols)
+        for key_val, new_id in self._merge_plan:
+            sym, wid = _merge_occurrences(sym, wid, key_val, new_id)
+        return sym, wid
+
+    def encode_words(self, words: "list[str]") -> np.ndarray:
+        """Subtoken count per word (END_WORD fuses into the last subtoken
+        only via learned merges; a bare trailing END_WORD does not count
+        as a token on its own, matching intuition that 'a' is 1 token
+        when ('a', '</w>') was merged and still 1 when it wasn't)."""
+        out = np.empty(len(words), dtype=np.int64)
+        fresh = [w for w in set(words) if w not in self._cache]
+        if fresh:
+            fresh.sort()
+            sym, wid = self._apply_all(fresh)
+            # count symbols per word; a standalone trailing END_WORD
+            # (id 0 or an unmerged marker) still counts toward len(chars)
+            # semantics — subtract it when it remained unfused
+            n = np.bincount(wid, minlength=len(fresh))
+            last_pos = np.cumsum(n) - 1
+            unfused = np.isin(sym[last_pos],
+                              [self.sym2id[END_WORD]])
+            n = n - unfused.astype(np.int64)
+            for w, c in zip(fresh, n):
+                self._cache[w] = int(c)
+        for i, w in enumerate(words):
+            out[i] = self._cache[w]
+        return out
+
+    def encode(self, word: str) -> "list[str]":
+        """Subtoken strings for one word (test/debug surface)."""
+        if word in self._tok_cache:
+            return self._tok_cache[word]
+        if word == "":
+            return []
+        sym, _ = self._apply_all([word])
+        toks = [self.symbols[int(i)] for i in sym]
+        if toks and toks[-1] == END_WORD:
+            toks = toks[:-1]
+        self._tok_cache[word] = toks
+        return toks
+
+
+class BPECounter:
+    """Actor-pool ``map_batches`` stage: per-doc trained-BPE subtoken
+    counts.  Merge plan + symbol table built once per actor; per batch
+    one arrow whitespace split, one ``dictionary_encode`` factorization,
+    vectorized merge application over UNCACHED distinct words only, one
+    gather + segment-sum back to docs.  Null/empty texts → 0."""
+
+    def __init__(self, merges: "list[tuple[str, str]]"):
+        self.enc = BPEEncoder(merges)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .tokenize import flat_tokens
+
+        flat, counts = flat_tokens(batch.column("text"))
+        n_docs = len(counts)
+        if len(flat) == 0:
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_bpe_tokens": pa.array(np.zeros(n_docs, np.int64)),
+            })
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        distinct = enc.dictionary.to_pylist()
+        per_word = self.enc.encode_words(distinct)
+        ids = np.asarray(enc.indices, dtype=np.int64)
+        per_tok = per_word[ids]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        per_doc = np.bincount(doc_of, weights=per_tok,
+                              minlength=n_docs).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_bpe_tokens": pa.array(per_doc),
+        })
+
+
+def bpe_token_counts(docs, merges: "list[tuple[str, str]]", *,
+                     batch_size: int = 4096, concurrency: int = 4):
+    """documents → (doc_id, n_bpe_tokens) with a trained merge list.
+    Actor pool so the merge plan is built once per actor, not per batch."""
+    return docs.map_batches(BPECounter, fn_constructor_args=(merges,),
+                            batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=concurrency)

@@ -306,6 +306,8 @@ def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
     text = batch["text"].astype(str)
     out = batch[["doc_id"]].copy()
     out["n_tokens"] = text.str.split().str.len().fillna(0).astype("int64")
-    # a BPE-ish subword proxy: alnum runs + punctuation marks as tokens
+    # the SQL-mirrorable subword proxy (regexp in both engines); the REAL
+    # trained subword tokenizer is functions/bpe.py (BPECounter — learned
+    # merges, non-SQL-expressible, pytest-gated + bench --bpe)
     out["n_subtokens"] = text.str.count(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]").astype("int64")
     return out

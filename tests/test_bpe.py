@@ -1,0 +1,149 @@
+"""Trained-BPE tokenizer tests: classic-example merge pins, a pure-Python
+per-word reference cross-check of the vectorized merge kernel, training
+determinism, and the distributed train→count path over a Ray dataset."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kafka_connect_plugins_ray.functions.bpe import (
+    END_WORD,
+    BPECounter,
+    BPEEncoder,
+    bpe_token_counts,
+    corpus_word_counts_topk,
+    train_bpe,
+    train_bpe_from_dataset,
+)
+
+
+def _ref_apply(word: str, merges) -> list:
+    """Reference: per-word sequential scan, merges in learned order,
+    leftmost-first non-overlapping replacement (Sennrich apply order)."""
+    syms = list(word) + [END_WORD]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    if syms and syms[-1] == END_WORD:
+        syms = syms[:-1]
+    return syms
+
+
+def test_train_bpe_classic_example():
+    # Sennrich-paper-style corpus; first merges derived by hand:
+    # es(9) -> est(9) -> est</w>(9) -> lo(7) -> low(7) ...
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(wc, 6, min_count=2)
+    assert merges == [("e", "s"), ("es", "t"), ("est", END_WORD),
+                      ("l", "o"), ("lo", "w"), ("e", "w")]
+    enc = BPEEncoder(merges)
+    assert enc.encode("newest") == ["n", "ew", "est</w>"]
+    assert enc.encode("lowest") == ["low", "est</w>"]
+
+
+def test_train_bpe_determinism_and_min_count():
+    rng = np.random.RandomState(7)
+    words = ["".join(rng.choice(list("abcdef"), size=rng.randint(1, 9)))
+             for _ in range(300)]
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + int(rng.randint(1, 20))
+    m1 = train_bpe(wc, 64)
+    m2 = train_bpe(dict(reversed(list(wc.items()))), 64)
+    assert m1 == m2                      # input order can't matter
+    assert len(set(m1)) == len(m1)       # a pair is never learned twice
+    # min_count high enough -> no merges at all
+    assert train_bpe({"ab": 1, "cd": 1}, 8, min_count=3) == []
+
+
+def test_vectorized_encoder_matches_reference():
+    rng = np.random.RandomState(11)
+    vocab = list("abcdexyz")
+    words = ["".join(rng.choice(vocab, size=rng.randint(1, 12)))
+             for _ in range(400)]
+    # include pathological repeats (overlapping-pair semantics) + unicode
+    words += ["aaaa", "aaaaa", "ababab", "xxxxxxx", "日本語", "a", ""]
+    wc = {}
+    for w in words:
+        if w:
+            wc[w] = wc.get(w, 0) + int(rng.randint(1, 10))
+    merges = train_bpe(wc, 128)
+    enc = BPEEncoder(merges)
+    for w in set(words):
+        ref = _ref_apply(w, merges) if w else []
+        assert enc.encode(w) == ref, w
+    # count surface agrees with the token surface, via the cache and not
+    counts = enc.encode_words(list(set(words)))
+    for w, c in zip(list(set(words)), counts):
+        assert c == len(_ref_apply(w, merges) if w else []), w
+
+
+def test_bpe_counter_batch_semantics():
+    merges = train_bpe({"hello": 4, "world": 3, "hell": 2}, 32)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["hello world hello", "", None, "hell unknownword"],
+                         pa.string()),
+    })
+    out = BPECounter(merges)(t)
+    enc = BPEEncoder(merges)
+    exp = [2 * len(enc.encode("hello")) + len(enc.encode("world")),
+           0, 0,
+           len(enc.encode("hell")) + len(enc.encode("unknownword"))]
+    assert out.column("n_bpe_tokens").to_pylist() == exp
+    assert out.column("doc_id").to_pylist() == [1, 2, 3, 4]
+
+
+def test_bpe_distributed_train_and_count():
+    rng = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 40)))
+             for _ in range(500)]
+    t = pa.table({"doc_id": pa.array(range(500), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    docs = rd.from_arrow(t).repartition(5)
+
+    # distributed word summary == driver-side exact counts
+    wc = corpus_word_counts_topk(docs, top_k=100, num_buckets=8)
+    exact = {}
+    for s in texts:
+        for w in s.split():
+            exact[w] = exact.get(w, 0) + 1
+    assert dict(wc) == exact
+
+    merges = train_bpe_from_dataset(docs, n_merges=48, top_k=100,
+                                    num_buckets=8)
+    assert merges == train_bpe(exact, 48)
+
+    out = bpe_token_counts(docs, merges, batch_size=128,
+                           concurrency=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    enc = BPEEncoder(merges)
+    exp = [sum(len(enc.encode(w)) for w in s.split()) for s in texts]
+    assert out["n_bpe_tokens"].tolist() == exp
+    # trained merges actually compress: fewer subtokens than characters,
+    # more than whitespace tokens (sanity that training did something)
+    n_ws = sum(len(s.split()) for s in texts)
+    n_ch = sum(len(w) for s in texts for w in s.split())
+    assert n_ws <= sum(exp) < n_ch
+
+
+def test_topk_cap_keeps_head_words():
+    # cap smaller than the vocabulary: the kept summary must be exactly
+    # the global top-k by (count desc, word asc)
+    texts = (["most common phrase here"] * 50 + ["rare words appear once"])
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    docs = rd.from_arrow(t).repartition(3)
+    wc = corpus_word_counts_topk(docs, top_k=4, num_buckets=4)
+    assert list(wc.index) == ["common", "here", "most", "phrase"]
+    assert set(wc.values) == {50}
