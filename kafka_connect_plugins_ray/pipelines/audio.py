@@ -1,0 +1,331 @@
+"""Audio-modality plumbing: real RIFF/WAVE containers + PCM DSP features.
+
+Completes the image/audio/video column triad next to
+``pipelines/multimodal.py`` (images: BMP + real-zlib PNG; video:
+frame-count expansion) with the audio shape:
+
+- ``attach_wav`` — the synthetic test-data WRITER: wraps each document's
+  UTF-8 bytes as interleaved 16-bit PCM in a REAL canonical 44-byte
+  RIFF/WAVE container (fmt chunk: PCM, per-row channel count and sample
+  rate; data chunk with the byte payload).  Header fields are one
+  vectorized (rows × 44) uint8 matrix, like the BMP writer.
+- ``WavDecoder`` — actor-pool decode stage: every header field is a
+  vectorized little-endian gather into the Arrow binary buffer (RIFF /
+  WAVE / fmt / data magic checks; format, channels, rate, bits, data
+  size), emitting a typed ``audio_meta`` struct with a content hash over
+  the raw PCM bytes.  ``strict=True`` raises NotImplementedError on any
+  other magic — the explicit boundary where MP3/FLAC/Opus codecs would
+  slot in (their entropy decoders are absent in this container; the PNG
+  zlib path in multimodal.py already proves the entropy-decode shape).
+- ``PcmFeatures`` — REAL vectorized DSP over the decoded samples, the
+  audio analog of ``ByteHistogramFeatures``: one variable-length gather
+  of every PCM byte in the batch, one ``int16`` view, then RMS energy /
+  zero-crossing rate / peak amplitude per row via segment ``bincount`` /
+  ``reduceat`` — every decoded sample is touched, no per-row Python.
+  Features are defined over the interleaved stream (documented; channel
+  de-interleave is a stride view away if a real pipeline needs it).
+- ``sample_windows`` — the audio analog of video frame sampling: expand
+  each row to one row per fixed-duration window (vectorized
+  np.repeat/arange flat-map), from decoded metadata only.
+
+At 100 TB the shape matches multimodal.py: ``columns=[id, payload]`` at
+the read, small batch_size so payload × batch × concurrency fits the
+worker heap, actor pools for the stateful stages, outputs partitioned by
+input shard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WAV_HEADER_LEN = 44  # canonical PCM header: RIFF(12) + fmt(24) + data(8)
+
+
+def _le(hdr: np.ndarray, off: int, nbytes: int) -> np.ndarray:
+    """Vectorized little-endian field gather from a (rows × K) byte
+    matrix."""
+    v = np.zeros(hdr.shape[0], dtype=np.int64)
+    for i in range(nbytes):
+        v |= hdr[:, off + i].astype(np.int64) << (8 * i)
+    return v
+
+
+def attach_wav(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Wrap each document's UTF-8 bytes as interleaved PCM16 in a real
+    44-byte-header WAVE file: channels = doc_id%2+1, sample rate =
+    8000 + (len%8)·1000, payload truncated to a whole number of frames
+    (frame = channels × 2 bytes).  Deterministic per doc; null texts →
+    null payload."""
+    binc = pc.cast(batch.column(text_col), pa.binary())
+    if isinstance(binc, pa.ChunkedArray):
+        binc = binc.combine_chunks()
+    n = len(binc)
+    valid = np.asarray(pc.is_valid(binc))
+    lens = np.asarray(pc.binary_length(binc).fill_null(0), dtype=np.int64)
+    if "doc_id" in batch.column_names:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    else:
+        ids = np.arange(n, dtype=np.int64)
+    channels = (ids % 2 + 1).astype(np.int64)
+    rate = 8000 + (lens % 8) * 1000
+    block_align = channels * 2
+    data_len = (lens // block_align) * block_align  # whole frames only
+    byte_rate = rate * block_align
+
+    hdr = np.zeros((n, WAV_HEADER_LEN), dtype=np.uint8)
+    hdr[:, 0:4] = np.frombuffer(b"RIFF", np.uint8)
+    hdr[:, 4:8] = (36 + data_len)[:, None].astype(np.uint32) \
+        .view(np.uint8)[:, :4]
+    hdr[:, 8:12] = np.frombuffer(b"WAVE", np.uint8)
+    hdr[:, 12:16] = np.frombuffer(b"fmt ", np.uint8)
+    hdr[:, 16] = 16                                   # fmt chunk size
+    hdr[:, 20] = 1                                    # PCM
+    hdr[:, 22:24] = channels[:, None].astype(np.uint16) \
+        .view(np.uint8)[:, :2]
+    hdr[:, 24:28] = rate[:, None].astype(np.uint32).view(np.uint8)[:, :4]
+    hdr[:, 28:32] = byte_rate[:, None].astype(np.uint32) \
+        .view(np.uint8)[:, :4]
+    hdr[:, 32:34] = block_align[:, None].astype(np.uint16) \
+        .view(np.uint8)[:, :2]
+    hdr[:, 34] = 16                                   # bits per sample
+    hdr[:, 36:40] = np.frombuffer(b"data", np.uint8)
+    hdr[:, 40:44] = data_len[:, None].astype(np.uint32) \
+        .view(np.uint8)[:, :4]
+
+    payloads = binc.to_pylist()  # synthetic WRITER join (decode side is
+    parts = []                   # the vectorized path that matters)
+    out_lens = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        parts.append(hdr[i].tobytes())
+        parts.append(payloads[i][: data_len[i]])
+        out_lens[i] = WAV_HEADER_LEN + data_len[i]
+    buf = b"".join(parts)
+    off = np.zeros(n + 1, dtype=np.int64)
+    off[1:] = np.cumsum(out_lens)
+    validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
+    payload = pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [validity, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
+        null_count=int((~valid).sum()))
+    return batch.append_column(pa.field("payload", pa.binary()), payload)
+
+
+def _payload_view(col: "pa.Array") -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """(valid, starts, lens, flat byte buffer) for a binary column —
+    the zero-copy access pattern shared with MediaDecoder."""
+    n = len(col)
+    valid = np.asarray(pc.is_valid(col))
+    buffers = col.buffers()
+    off_dtype = (np.int64 if pa.types.is_large_binary(col.type)
+                 else np.int32)
+    offs = np.frombuffer(buffers[1], dtype=off_dtype)[
+        col.offset: col.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None else np.empty(0, np.uint8))
+    return valid, offs[:-1], offs[1:] - offs[:-1], data
+
+
+def _header_matrix(present: np.ndarray, starts: np.ndarray,
+                   data: np.ndarray, width: int) -> np.ndarray:
+    if data.size == 0 or not present.any():
+        return np.zeros((present.size, width), dtype=np.uint8)
+    gidx = starts[:, None] + np.arange(width)
+    gidx = np.minimum(gidx, data.size - 1)
+    return data[np.where(present[:, None], gidx, 0)]
+
+
+def _wav_mask(present, hdr, lens) -> np.ndarray:
+    magic_ok = (
+        (hdr[:, 0:4] == np.frombuffer(b"RIFF", np.uint8)).all(axis=1)
+        & (hdr[:, 8:12] == np.frombuffer(b"WAVE", np.uint8)).all(axis=1)
+        & (hdr[:, 12:16] == np.frombuffer(b"fmt ", np.uint8)).all(axis=1)
+        & (hdr[:, 36:40] == np.frombuffer(b"data", np.uint8)).all(axis=1))
+    return present & magic_ok & (_le(hdr, 20, 2) == 1)  # PCM only
+
+
+class WavDecoder:
+    """Actor-pool WAVE decode: vectorized LE header gathers → typed
+    ``audio_meta`` struct (+ content hash over the raw PCM bytes, the
+    format-independent identity for audio dedup).  ``strict=True``
+    raises NotImplementedError on non-WAVE magic (the MP3/FLAC codec
+    boundary); otherwise undecodable rows yield null metadata."""
+
+    META_TYPE = pa.struct([
+        ("n_frames", pa.int64()),       # per-channel sample frames
+        ("n_channels", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("bits", pa.int32()),
+        ("duration_ms", pa.int64()),    # floor(n_frames * 1000 / rate)
+        ("content_hash", pa.int64()),
+    ])
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict  # real codecs would initialize here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("payload")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid, starts, lens, data = _payload_view(col)
+        n = len(col)
+        present = valid & (lens >= WAV_HEADER_LEN)
+        hdr = _header_matrix(present, starts, data, WAV_HEADER_LEN)
+        is_wav = _wav_mask(present, hdr, lens)
+        if self.strict and bool((valid & ~is_wav).any()):
+            raise NotImplementedError(
+                "payload is not canonical PCM WAVE: MP3/FLAC/Opus decode "
+                "requires codec libraries not present in this container")
+        channels = np.maximum(_le(hdr, 22, 2), 1)
+        rate = np.maximum(_le(hdr, 24, 4), 1)
+        bits = _le(hdr, 34, 2)
+        block = np.maximum(channels * np.maximum(bits, 1) // 8, 1)
+        data_len = np.minimum(_le(hdr, 40, 4),
+                              np.maximum(lens - WAV_HEADER_LEN, 0))
+        frames = np.where(is_wav, data_len // block, 0)
+        dur = frames * 1000 // rate
+
+        from ..functions.vhash import hash64_column
+
+        h = np.zeros(n, dtype=np.int64)
+        rows = np.nonzero(is_wav & (data_len > 0))[0]
+        if rows.size:
+            p_starts = starts[rows] + WAV_HEADER_LEN
+            p_lens = data_len[rows]
+            cum = np.concatenate(([0], np.cumsum(p_lens)))
+            idx = (np.repeat(p_starts - cum[:-1], p_lens)
+                   + np.arange(int(cum[-1])))
+            pay = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), rows.size,
+                [None, pa.py_buffer(cum.astype(np.int64)),
+                 pa.py_buffer(data[idx])])
+            h[rows] = hash64_column(pay).view(np.int64)
+        m = is_wav
+        meta = pa.StructArray.from_arrays(
+            [pa.array(np.where(m, frames, 0), pa.int64()),
+             pa.array(np.where(m, channels, 0).astype(np.int32), pa.int32()),
+             pa.array(np.where(m, rate, 0).astype(np.int32), pa.int32()),
+             pa.array(np.where(m, bits, 0).astype(np.int32), pa.int32()),
+             pa.array(np.where(m, dur, 0), pa.int64()),
+             pa.array(np.where(m, h, 0), pa.int64())],
+            fields=[self.META_TYPE.field(i) for i in range(6)],
+            mask=pa.array(~m))
+        out = batch.drop_columns(["payload"])
+        return out.append_column(pa.field("audio_meta", self.META_TYPE),
+                                 meta)
+
+
+class PcmFeatures:
+    """Actor-pool DSP features over decoded PCM16: RMS energy,
+    zero-crossing rate and peak amplitude per row, computed over the
+    interleaved sample stream with ONE byte gather + ONE int16 view +
+    segment ``bincount``/``reduceat`` per batch — every decoded sample
+    is touched, no per-row Python.  Undecodable / empty rows → null
+    features.  Output: (vec_id, rms, zcr, peak, n_samples)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("payload")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid, starts, lens, data = _payload_view(col)
+        n = len(col)
+        present = valid & (lens >= WAV_HEADER_LEN)
+        hdr = _header_matrix(present, starts, data, WAV_HEADER_LEN)
+        is_wav = _wav_mask(present, hdr, lens)
+        if self.strict and bool((valid & ~is_wav).any()):
+            raise NotImplementedError(
+                "payload is not canonical PCM WAVE: MP3/FLAC/Opus decode "
+                "requires codec libraries not present in this container")
+        bits = _le(hdr, 34, 2)
+        data_len = np.minimum(_le(hdr, 40, 4),
+                              np.maximum(lens - WAV_HEADER_LEN, 0))
+        # PCM16 only in this corpus; truncate to whole samples
+        data_len = np.where(is_wav & (bits == 16), data_len // 2 * 2, 0)
+        ok = is_wav & (data_len > 0)
+        rows = np.nonzero(ok)[0]
+        rms = np.zeros(n)
+        zcr = np.zeros(n)
+        peak = np.zeros(n)
+        n_samp = np.zeros(n, dtype=np.int64)
+        if rows.size:
+            p_starts = starts[rows] + WAV_HEADER_LEN
+            p_lens = data_len[rows]
+            cum = np.concatenate(([0], np.cumsum(p_lens)))
+            idx = (np.repeat(p_starts - cum[:-1], p_lens)
+                   + np.arange(int(cum[-1])))
+            # per-row even lengths keep every row 2-byte aligned in the
+            # flat buffer, so one int16 view covers the whole batch
+            samples = (data[idx].view(np.int16).astype(np.float64)
+                       / 32768.0)
+            k = p_lens // 2
+            n_samp[rows] = k
+            row_of = np.repeat(np.arange(rows.size, dtype=np.int64), k)
+            rms[rows] = np.sqrt(
+                np.bincount(row_of, weights=samples * samples,
+                            minlength=rows.size) / k)
+            sgn = samples >= 0
+            crossing = (sgn[1:] != sgn[:-1]) & (row_of[1:] == row_of[:-1])
+            zcr[rows] = (np.bincount(row_of[1:][crossing],
+                                     minlength=rows.size)
+                         / np.maximum(k - 1, 1))
+            seg_starts = cum[:-1] // 2
+            peak[rows] = np.maximum.reduceat(np.abs(samples), seg_starts)
+        validity = pa.py_buffer(np.packbits(ok, bitorder="little"))
+
+        def col_of(v, typ):
+            return pa.Array.from_buffers(
+                typ, n, [validity, pa.py_buffer(v)],
+                null_count=int((~ok).sum()))
+
+        return pa.table({
+            "vec_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "rms": col_of(rms, pa.float64()),
+            "zcr": col_of(zcr, pa.float64()),
+            "peak": col_of(peak, pa.float64()),
+            "n_samples": col_of(n_samp, pa.int64()),
+        })
+
+
+def sample_windows(batch: pa.Table, window_ms: int = 1000,
+                   id_col: str = "doc_id") -> pa.Table:
+    """Audio window sampling (the frame-sample analog): one output row
+    per ``window_ms`` of decoded audio, from metadata only — vectorized
+    np.repeat/arange flat-map.  Null/undecodable rows contribute zero
+    windows."""
+    m = batch.column("audio_meta")
+    dur = pc.fill_null(pc.struct_field(m, ["duration_ms"]), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = (dur + window_ms - 1) // window_ms
+    total = int(counts.sum())
+    row_idx = np.repeat(np.arange(batch.num_rows), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    widx = np.arange(total) - np.repeat(starts, counts)
+    ids = pc.take(batch.column(id_col), pa.array(row_idx, pa.int64()))
+    return pa.table({
+        id_col: ids,
+        "window_idx": pa.array(widx, pa.int32()),
+        "start_ms": pa.array(widx * window_ms, pa.int64()),
+    })
+
+
+def audio_features(docs, *, batch_size: int = 1024, concurrency=(2, 8)):
+    """documents → WAVE payloads → actor-pool PCM DSP features."""
+    with_payload = docs.map_batches(attach_wav, batch_format="pyarrow")
+    return with_payload.map_batches(
+        PcmFeatures, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
+
+
+def decode_audio(docs, *, batch_size: int = 1024, concurrency=(2, 8)):
+    """documents → WAVE payloads → actor-pool decode → audio_meta."""
+    with_payload = docs.map_batches(attach_wav, batch_format="pyarrow")
+    return with_payload.map_batches(
+        WavDecoder, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,146 @@
+"""Audio modality tests: the synthetic WAVE writer must produce files the
+stdlib `wave` module accepts (container realness), the vectorized decoder
+must agree with `wave`'s own header parse, the DSP features must match a
+per-row numpy reference, and the strict codec boundary must raise."""
+
+import io
+import wave
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.audio import (
+    PcmFeatures,
+    WavDecoder,
+    attach_wav,
+    audio_features,
+    decode_audio,
+    sample_windows,
+)
+
+
+def _docs_table(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_wav_container_is_real_and_decoder_matches_stdlib():
+    texts = ["hello audio world " * 20, "x" * 7, "", None,
+             "ab" * 1000, "odd length payload!" * 3]
+    t = attach_wav(_docs_table(texts))
+    decoded = WavDecoder()(t)
+    meta = decoded.column("audio_meta")
+    for i, txt in enumerate(texts):
+        m = meta[i].as_py()
+        if txt is None:
+            assert m is None
+            continue
+        payload = t.column("payload")[i].as_py()
+        if len(payload) == 44:  # zero frames: stdlib still parses header
+            assert m["n_frames"] == 0
+            continue
+        with wave.open(io.BytesIO(payload)) as w:
+            assert m["n_channels"] == w.getnchannels()
+            assert m["sample_rate"] == w.getframerate()
+            assert m["bits"] == w.getsampwidth() * 8
+            assert m["n_frames"] == w.getnframes()
+            assert m["duration_ms"] == w.getnframes() * 1000 \
+                // w.getframerate()
+
+
+def test_content_hash_over_pcm_bytes():
+    from kafka_connect_plugins_ray.functions.vhash import hash64_column
+
+    # same even-length payload, different channel counts (doc parity) ->
+    # same PCM bytes -> same content hash
+    texts = ["abcdefgh" * 8, "abcdefgh" * 8]
+    t = attach_wav(_docs_table(texts))
+    meta = WavDecoder()(t).column("audio_meta")
+    h0 = meta[0].as_py()["content_hash"]
+    h1 = meta[1].as_py()["content_hash"]
+    assert h0 == h1
+    exp = hash64_column(pa.array([texts[0].encode()], pa.binary())) \
+        .view(np.int64)[0]
+    assert h0 == exp
+
+
+def test_strict_raises_on_foreign_codec():
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"ID3\x04" + b"\x00" * 60], pa.binary()),
+    })
+    with pytest.raises(NotImplementedError, match="MP3/FLAC"):
+        WavDecoder(strict=True)(t)
+    with pytest.raises(NotImplementedError, match="MP3/FLAC"):
+        PcmFeatures(strict=True)(t)
+    # non-strict: null metadata / null features
+    assert WavDecoder()(t).column("audio_meta")[0].as_py() is None
+    assert PcmFeatures()(t).column("rms")[0].as_py() is None
+
+
+def test_pcm_features_match_per_row_reference():
+    rng = np.random.RandomState(5)
+    texts = ["".join(chr(rng.randint(32, 127))
+                     for _ in range(rng.randint(4, 400)))
+             for _ in range(40)] + ["", None]
+    t = attach_wav(_docs_table(texts))
+    out = PcmFeatures()(t)
+    payloads = t.column("payload").to_pylist()
+    for i in range(len(texts)):
+        got_rms = out.column("rms")[i].as_py()
+        if texts[i] is None or len(payloads[i]) <= 44:
+            assert got_rms is None
+            continue
+        raw = payloads[i][44:]
+        s = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+        assert got_rms == pytest.approx(np.sqrt(np.mean(s * s)), abs=1e-12)
+        sgn = s >= 0
+        zc = int((sgn[1:] != sgn[:-1]).sum())
+        assert out.column("zcr")[i].as_py() == pytest.approx(
+            zc / max(len(s) - 1, 1), abs=1e-12)
+        assert out.column("peak")[i].as_py() == pytest.approx(
+            np.abs(s).max(), abs=1e-12)
+        assert out.column("n_samples")[i].as_py() == len(s)
+
+
+def test_sample_windows_expansion():
+    texts = ["a" * 16000 * 2, "b" * 100, None]  # doc 0: 1ch (even id)
+    t = attach_wav(_docs_table(texts))
+    decoded = WavDecoder()(t)
+    w = sample_windows(decoded, window_ms=250)
+    meta = decoded.column("audio_meta")
+    exp_counts = []
+    for i in range(3):
+        m = meta[i].as_py()
+        exp_counts.append(0 if m is None else -(-m["duration_ms"] // 250))
+    assert w.num_rows == sum(exp_counts)
+    ids = w.column("doc_id").to_pylist()
+    assert ids == [i for i, c in enumerate(exp_counts) for _ in range(c)]
+    first = w.slice(0, exp_counts[0])
+    assert first.column("window_idx").to_pylist() == list(
+        range(exp_counts[0]))
+    assert first.column("start_ms").to_pylist() == [
+        250 * k for k in range(exp_counts[0])]
+
+
+def test_audio_pipeline_end_to_end():
+    rng = np.random.RandomState(9)
+    texts = [" ".join("word%d" % rng.randint(100)
+                      for _ in range(rng.randint(5, 60)))
+             for _ in range(200)]
+    docs = rd.from_arrow(_docs_table(texts)).repartition(4)
+    feats = audio_features(docs, batch_size=32, concurrency=2).to_pandas()
+    assert len(feats) == 200
+    assert feats["rms"].notna().all()
+    meta = decode_audio(docs, batch_size=32, concurrency=2).to_pandas()
+    assert len(meta) == 200
+    # writer/decoder agree on frames: len//(2*ch)
+    got = {int(r["doc_id"]): r["audio_meta"]["n_frames"]
+           for _, r in meta.iterrows()}
+    for i, txt in enumerate(texts):
+        ch = i % 2 + 1
+        assert got[i] == len(txt.encode()) // (2 * ch)
