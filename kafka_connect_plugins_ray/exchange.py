@@ -45,7 +45,15 @@ def _as_table(block) -> "pa.Table | None":
     """Coerce a Ray block to an Arrow table — this Ray version's
     ``to_arrow_refs`` returns pandas DataFrames verbatim for datasets
     built from pandas blocks (e.g. ``rd.from_pandas``)."""
-    if block is None or isinstance(block, pa.Table):
+    if block is None:
+        return block
+    if isinstance(block, pa.Table):
+        # strip schema-level metadata (e.g. the b'pandas' blob Ray attaches
+        # when a map_batches(batch_format="pandas") output is converted):
+        # any metadata makes pa.Schema unhashable, which defeats Ray's
+        # block-concat schema dedup ("Failed to hash the schemas")
+        if block.schema.metadata:
+            return block.replace_schema_metadata(None)
         return block
     import pandas as pd
 

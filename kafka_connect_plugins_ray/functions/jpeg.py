@@ -1,0 +1,438 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) — a REAL codec, stdlib + numpy only.
+
+Grayscale (single-component) baseline sequential DCT, the simplest legal
+JPEG: SOI / APP0(JFIF) / DQT / SOF0 / DHT / SOS / entropy-coded scan with
+0xFF00 byte stuffing / EOI.  Everything derives from the public standard:
+
+- Huffman tables are the T.81 Annex K.3 typical luminance tables (the
+  ones virtually every encoder ships); the decoder builds canonical
+  codes from ANY DHT segment it finds, so foreign baseline grayscale
+  files decode too.
+- Quantization uses the Annex K.1 luminance matrix scaled by the
+  public libjpeg quality formula (quality 50 = the table verbatim).
+- The 2-D DCT-II / inverse pair is the separable orthonormal 8×8 matrix
+  form; the IDCT over a whole image's blocks is ONE einsum.
+
+Decode cost model: Huffman entropy decoding is inherently bit-serial
+per stream — exactly like the per-row ``zlib.decompress`` on the PNG
+path (multimodal.py), except here even the entropy decoder is our own:
+a 2^16 lookahead LUT turns each symbol step into one table hit, and the
+byte unstuffing + bit expansion are vectorized numpy.  Dequantize +
+IDCT + level shift over all blocks are fully vectorized.
+
+This closes the "JPEG behind a NotImplementedError" boundary from the
+round-3 review: the strict-mode message in multimodal.py now only
+excludes video codecs and non-baseline JPEG modes (progressive,
+arithmetic coding, multi-component subsampling — the explicit remaining
+boundary, each a mode bit checked at parse time).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---- T.81 Annex K.1: luminance quantization matrix (zigzag order NOT
+# applied here; this is natural row-major order) ----
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+# ---- zigzag scan order: zigzag index -> (row-major) natural index ----
+def _zigzag_order() -> np.ndarray:
+    idx = np.arange(64).reshape(8, 8)
+    out = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        out.extend(idx[i, j] for i, j in diag)
+    return np.array(out, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()          # zz position -> natural position
+UNZIGZAG = np.argsort(ZIGZAG)     # natural position -> zz position
+
+# ---- T.81 Annex K.3: typical luminance Huffman tables ----
+# (counts-per-code-length 1..16, then symbol values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8x8 DCT-II matrix: D @ x applies the 1-D transform
+_K = np.arange(8)
+DCT_M = np.cos((2 * _K[None, :] + 1) * _K[:, None] * np.pi / 16) \
+    * np.where(_K[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+
+
+def quant_table(quality: int) -> np.ndarray:
+    """Annex K.1 scaled by the public libjpeg quality formula."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (QUANT_LUMA * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman code construction (T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+def _canonical_codes(bits, vals):
+    """(code, length) per symbol, canonical order."""
+    codes, code = [], 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes.append((vals[k], code, length))
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _decode_lut(bits, vals):
+    """2^16 lookahead LUT: 16-bit window -> (symbol, code length).
+    One table hit per Huffman symbol instead of a bit-by-bit tree walk."""
+    sym = np.zeros(1 << 16, dtype=np.int16) - 1
+    ln = np.zeros(1 << 16, dtype=np.int8)
+    for value, code, length in _canonical_codes(bits, vals):
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = value
+        ln[lo:hi] = length
+    return sym, ln
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:            # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill final byte (T.81 F.1.2.3)
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> "tuple[int, int]":
+    """(size category, appended bits) for a coefficient (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_gray(img: np.ndarray, quality: int = 85) -> bytes:
+    """Encode a (h, w) uint8 image as baseline grayscale JFIF."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    q = quant_table(quality)
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[-1:, :]         # edge-replicate padding
+    padded[:, w:] = padded[:, w - 1:w]
+    padded -= 128.0                       # level shift
+    # all blocks at once: (nb, 8, 8) -> DCT -> quantize -> zigzag
+    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+    qc = np.round(coef / q).astype(np.int64)
+    zz = qc.reshape(-1, 64)[:, ZIGZAG]
+
+    dc_codes = {v: (c, l) for v, c, l in
+                _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)}
+    ac_codes = {v: (c, l) for v, c, l in
+                _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)}
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        size, bits = _magnitude(int(blk[0]) - prev_dc)
+        prev_dc = int(blk[0])
+        c, l = dc_codes[size]
+        bw.write(c, l)
+        if size:
+            bw.write(bits, size)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if nz.size else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, l = ac_codes[0xF0]     # ZRL
+                bw.write(c, l)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, l = ac_codes[(run << 4) | size]
+            bw.write(c, l)
+            bw.write(bits, size)
+            run = 0
+        if last < 63:
+            c, l = ac_codes[0x00]         # EOB
+            bw.write(c, l)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_q = q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out = b"\xff\xd8"                                        # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)                       # DQT id 0
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)      # SOF0
+               + bytes([1, 0x11, 0]))                        # comp 1, 1x1, q0
+    out += seg(0xFFC4, b"\x00" + bytes(DC_LUMA_BITS)
+               + bytes(DC_LUMA_VALS))                        # DHT DC 0
+    out += seg(0xFFC4, b"\x10" + bytes(AC_LUMA_BITS)
+               + bytes(AC_LUMA_VALS))                        # DHT AC 0
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))        # SOS
+    out += scan + b"\xff\xd9"                                # EOI
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class JpegError(ValueError):
+    pass
+
+
+def parse_dims(data: bytes) -> "tuple[int, int]":
+    """(width, height) from the SOF0/1/2 segment — the metadata-only
+    parse used by the vectorized decode stages."""
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise JpegError("bad marker sync")
+        marker = data[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            h, w = struct.unpack(">HH", data[i + 5:i + 9])
+            return w, h
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        i += 2 + seg_len
+    raise JpegError("no SOF segment")
+
+
+def decode_gray(data: bytes) -> np.ndarray:
+    """Decode baseline grayscale JFIF to a (h, w) uint8 array.  Raises
+    JpegError on progressive / arithmetic / multi-component streams (the
+    documented remaining boundary)."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (no SOI)")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    h = w = None
+    comp_q = 0
+    scan_off = None
+    restart_interval = 0
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise JpegError("bad marker sync")
+        marker = data[i + 1]
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        body = data[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:                                  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise JpegError("16-bit DQT unsupported")
+                if j + 65 > len(body):
+                    raise JpegError("truncated DQT segment")
+                tbl = np.frombuffer(body[j + 1:j + 65], np.uint8) \
+                    .astype(np.int64)
+                nat = np.empty(64, np.int64)
+                nat[ZIGZAG] = tbl                            # de-zigzag
+                qt[tq] = nat.reshape(8, 8)
+                j += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("non-baseline JPEG mode (progressive/"
+                            "arithmetic/lossless) — out of scope")
+        elif marker == 0xC0:                                # SOF0
+            if len(body) < 9:
+                raise JpegError("truncated SOF0 segment")
+            precision = body[0]
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if precision != 8:
+                raise JpegError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise JpegError("multi-component (color) baseline JPEG "
+                                "— out of scope (grayscale only)")
+            if body[7] != 0x11:
+                raise JpegError("subsampled single component unsupported")
+            comp_q = body[8]
+        elif marker == 0xC4:                                # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                if len(bits) < 16 or j + 17 + nv > len(body):
+                    raise JpegError("truncated DHT segment")
+                vals = list(body[j + 17:j + 17 + nv])
+                huff[(tc, th)] = _decode_lut(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:                                # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:                                # SOS
+            ns = body[0]
+            if ns != 1:
+                raise JpegError("multi-component scan — out of scope")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan_off = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if scan_off is None or h is None:
+        raise JpegError("truncated JPEG (no SOS/SOF)")
+    if comp_q not in qt:
+        raise JpegError("missing quantization table")
+    if (0, td) not in huff or (1, ta) not in huff:
+        raise JpegError("missing Huffman table")
+
+    # entropy-coded bytes: strip stuffing (FF00 -> FF), stop at a marker
+    raw = np.frombuffer(data, np.uint8)[scan_off:]
+    is_ff = raw[:-1] == 0xFF
+    nxt = raw[1:]
+    marker_pos = np.flatnonzero(is_ff & (nxt != 0x00)
+                                & ~((nxt >= 0xD0) & (nxt <= 0xD7)))
+    end = int(marker_pos[0]) if marker_pos.size else raw.size
+    body = raw[:end]
+    # remove stuffed 0x00 after 0xFF, and RST markers entirely
+    drop = np.zeros(body.size, dtype=bool)
+    ffpos = np.flatnonzero(body[:-1] == 0xFF)
+    for p in ffpos:
+        if body[p + 1] == 0x00:
+            drop[p + 1] = True
+        elif 0xD0 <= body[p + 1] <= 0xD7:
+            drop[p] = True
+            drop[p + 1] = True
+    body = body[~drop]
+    bits = np.unpackbits(body)
+    # precompute the 16-bit lookahead window at EVERY bit offset with 16
+    # vectorized shifted adds (uint16 per bit of stream — ~2 bytes/bit,
+    # bounded by scan size × 16); each Huffman symbol step is then one
+    # array index + one LUT hit
+    bitbuf = np.concatenate([bits, np.ones(32, dtype=np.uint8)])
+    win16 = np.zeros(bits.size + 16, dtype=np.uint16)
+    for k in range(16):
+        win16 += bitbuf[k:k + win16.size].astype(np.uint16) << (15 - k)
+
+    dc_sym, dc_len = huff[(0, td)]
+    ac_sym, ac_len = huff[(1, ta)]
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    nblocks = nbx * nby
+    coefs = np.zeros((nblocks, 64), dtype=np.int64)
+    pos = 0
+    prev_dc = 0
+    nbits_total = bits.size
+
+    def receive_extend(pos: int, size: int) -> "tuple[int, int]":
+        if size == 0:
+            return 0, pos
+        v = int(win16[pos]) >> (16 - size)
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v, pos + size
+
+    mcu_since_rst = 0
+    for b in range(nblocks):
+        if restart_interval and mcu_since_rst == restart_interval:
+            # RST markers were stripped; just reset DC prediction and
+            # realign to the next byte boundary
+            pos = (pos + 7) // 8 * 8
+            prev_dc = 0
+            mcu_since_rst = 0
+        if pos >= nbits_total:
+            raise JpegError("truncated entropy stream")
+        win = int(win16[pos])
+        size = int(dc_sym[win])
+        if size < 0:
+            raise JpegError("bad DC Huffman code")
+        pos += int(dc_len[win])
+        diff, pos = receive_extend(pos, size)
+        prev_dc += diff
+        coefs[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            win = int(win16[pos])
+            rs = int(ac_sym[win])
+            if rs < 0:
+                raise JpegError("bad AC Huffman code")
+            pos += int(ac_len[win])
+            if rs == 0x00:       # EOB
+                break
+            if rs == 0xF0:       # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise JpegError("AC run overflows block")
+            v, pos = receive_extend(pos, rs & 0x0F)
+            coefs[b, k] = v
+            k += 1
+        mcu_since_rst += 1
+
+    # vectorized tail: de-zigzag, dequantize, IDCT, level shift
+    nat = np.zeros((nblocks, 64), dtype=np.int64)
+    nat[:, ZIGZAG] = coefs
+    blocks = nat.reshape(-1, 8, 8) * qt[comp_q]
+    pix = np.einsum("ji,njk,kl->nil", DCT_M, blocks.astype(np.float64),
+                    DCT_M)
+    pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+    img = (pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(nby * 8, nbx * 8))
+    return img[:h, :w]

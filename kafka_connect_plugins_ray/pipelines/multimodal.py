@@ -13,13 +13,15 @@ doc parity, so one corpus exercises both decode branches):
 
 ``MediaDecoder`` decodes by PARSING THE BYTES: vectorized gathers into
 the Arrow binary buffer for every fixed-offset field (both endiannesses),
-and a real ``zlib.decompress`` per PNG row for the entropy-coded pixel
-data (inflate is inherently per-stream C work — exactly where libjpeg
-would sit).  ``strict=True`` raises NotImplementedError on any OTHER
-magic (JPEG/video codecs are absent in this container — that boundary
-stays explicit).  The Ray-side shape is production-real throughout:
-actor-pool ``map_batches`` stage, small batch sizes for large payloads,
-typed struct metadata output, flat-map frame expansion.
+a real ``zlib.decompress`` per PNG row for the entropy-coded pixel
+data, and — since round 4 — REAL baseline JPEG decoding via our own
+T.81 codec (``functions/jpeg.py``: canonical Huffman with a 2^16
+lookahead LUT, dequantization, one-einsum IDCT).  ``strict=True``
+raises NotImplementedError on any OTHER magic (video codecs and
+non-baseline JPEG modes are the remaining explicit boundary).  The
+Ray-side shape is production-real throughout: actor-pool
+``map_batches`` stage, small batch sizes for large payloads, typed
+struct metadata output, flat-map frame expansion.
 
 At 100 TB the shape is: ``read_parquet(..., columns=[id, payload])`` with a
 small ``batch_size`` (payload bytes × batch_size × concurrency must fit the
@@ -215,10 +217,17 @@ class MediaDecoder:
         sig = np.frombuffer(PNG_SIG, dtype=np.uint8)
         is_png = ok & (hdr[:, :8] == sig[None, :]).all(axis=1) \
             & (lens >= _PNG_IDAT_DATA_OFF)
-        if self.strict and bool((valid & ~is_bmp & ~is_png).any()):
+        # a real JPEG is never smaller than the ok gate's 54 bytes (the
+        # mandatory DQT alone is 69); hdr rows outside `ok` are garbage,
+        # so the magic test must stay inside the mask
+        is_jpg = ok & (hdr[:, 0] == 0xFF) & (hdr[:, 1] == 0xD8) \
+            & (hdr[:, 2] == 0xFF)
+        if self.strict and bool((valid & ~is_bmp & ~is_png
+                                 & ~is_jpg).any()):
             raise NotImplementedError(
-                "payload is neither BMP nor PNG: JPEG/video decode "
-                "requires codec libraries not present in this container")
+                "payload is neither BMP, PNG nor baseline JPEG: video "
+                "decode requires codec libraries not present in this "
+                "container")
         # dims/frames: LE fields for BMP, BE IHDR/acTL fields for PNG
         width = np.where(is_png, self._be32(hdr, 16),
                          hdr[:, 18:22].copy().view(np.int32)[:, 0]
@@ -278,7 +287,32 @@ class MediaDecoder:
                 pa.array(decoded, pa.binary())).view(np.int64)
             if bad:
                 is_png[np.array(bad, dtype=np.int64)] = False
-        m = is_bmp | is_png
+        if is_jpg.any():
+            # REAL baseline JPEG decode (functions/jpeg.py: our own
+            # canonical-Huffman + dequant + vectorized IDCT) — per-stream
+            # entropy decoding, the same per-row cost class as inflate
+            from ..functions.jpeg import JpegError, decode_gray
+
+            jpg_rows = np.nonzero(is_jpg)[0]
+            jbad: list = []
+            for i in jpg_rows:
+                raw = data[starts[i]:starts[i] + lens[i]].tobytes()
+                try:
+                    pix = decode_gray(raw)
+                except JpegError as exc:
+                    if self.strict:
+                        raise NotImplementedError(
+                            f"unsupported JPEG mode: {exc}") from exc
+                    jbad.append(i)
+                    continue
+                height[i], width[i] = pix.shape
+                n_bytes[i] = pix.size
+                frames[i] = 1
+                h[i] = hash64_column(pa.array([pix.tobytes()],
+                                              pa.binary())).view(np.int64)[0]
+            if jbad:
+                is_jpg[np.array(jbad, dtype=np.int64)] = False
+        m = is_bmp | is_png | is_jpg
         meta = pa.StructArray.from_arrays(
             [pa.array(np.where(m, n_bytes, 0), pa.int64()),
              pa.array(np.where(m, width, 0), pa.int32()),
@@ -293,6 +327,41 @@ class MediaDecoder:
 
 # back-compat alias (round-1/2 name; the class now handles PNG too)
 BmpDecoder = MediaDecoder
+
+
+def attach_jpeg(batch: pa.Table, text_col: str = "text",
+                quality: int = 90, width: int = 64) -> pa.Table:
+    """Synthetic JPEG writer (test/bench input for the JPEG decode
+    branch): each document's UTF-8 bytes become a (ceil(len/width) ×
+    width) grayscale image, zero-padded, baseline-encoded with our own
+    T.81 encoder.  Per-row encode — writer-side, like the other
+    synthetic container writers."""
+    from ..functions.jpeg import encode_gray
+
+    binc = _text_bytes(batch.column(text_col))
+    n = len(binc)
+    valid = np.asarray(pc.is_valid(binc))
+    payloads = binc.to_pylist()
+    parts, out_lens = [], np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        raw = payloads[i]
+        h = max(1, -(-len(raw) // width))
+        img = np.zeros(h * width, dtype=np.uint8)
+        img[:len(raw)] = np.frombuffer(raw, np.uint8)
+        enc = encode_gray(img.reshape(h, width), quality)
+        parts.append(enc)
+        out_lens[i] = len(enc)
+    buf = b"".join(parts)
+    off = np.zeros(n + 1, dtype=np.int64)
+    off[1:] = np.cumsum(out_lens)
+    validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
+    payload = pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [validity, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
+        null_count=int((~valid).sum()))
+    return batch.append_column(pa.field("payload", pa.binary()), payload)
 
 
 class MetaResize:
@@ -431,10 +500,14 @@ class ByteHistogramFeatures:
         sig = np.frombuffer(PNG_SIG, dtype=np.uint8)
         is_png = present & (hdr[:, :8] == sig[None, :]).all(axis=1) \
             & (lens >= _PNG_IDAT_DATA_OFF)
-        if self.strict and bool((valid & ~is_bmp & ~is_png).any()):
+        is_jpg = present & (hdr[:, 0] == 0xFF) & (hdr[:, 1] == 0xD8) \
+            & (hdr[:, 2] == 0xFF)
+        if self.strict and bool((valid & ~is_bmp & ~is_png
+                                 & ~is_jpg).any()):
             raise NotImplementedError(
-                "payload is neither BMP nor PNG: JPEG/video feature "
-                "extraction requires codec libraries not present here")
+                "payload is neither BMP, PNG nor baseline JPEG: video "
+                "feature extraction requires codec libraries not "
+                "present here")
         ok = is_bmp.copy()
         # BMP rows: ONE variable-length gather of every payload byte,
         # then one combined bincount (row_local*256 + byte) for the
@@ -470,6 +543,21 @@ class ByteHistogramFeatures:
             ok[i] = True
             if dec.size:
                 hist[i] = np.bincount(dec, minlength=256)
+        if is_jpg.any():
+            from ..functions.jpeg import JpegError, decode_gray
+
+            for i in np.nonzero(is_jpg)[0]:
+                raw = data[starts[i]:starts[i] + lens[i]].tobytes()
+                try:
+                    pix = decode_gray(raw)
+                except JpegError as exc:
+                    if self.strict:
+                        raise NotImplementedError(
+                            f"unsupported JPEG mode: {exc}") from exc
+                    continue
+                ok[i] = True
+                if pix.size:
+                    hist[i] = np.bincount(pix.reshape(-1), minlength=256)
         totals = hist.sum(axis=1, keepdims=True)
         hist /= np.maximum(totals, 1.0)        # L1 normalize
         emb = hist @ self.W                    # one matmul per batch

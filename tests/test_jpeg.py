@@ -1,0 +1,151 @@
+"""Baseline-JPEG codec tests: T.81 table pins, entropy-layer exactness
+(the bitstream round-trips the quantized coefficients bit-perfectly,
+verified against a pure-math reconstruction that never touches the
+bitstream), near-losslessness at quality 100, mode-boundary errors, and
+the decode branches inside MediaDecoder / ByteHistogramFeatures."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.functions.jpeg import (
+    DCT_M,
+    QUANT_LUMA,
+    ZIGZAG,
+    JpegError,
+    decode_gray,
+    encode_gray,
+    parse_dims,
+    quant_table,
+)
+
+
+def test_zigzag_and_tables_pinned():
+    # first/last entries of the T.81 zigzag scan over a row-major 8x8
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-3:].tolist() == [55, 62, 63]
+    # quality 50 is Annex K.1 verbatim; quality 100 is all-ones
+    assert np.array_equal(quant_table(50), QUANT_LUMA)
+    assert np.array_equal(quant_table(100), np.ones((8, 8), np.int64))
+    # DCT matrix is orthonormal
+    assert np.allclose(DCT_M @ DCT_M.T, np.eye(8), atol=1e-12)
+
+
+def test_entropy_layer_is_bit_exact():
+    """decode(encode(img)) must equal the pure-math reconstruction
+    (DCT → quantize → dequantize → IDCT with no bitstream involved):
+    any Huffman/bit-packing/stuffing bug breaks exact equality."""
+    rng = np.random.RandomState(1)
+    for h, w, q in [(8, 8, 85), (24, 40, 50), (41, 67, 10), (16, 16, 95)]:
+        img = rng.randint(0, 256, (h, w), np.uint8)
+        got = decode_gray(encode_gray(img, q))
+        # math path (mirrors the encoder's front half, no bitstream)
+        qt = quant_table(q)
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        padded = np.empty((ph, pw))
+        padded[:h, :w] = img
+        padded[h:, :w] = img[-1:, :]
+        padded[:, w:] = padded[:, w - 1:w]
+        padded -= 128.0
+        blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+        coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+        qc = np.round(coef / qt).astype(np.int64)
+        rec = np.einsum("ji,njk,kl->nil", DCT_M, (qc * qt).astype(float),
+                        DCT_M)
+        rec = np.clip(np.round(rec + 128.0), 0, 255).astype(np.uint8)
+        exp = (rec.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3)
+               .reshape(ph, pw))[:h, :w]
+        assert np.array_equal(got, exp), (h, w, q)
+
+
+def test_quality_100_near_lossless_and_dims():
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (33, 57), np.uint8)
+    data = encode_gray(img, 100)
+    assert parse_dims(data) == (57, 33)
+    out = decode_gray(data)
+    assert out.shape == (33, 57)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+    # uniform 130 at quality 50: DC = (130-128)*8 = 16 is an exact
+    # multiple of the Annex-K DC quant step (16) -> bit-exact roundtrip
+    flat = np.full((20, 20), 130, np.uint8)
+    assert np.array_equal(decode_gray(encode_gray(flat, 50)), flat)
+    # and the q30 off-by-one is pure quantizer math, not a codec bug
+    assert int(np.abs(decode_gray(encode_gray(flat, 30)).astype(int)
+                      - 130).max()) <= 2
+
+
+def test_mode_boundaries_raise():
+    img = np.zeros((8, 8), np.uint8)
+    data = bytearray(encode_gray(img, 85))
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(JpegError, match="non-baseline"):
+        decode_gray(bytes(data))
+    with pytest.raises(JpegError, match="SOI"):
+        decode_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60)
+    with pytest.raises(JpegError):
+        decode_gray(encode_gray(img, 85)[:40])  # truncated
+
+
+def test_media_decoder_jpeg_branch():
+    from kafka_connect_plugins_ray.functions.vhash import hash64_column
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        MediaDecoder, attach_jpeg, attach_payload)
+
+    texts = ["jpeg payload " * 37, "short", None]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    jt = attach_jpeg(t, quality=90, width=32)
+    out = MediaDecoder(strict=True)(jt)   # strict must ACCEPT jpeg now
+    meta = out.column("media_meta")
+    for i, txt in enumerate(texts):
+        m = meta[i].as_py()
+        if txt is None:
+            assert m is None
+            continue
+        raw = txt.encode()
+        h = max(1, -(-len(raw) // 32))
+        assert (m["width"], m["height"]) == (32, h)
+        assert m["n_frames"] == 1
+        assert m["n_bytes"] == 32 * h
+        # content hash is over the DECODED pixels
+        img = np.zeros(h * 32, np.uint8)
+        img[:len(raw)] = np.frombuffer(raw, np.uint8)
+        pix = decode_gray(attach_jpeg(
+            t.slice(i, 1), quality=90, width=32).column("payload")[0]
+            .as_py())
+        assert m["content_hash"] == hash64_column(
+            pa.array([pix.tobytes()], pa.binary())).view(np.int64)[0]
+    # garbage magic still raises in strict mode
+    bad = pa.table({"doc_id": pa.array([9], pa.int64()),
+                    "payload": pa.array([b"\x00" * 80], pa.binary())})
+    with pytest.raises(NotImplementedError, match="video"):
+        MediaDecoder(strict=True)(bad)
+    # mixed batch: BMP/PNG rows unaffected by the new branch
+    mixed = attach_payload(t.slice(0, 2))
+    m2 = MediaDecoder(strict=True)(mixed).column("media_meta")
+    assert m2[0].as_py()["n_bytes"] == len(texts[0].encode())
+
+
+def test_byte_histogram_features_jpeg_branch():
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        ByteHistogramFeatures, attach_jpeg)
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["histogram me " * 50] * 2, pa.string())})
+    jt = attach_jpeg(t, quality=95, width=16)
+    out = ByteHistogramFeatures(strict=True)(jt)
+    e0 = out.column("embedding")[0].as_py()
+    e1 = out.column("embedding")[1].as_py()
+    assert e0 is not None and e0 == e1      # deterministic
+    # embedding equals the histogram-of-decoded-pixels projection
+    pix = decode_gray(jt.column("payload")[0].as_py())
+    hist = np.bincount(pix.reshape(-1), minlength=256).astype(np.float64)
+    hist /= hist.sum()
+    W = np.random.RandomState(13).randn(256, 16)
+    emb = hist @ W
+    emb /= np.linalg.norm(emb)
+    assert np.allclose(e0, emb.astype(np.float32), atol=1e-6)
