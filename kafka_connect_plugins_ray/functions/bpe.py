@@ -229,7 +229,13 @@ class BPEEncoder:
             new_id = self._intern(a + b)
             self._merge_plan.append(((ia << 32) | ib, new_id))
         self._n_base_symbols = len(self.symbols)
-        self._cache: dict[str, int] = {}        # word -> subtoken count
+        # word -> subtoken count.  BOUNDED: on a 100-TB heavy-tailed
+        # corpus distinct words grow without limit; once full the cache
+        # simply stops admitting (Zipf means the head — virtually all
+        # token mass — is admitted within the first few batches, so the
+        # hit rate stays high and memory stays flat)
+        self.max_cache = 1 << 21
+        self._cache: dict[str, int] = {}
         self._tok_cache: dict[str, list[str]] = {}
 
     def _intern(self, s: str) -> int:
@@ -254,21 +260,25 @@ class BPEEncoder:
         when ('a', '</w>') was merged and still 1 when it wasn't)."""
         out = np.empty(len(words), dtype=np.int64)
         fresh = [w for w in set(words) if w not in self._cache]
+        local: dict[str, int] = {}
         if fresh:
             fresh.sort()
             sym, wid = self._apply_all(fresh)
-            # count symbols per word; a standalone trailing END_WORD
-            # (id 0 or an unmerged marker) still counts toward len(chars)
-            # semantics — subtract it when it remained unfused
+            # count symbols per word; an unfused trailing END_WORD does
+            # not count as a token of its own — subtract it
             n = np.bincount(wid, minlength=len(fresh))
             last_pos = np.cumsum(n) - 1
-            unfused = np.isin(sym[last_pos],
-                              [self.sym2id[END_WORD]])
+            unfused = sym[last_pos] == self.sym2id[END_WORD]
             n = n - unfused.astype(np.int64)
+            admit = len(self._cache) < self.max_cache
             for w, c in zip(fresh, n):
-                self._cache[w] = int(c)
+                local[w] = int(c)
+            if admit:
+                room = self.max_cache - len(self._cache)
+                self._cache.update(dict(list(local.items())[:room]))
         for i, w in enumerate(words):
-            out[i] = self._cache[w]
+            c = self._cache.get(w)
+            out[i] = local[w] if c is None else c
         return out
 
     def encode(self, word: str) -> "list[str]":
