@@ -90,6 +90,82 @@ def test_mode_boundaries_raise():
         decode_gray(encode_gray(img, 85)[:40])  # truncated
 
 
+def test_color_entropy_layer_is_bit_exact():
+    """The interleaved-MCU color scan must round-trip the quantized
+    coefficients bit-perfectly: decode(encode_color(img)) == the
+    pure-math reconstruction built from the same planes with NO
+    bitstream involved (4:4:4 and 4:2:0, odd dims included)."""
+    from kafka_connect_plugins_ray.functions.jpeg import (
+        _plane_zz, decode, encode_color, rgb_to_ycbcr, ycbcr_to_rgb)
+
+    rng = np.random.RandomState(4)
+
+    def math_path(img, q, sub):
+        h, w, _ = img.shape
+        hs = vs = 2 if sub == "420" else 1
+        ycc = rgb_to_ycbcr(img)
+        y = ycc[..., 0]
+        if sub == "420":
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cpad = np.empty((ph, pw, 2))
+            cpad[:h, :w] = ycc[..., 1:]
+            if ph > h:
+                cpad[h:, :w] = cpad[h - 1:h, :w]
+            if pw > w:
+                cpad[:, w:] = cpad[:, w - 1:w]
+            ch_ = cpad.reshape(ph // 2, 2, pw // 2, 2, 2).mean(axis=(1, 3))
+            cb, cr = ch_[..., 0], ch_[..., 1]
+        else:
+            cb, cr = ycc[..., 1], ycc[..., 2]
+        mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+        ql, qc = quant_table(q), quant_table(q, chroma=True)
+        planes = []
+        for plane, qq, gh, gw, up in [
+                (y, ql, mcuy * vs, mcux * hs, 1),
+                (cb, qc, mcuy, mcux, hs),
+                (cr, qc, mcuy, mcux, hs)]:
+            zz = _plane_zz(plane, qq, gh, gw).reshape(-1, 64)
+            nat = np.zeros_like(zz)
+            nat[:, ZIGZAG] = zz
+            rec = np.einsum("ji,njk,kl->nil", DCT_M,
+                            (nat.reshape(-1, 8, 8) * qq).astype(float),
+                            DCT_M) + 128.0
+            p = (rec.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(gh * 8, gw * 8))
+            if up > 1:
+                cw, chh = -(-w // up), -(-h // up)
+                p = np.repeat(np.repeat(p[:chh, :cw], up, axis=0),
+                              up, axis=1)
+            planes.append(p[:h, :w])
+        return ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+    for shape, q, sub in [((16, 16, 3), 85, "444"), ((33, 49, 3), 50, "444"),
+                          ((32, 32, 3), 85, "420"), ((41, 27, 3), 70, "420")]:
+        img = rng.randint(0, 256, shape, np.uint8)
+        got = decode(encode_color(img, q, sub))
+        exp = math_path(img, q, sub)
+        assert np.array_equal(got, exp), (shape, q, sub)
+
+
+def test_color_roundtrip_quality():
+    from kafka_connect_plugins_ray.functions.jpeg import (
+        decode, decode_gray, encode_color)
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (24, 40, 3), np.uint8)
+    d = decode(encode_color(img, 100, "444"))
+    assert d.shape == img.shape
+    assert int(np.abs(d.astype(int) - img.astype(int)).max()) <= 2
+    # chroma-constant image survives 4:2:0 exactly at high quality
+    flat = np.zeros((40, 40, 3), np.uint8)
+    flat[..., 0], flat[..., 1], flat[..., 2] = 200, 80, 50
+    assert np.array_equal(decode(encode_color(flat, 95, "420")), flat)
+    # decode_gray on a color file returns the BT.601 luma plane
+    g = decode_gray(encode_color(flat, 95, "420"))
+    assert g.shape == (40, 40)
+    assert len(np.unique(g)) == 1
+
+
 def test_media_decoder_jpeg_branch():
     from kafka_connect_plugins_ray.functions.vhash import hash64_column
     from kafka_connect_plugins_ray.pipelines.multimodal import (
