@@ -1,0 +1,145 @@
+"""MJPEG-in-AVI — a REAL video container + codec path, stdlib + numpy.
+
+AVI is Microsoft's RIFF container (public: the 'AVI RIFF File Reference'
+/ OpenDML spec): ``RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+LIST('movi' 00dc...) idx1)``.  MJPEG stores each frame as a standalone
+baseline JPEG in a ``00dc`` chunk — which our own T.81 codec
+(``functions/jpeg.py``) encodes and decodes.  Together they close the
+"video" boundary from the round-3 review with a genuinely decodable
+format: header walk, frame index, per-frame entropy decode, all from
+public structure.
+
+Cost model matches the other media paths: the container walk is a
+bounded header scan (chunk-aligned, no byte-by-byte parse), the frame
+INDEX is O(frames), and per-frame JPEG decode is the per-stream
+entropy cost paid only for the frames a pipeline actually samples —
+``sample_frames`` picks (doc, frame) pairs from metadata, then only
+those frames are decoded.  Non-MJPEG fourccs (H.264/VP9/AV1 — real
+inter-frame codecs whose reference decoders are far outside scope)
+raise with a precise error; that is now the entire remaining codec
+boundary.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpeg import JpegError, decode as jpeg_decode
+
+
+class AviError(ValueError):
+    pass
+
+
+def _chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _list(kind: bytes, data: bytes) -> bytes:
+    return _chunk(b"LIST", kind + data)
+
+
+def encode_avi(frames: "list[np.ndarray]", fps: int = 25,
+               quality: int = 85, subsample: str = "420") -> bytes:
+    """Pack frames ((h, w) gray or (h, w, 3) RGB uint8 arrays, all the
+    same shape) as an MJPEG AVI: one baseline JPEG per '00dc' chunk,
+    proper avih/strh/strf headers and an idx1 keyframe index."""
+    from .jpeg import encode_color, encode_gray
+
+    if not frames:
+        raise AviError("at least one frame required")
+    shape = frames[0].shape
+    if any(f.shape != shape for f in frames):
+        raise AviError("all frames must share one shape")
+    h, w = shape[0], shape[1]
+    jpegs = [encode_color(f, quality, subsample) if f.ndim == 3
+             else encode_gray(f, quality) for f in frames]
+    max_sz = max(len(j) for j in jpegs)
+
+    avih = struct.pack("<10I", 1_000_000 // fps, max_sz * fps, 0,
+                       0x10,                    # AVIF_HASINDEX
+                       len(frames), 0, 1, max_sz, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames),
+                                            max_sz, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi_chunks = b"".join(_chunk(b"00dc", j) for j in jpegs)
+    movi = _list(b"movi", movi_chunks)
+    # idx1: offsets are relative to the 'movi' fourcc position
+    idx, off = [], 4
+    for j in jpegs:
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = _chunk(b"idx1", b"".join(idx))
+    payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def parse_avi(data: bytes) -> dict:
+    """Walk the RIFF tree; returns ``{width, height, fps, n_frames,
+    fourcc, frames: [(offset, size), ...]}`` without decoding any frame.
+    Raises AviError on structural problems and on non-MJPG streams (the
+    H.264/VP9/AV1 boundary)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise AviError("not an AVI (RIFF/'AVI ' magic missing)")
+    meta = {"width": None, "height": None, "fps": None, "n_frames": 0,
+            "fourcc": None, "frames": []}
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            fourcc = data[i:i + 4]
+            size = struct.unpack("<I", data[i + 4:i + 8])[0]
+            body_lo, body_hi = i + 8, min(i + 8 + size, hi)
+            if fourcc == b"LIST":
+                walk(body_lo + 4, body_hi)
+            elif fourcc == b"avih":
+                if size < 40:
+                    raise AviError("truncated avih")
+                vals = struct.unpack("<10I", data[body_lo:body_lo + 40])
+                meta["n_frames"] = vals[4]
+                meta["width"], meta["height"] = vals[8], vals[9]
+            elif fourcc == b"strh":
+                if data[body_lo:body_lo + 4] == b"vids":
+                    meta["fourcc"] = data[body_lo + 4:body_lo + 8]
+                    scale, rate = struct.unpack(
+                        "<II", data[body_lo + 20:body_lo + 28])
+                    meta["fps"] = rate // max(scale, 1)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                meta["frames"].append((body_lo, size))
+            i = body_lo + size + (size % 2)
+
+    walk(12, len(data))
+    if meta["fourcc"] is None or meta["width"] is None:
+        raise AviError("missing AVI headers")
+    if meta["fourcc"] not in (b"MJPG", b"mjpg"):
+        raise AviError(
+            f"video codec {meta['fourcc']!r} unsupported: only MJPEG "
+            "decodes here (H.264/VP9/AV1 reference decoders are out of "
+            "scope)")
+    return meta
+
+
+def decode_frame(data: bytes, meta: dict, idx: int) -> np.ndarray:
+    """Decode one frame by index through our own JPEG codec."""
+    off, size = meta["frames"][idx]
+    try:
+        return jpeg_decode(data[off:off + size])
+    except JpegError as exc:
+        raise AviError(f"frame {idx}: {exc}") from exc
+
+
+def decode_frames(data: bytes, indices: "list[int] | None" = None
+                  ) -> "list[np.ndarray]":
+    meta = parse_avi(data)
+    if indices is None:
+        indices = range(len(meta["frames"]))
+    return [decode_frame(data, meta, i) for i in indices]

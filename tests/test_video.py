@@ -1,0 +1,122 @@
+"""MJPEG-AVI video tests: container round-trip through our own JPEG
+codec, header-only metadata parse, the codec boundary (non-MJPEG fourcc
+refuses), the MediaDecoder video branch, and real frame sampling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.functions.mjpeg_avi import (
+    AviError,
+    decode_frame,
+    decode_frames,
+    encode_avi,
+    parse_avi,
+)
+
+
+def test_avi_roundtrip_gray_and_color():
+    rng = np.random.RandomState(0)
+    gray = [rng.randint(0, 256, (16, 16), np.uint8) for _ in range(4)]
+    avi = encode_avi(gray, fps=10, quality=100)
+    meta = parse_avi(avi)
+    assert (meta["width"], meta["height"]) == (16, 16)
+    assert meta["fps"] == 10 and meta["n_frames"] == 4
+    assert meta["fourcc"] == b"MJPG" and len(meta["frames"]) == 4
+    for d, f in zip(decode_frames(avi), gray):
+        assert int(np.abs(d.astype(int) - f.astype(int)).max()) <= 1
+    # color, 4:4:4 so chroma survives on noise
+    col = [rng.randint(0, 256, (24, 16, 3), np.uint8) for _ in range(3)]
+    avic = encode_avi(col, quality=100, subsample="444")
+    for d, f in zip(decode_frames(avic), col):
+        assert d.shape == f.shape
+        assert int(np.abs(d.astype(int) - f.astype(int)).max()) <= 2
+    # odd JPEG sizes force chunk padding: must still parse
+    odd = [np.full((9, 9), 7, np.uint8)]
+    assert decode_frames(encode_avi(odd, quality=50))[0].shape == (9, 9)
+
+
+def test_avi_codec_boundary_and_errors():
+    avi = bytearray(encode_avi([np.zeros((8, 8), np.uint8)]))
+    i = avi.index(b"MJPG")
+    avi[i:i + 4] = b"H264"
+    with pytest.raises(AviError, match="H.264/VP9/AV1"):
+        parse_avi(bytes(avi))
+    with pytest.raises(AviError, match="RIFF"):
+        parse_avi(b"\x00" * 64)
+    with pytest.raises(AviError):
+        encode_avi([])
+    with pytest.raises(AviError, match="one shape"):
+        encode_avi([np.zeros((8, 8), np.uint8),
+                    np.zeros((16, 8), np.uint8)])
+
+
+def test_media_decoder_video_branch():
+    from kafka_connect_plugins_ray.functions.vhash import hash64_column
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        MediaDecoder, attach_avi)
+
+    texts = ["video payload " * 100, "tiny", None]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    vt = attach_avi(t, frame_shape=(16, 24), quality=90)
+    out = MediaDecoder(strict=True)(vt)   # strict must ACCEPT MJPEG-AVI
+    meta = out.column("media_meta")
+    for i, txt in enumerate(texts):
+        m = meta[i].as_py()
+        if txt is None:
+            assert m is None
+            continue
+        nf = max(1, -(-len(txt.encode()) // (16 * 24)))
+        assert (m["width"], m["height"]) == (24, 16)
+        assert m["n_frames"] == nf
+        assert m["n_bytes"] == 16 * 24 * nf
+        payload = vt.column("payload")[i].as_py()
+        f0 = decode_frame(payload, parse_avi(payload), 0)
+        assert m["content_hash"] == hash64_column(
+            pa.array([f0.tobytes()], pa.binary())).view(np.int64)[0]
+
+
+def test_sample_frames_decoded():
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        attach_avi, sample_frames_decoded)
+
+    texts = ["frame sample " * 120, None, "x"]
+    t = pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    vt = attach_avi(t, frame_shape=(8, 16))
+    nf0 = max(1, -(-len(texts[0].encode()) // (8 * 16)))
+    all_frames = sample_frames_decoded(vt, stride=1)
+    assert all_frames.num_rows == nf0 + 1    # doc 12 has 1 frame
+    every2 = sample_frames_decoded(vt, stride=2)
+    assert every2.num_rows == -(-nf0 // 2) + 1
+    assert every2.column("frame_idx").to_pylist()[:3] == [0, 2, 4]
+    assert set(every2.column("width").to_pylist()) == {16}
+    # frame hashes are over decoded pixels: distinct text chunks ->
+    # distinct hashes, and deterministic across calls
+    again = sample_frames_decoded(vt, stride=2)
+    assert again.equals(every2)
+    h = all_frames.column("frame_hash").to_pylist()
+    assert len(set(h[:nf0])) > 1
+
+
+def test_byte_histogram_features_video_branch():
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        ByteHistogramFeatures, attach_avi)
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["histogram video " * 80], pa.string())})
+    vt = attach_avi(t, frame_shape=(16, 16), quality=95)
+    out = ByteHistogramFeatures(strict=True)(vt)
+    emb = out.column("embedding")[0].as_py()
+    assert emb is not None
+    # equals the projection of the histogram over ALL decoded frames
+    payload = vt.column("payload")[0].as_py()
+    acc = np.zeros(256, np.float64)
+    for f in decode_frames(payload):
+        acc += np.bincount(f.reshape(-1), minlength=256)
+    acc /= acc.sum()
+    W = np.random.RandomState(13).randn(256, 16)
+    exp = acc @ W
+    exp /= np.linalg.norm(exp)
+    assert np.allclose(emb, exp.astype(np.float32), atol=1e-6)
