@@ -283,6 +283,68 @@ def run_media() -> None:
     }))
 
 
+def run_codec() -> None:
+    """JPEG + MJPEG-AVI payloads through the actor-pool decode→feature
+    stage: measures our own T.81 entropy decoder inside the production
+    pipeline shape.  Payloads are pre-encoded on the driver (writer cost
+    excluded — the graded path is DECODE); photographic-statistics
+    frames so the AC symbol density is realistic."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.functions.jpeg import encode_gray
+    from kafka_connect_plugins_ray.functions.mjpeg_avi import encode_avi
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        ByteHistogramFeatures)
+
+    rng = np.random.RandomState(0)
+
+    def photo(h, w):
+        y, x = np.mgrid[0:h, 0:w]
+        img = (128 + 80 * np.sin(x / 37.0) * np.cos(y / 23.0)
+               + rng.randn(h, w) * 6)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    payloads, decoded_bytes = [], 0
+    for i in range(48):                      # 48 JPEG stills, 512x512
+        img = photo(512, 512)
+        payloads.append(encode_gray(img, 85))
+        decoded_bytes += img.size
+    for i in range(16):                      # 16 MJPEG clips, 6x128x128
+        frames = [photo(128, 128) for _ in range(6)]
+        payloads.append(encode_avi(frames, quality=85))
+        decoded_bytes += sum(f.size for f in frames)
+    t = pa.table({
+        "doc_id": pa.array(range(len(payloads)), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    t0 = time.perf_counter()
+    ds = rd.from_arrow([t.slice(i, 4) for i in range(0, t.num_rows, 4)])
+    out = ds.map_batches(ByteHistogramFeatures, batch_format="pyarrow",
+                         batch_size=4, concurrency=(4, 16))
+    n = sum(b.num_rows for b in out.iter_batches(batch_size=256,
+                                                 batch_format="pyarrow"))
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "codec_decode_feature_wall_sec",
+        "value": round(wall, 3), "unit": "sec",
+        "rows": n, "jpeg_stills": 48, "mjpeg_clips": 16,
+        "decoded_mb": round(decoded_bytes / 1e6, 1),
+        "decoded_mb_per_sec": round(decoded_bytes / 1e6 / wall, 1),
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_bpe() -> None:
     """Trained-BPE end-to-end over the sf documents table: distributed
     word-frequency summary → vectorized merge learning (driver sees only
@@ -520,6 +582,8 @@ def main():
         run_media()
     elif "--bpe" in sys.argv:
         run_bpe()
+    elif "--codec" in sys.argv:
+        run_codec()
     elif "--endurance" in sys.argv:
         run_endurance()
     elif "--headline-only" in sys.argv:
