@@ -175,17 +175,17 @@ def _canonical_codes(bits, vals):
     return codes
 
 
-def _decode_lut(bits, vals):
-    """2^16 lookahead LUT: 16-bit window -> (symbol, code length).
-    One table hit per Huffman symbol instead of a bit-by-bit tree walk."""
-    sym = np.zeros(1 << 16, dtype=np.int16) - 1
-    ln = np.zeros(1 << 16, dtype=np.int8)
+def _decode_lut(bits, vals) -> "list[int]":
+    """2^16 lookahead LUT: 16-bit window -> (code length << 8) | symbol,
+    0 = invalid.  One PYTHON-LIST hit per Huffman symbol (a plain-list
+    index is ~3× faster than a numpy scalar read in the bit-serial
+    loop, measured) instead of a bit-by-bit tree walk."""
+    fused = np.zeros(1 << 16, dtype=np.uint16)
     for value, code, length in _canonical_codes(bits, vals):
         lo = code << (16 - length)
         hi = lo + (1 << (16 - length))
-        sym[lo:hi] = value
-        ln[lo:hi] = length
-    return sym, ln
+        fused[lo:hi] = (length << 8) | (value & 0xFF)
+    return fused.tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +422,7 @@ def decode(data: bytes) -> np.ndarray:
         raise JpegError("not a JPEG (no SOI)")
     i = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    huff: dict[tuple[int, int], list] = {}
     h = w = None
     comps: list[dict] = []      # {id, hs, vs, tq, td, ta}
     scan_off = None
@@ -529,9 +529,13 @@ def decode(data: bytes) -> np.ndarray:
     # size × 16); each Huffman symbol step is then one array index + one
     # LUT hit
     bitbuf = np.concatenate([bits, np.ones(32, dtype=np.uint8)])
-    win16 = np.zeros(bits.size + 16, dtype=np.uint16)
+    win16np = np.zeros(bits.size + 16, dtype=np.uint16)
     for k in range(16):
-        win16 += bitbuf[k:k + win16.size].astype(np.uint16) << (15 - k)
+        win16np += bitbuf[k:k + win16np.size].astype(np.uint16) << (15 - k)
+    import array as _array
+
+    win16 = _array.array("H")
+    win16.frombytes(win16np.tobytes())
 
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
@@ -544,7 +548,11 @@ def decode(data: bytes) -> np.ndarray:
     for c in comps:
         c["gw"] = mcux * c["hs"]
         c["gh"] = mcuy * c["vs"]
-        c["coef"] = np.zeros((c["gh"] * c["gw"], 64), dtype=np.int64)
+        # coefficients accumulate as flat (position, value) Python lists
+        # and scatter into the dense array ONCE at the end — list appends
+        # beat per-coefficient numpy setitem in the bit-serial loop
+        c["cidx"] = []
+        c["cval"] = []
         c["dc"] = 0
 
     nbits_total = bits.size
@@ -553,7 +561,7 @@ def decode(data: bytes) -> np.ndarray:
     def receive_extend(pos: int, size: int) -> "tuple[int, int]":
         if size == 0:
             return 0, pos
-        v = int(win16[pos]) >> (16 - size)
+        v = win16[pos] >> (16 - size)
         if v < (1 << (size - 1)):
             v -= (1 << size) - 1
         return v, pos + size
@@ -569,30 +577,36 @@ def decode(data: bytes) -> np.ndarray:
             mcu_since_rst = 0
         my, mx = divmod(m, mcux)
         for c in comps:
-            dc_sym, dc_len = huff[(0, c["td"])]
-            ac_sym, ac_len = huff[(1, c["ta"])]
+            dc_lut = huff[(0, c["td"])]
+            ac_lut = huff[(1, c["ta"])]
             for by in range(c["vs"]):
                 for bx in range(c["hs"]):
                     if pos >= nbits_total:
                         raise JpegError("truncated entropy stream")
-                    win = int(win16[pos])
-                    size = int(dc_sym[win])
-                    if size < 0:
+                    f = dc_lut[win16[pos]]
+                    if f == 0:
                         raise JpegError("bad DC Huffman code")
-                    pos += int(dc_len[win])
-                    diff, pos = receive_extend(pos, size)
-                    c["dc"] += diff
-                    bidx = (my * c["vs"] + by) * c["gw"] \
-                        + (mx * c["hs"] + bx)
-                    blk = c["coef"][bidx]
-                    blk[0] = c["dc"]
+                    pos += f >> 8
+                    size = f & 0xFF
+                    if size:             # RECEIVE+EXTEND, inlined (hot)
+                        v = win16[pos] >> (16 - size)
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        pos += size
+                        c["dc"] += v
+                    base = ((my * c["vs"] + by) * c["gw"]
+                            + (mx * c["hs"] + bx)) * 64
+                    cidx = c["cidx"]
+                    cval = c["cval"]
+                    cidx.append(base)
+                    cval.append(c["dc"])
                     k = 1
                     while k < 64:
-                        win = int(win16[pos])
-                        rs = int(ac_sym[win])
-                        if rs < 0:
+                        f = ac_lut[win16[pos]]
+                        if f == 0:
                             raise JpegError("bad AC Huffman code")
-                        pos += int(ac_len[win])
+                        pos += f >> 8
+                        rs = f & 0xFF
                         if rs == 0x00:       # EOB
                             break
                         if rs == 0xF0:       # ZRL
@@ -601,8 +615,13 @@ def decode(data: bytes) -> np.ndarray:
                         k += rs >> 4
                         if k > 63:
                             raise JpegError("AC run overflows block")
-                        v, pos = receive_extend(pos, rs & 0x0F)
-                        blk[k] = v
+                        size = rs & 0x0F
+                        v = win16[pos] >> (16 - size)
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        pos += size
+                        cidx.append(base + k)
+                        cval.append(v)
                         k += 1
         mcu_since_rst += 1
 
@@ -610,8 +629,11 @@ def decode(data: bytes) -> np.ndarray:
     # shift, reassemble plane, upsample to full resolution
     planes = []
     for c in comps:
-        nat = np.zeros_like(c["coef"])
-        nat[:, ZIGZAG] = c["coef"]
+        coef = np.zeros((c["gh"] * c["gw"], 64), dtype=np.int64)
+        coef.reshape(-1)[np.array(c["cidx"], dtype=np.int64)] = \
+            np.array(c["cval"], dtype=np.int64)
+        nat = np.zeros_like(coef)
+        nat[:, ZIGZAG] = coef
         blocks = nat.reshape(-1, 8, 8) * qt[c["tq"]]
         pix = np.einsum("ji,njk,kl->nil", DCT_M,
                         blocks.astype(np.float64), DCT_M) + 128.0
