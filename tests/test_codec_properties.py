@@ -1,0 +1,129 @@
+"""Hypothesis property tests for the round-4 codecs and tokenizer:
+random shapes/qualities/content through the JPEG entropy layer, random
+PCM through the WAVE DSP path, random corpora through the BPE encoder.
+Each property is checked against an independent reference (pure-math
+reconstruction, stdlib wave, per-word Python loop)."""
+
+import io
+import wave
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_connect_plugins_ray.functions.jpeg import (
+    DCT_M,
+    ZIGZAG,
+    decode,
+    encode_color,
+    encode_gray,
+    quant_table,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       q=st.integers(1, 100), seed=st.integers(0, 2**31 - 1))
+def test_jpeg_gray_entropy_exact_property(h, w, q, seed):
+    """For ANY shape/quality/content: the bitstream must round-trip the
+    quantized coefficients exactly (decode == math-path reconstruction)."""
+    img = np.random.RandomState(seed).randint(0, 256, (h, w), np.uint8)
+    got = decode(encode_gray(img, q))
+    qt = quant_table(q)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw))
+    padded[:h, :w] = img
+    if ph > h:
+        padded[h:, :w] = padded[h - 1:h, :w]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1:w]
+    padded -= 128.0
+    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+    qc = np.round(coef / qt).astype(np.int64)
+    rec = np.einsum("ji,njk,kl->nil", DCT_M, (qc * qt).astype(float),
+                    DCT_M)
+    rec = np.clip(np.round(rec + 128.0), 0, 255).astype(np.uint8)
+    exp = (rec.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(ph, pw))[:h, :w]
+    assert np.array_equal(got, exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24),
+       q=st.integers(50, 100), seed=st.integers(0, 2**31 - 1),
+       sub=st.sampled_from(["444", "420"]))
+def test_jpeg_color_decodes_and_shapes(h, w, q, seed, sub):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
+    out = decode(encode_color(img, q, sub))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+@settings(max_examples=20, deadline=None)
+@given(n=st.integers(0, 400), seed=st.integers(0, 2**31 - 1),
+       doc_id=st.integers(0, 3))
+def test_wav_roundtrip_property(n, seed, doc_id):
+    """Any payload length/channel layout: our decoder must agree with the
+    stdlib wave module on every header field."""
+    import pyarrow as pa
+
+    from kafka_connect_plugins_ray.pipelines.audio import (
+        WavDecoder, attach_wav)
+
+    rng = np.random.RandomState(seed)
+    text = "".join(chr(rng.randint(32, 127)) for _ in range(n))
+    t = pa.table({"doc_id": pa.array([doc_id], pa.int64()),
+                  "text": pa.array([text], pa.string())})
+    wt = attach_wav(t)
+    m = WavDecoder()(wt).column("audio_meta")[0].as_py()
+    payload = wt.column("payload")[0].as_py()
+    if len(payload) <= 44:
+        assert m["n_frames"] == 0
+        return
+    with wave.open(io.BytesIO(payload)) as wv:
+        assert m["n_channels"] == wv.getnchannels()
+        assert m["sample_rate"] == wv.getframerate()
+        assert m["n_frames"] == wv.getnframes()
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_merges=st.integers(0, 80))
+def test_bpe_property_vs_reference(seed, n_merges):
+    """Random corpora: the vectorized encoder must agree with a pure
+    per-word sequential reference for every trained merge count, and
+    total subtoken mass must sit between word count and char count."""
+    from kafka_connect_plugins_ray.functions.bpe import (
+        END_WORD, BPEEncoder, train_bpe)
+
+    rng = np.random.RandomState(seed)
+    words = ["".join(rng.choice(list("abcd"), size=rng.randint(1, 10)))
+             for _ in range(100)]
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + int(rng.randint(1, 8))
+    merges = train_bpe(wc, n_merges)
+    enc = BPEEncoder(merges)
+
+    def ref(word):
+        syms = list(word) + [END_WORD]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        if syms and syms[-1] == END_WORD:
+            syms = syms[:-1]
+        return syms
+
+    counts = enc.encode_words(list(wc))
+    for w, c in zip(list(wc), counts):
+        r = ref(w)
+        assert enc.encode(w) == r, (w, merges)
+        assert c == len(r)
+        assert 0 < c <= len(w)
