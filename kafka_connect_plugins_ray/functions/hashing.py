@@ -40,30 +40,34 @@ def table_state_sha256(table: pa.Table, sort_keys: list[str]) -> str:
 
 
 _BASE = np.uint64(1_000_003)
+# second independent base for dual-hash soundness (substring dedup):
+# any odd 64-bit constant works under mod-2^64 wrapping arithmetic
+_BASE2 = np.uint64(0x100000001B3)
 
 
-def _base_powers(k: int) -> np.ndarray:
+def _base_powers(k: int, base: np.uint64 = _BASE) -> np.ndarray:
     """[B^{k-1}, ..., B^1, B^0] with wrapping uint64 multiplies (array
     cumprod — numpy scalar multiplies warn on overflow, arrays wrap)."""
     p = np.ones(k, dtype=np.uint64)
     if k > 1:
-        p[:-1] = np.cumprod(np.full(k - 1, _BASE, dtype=np.uint64))[::-1]
+        p[:-1] = np.cumprod(np.full(k - 1, base, dtype=np.uint64))[::-1]
     return p
 
 
-_POW_CACHE: dict[int, np.ndarray] = {}
+_POW_CACHE: dict[tuple, np.ndarray] = {}
 
 
-def _rolling_from_bytes(data: np.ndarray, k: int) -> np.ndarray:
+def _rolling_from_bytes(data: np.ndarray, k: int,
+                        base: np.uint64 = _BASE) -> np.ndarray:
     """Karp–Rabin hashes of all k-byte windows of a uint8 buffer (mod
     2^64 — numpy's natural wrapping arithmetic; the window sweep is a
     vectorized multiply-sum, chunked to bound the materialized matrix)."""
     n = data.size
     if n < k:
         return np.empty(0, dtype=np.uint64)
-    pows = _POW_CACHE.get(k)
+    pows = _POW_CACHE.get((k, int(base)))
     if pows is None:
-        pows = _POW_CACHE.setdefault(k, _base_powers(k))
+        pows = _POW_CACHE.setdefault((k, int(base)), _base_powers(k, base))
     from numpy.lib.stride_tricks import sliding_window_view
 
     win = sliding_window_view(data, k)

@@ -1337,3 +1337,235 @@ def line_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS,
         return list(shards)
     return refs_to_dataset(list(shards), pa.schema([
         ("doc_id", pa.int64()), ("text", pa.string())]))
+
+
+# ---------------------------------------------------------------------------
+# exact substring-level dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr shape)
+# ---------------------------------------------------------------------------
+
+def _window_hashes(data: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray, rows: np.ndarray, k: int,
+                   stride: int):
+    """Dual Karp–Rabin hashes of every (stride-spaced) k-BYTE window of
+    the docs in ``rows`` — two vectorized sweeps over the contiguous
+    span, per-doc positions gathered exactly (the winnow-slice pattern).
+    Returns (h1, h2, doc_row, byte_pos)."""
+    from ..functions.hashing import _BASE2, _rolling_from_bytes
+
+    s0 = int(starts[rows[0]])
+    e0 = int(starts[rows[-1]] + lens[rows[-1]])
+    span = data[s0:e0]
+    h1 = _rolling_from_bytes(span, k)
+    h2 = _rolling_from_bytes(span, k, base=_BASE2)
+    m = (lens[rows] - k) // stride + 1          # windows per doc
+    total = int(m.sum())
+    grp = np.concatenate(([0], np.cumsum(m)[:-1]))
+    intra = (np.arange(total) - np.repeat(grp, m)) * stride
+    pos = intra.astype(np.int64)                # byte pos within doc
+    gidx = np.repeat(starts[rows] - s0, m) + pos
+    return h1[gidx], h2[gidx], np.repeat(rows, m), pos
+
+
+_UTF8_CONT = 0b1000_0000, 0b1100_0000  # continuation byte: (b & C0) == 80
+
+
+def substring_dedup(docs: "rd.Dataset", k: int = 50,
+                    num_buckets: int = DEDUP_BUCKETS, stride: int = 1,
+                    return_refs: bool = False):
+    """EXACT substring-level dedup: every k-BYTE window of text that
+    occurs more than once across the whole corpus keeps only its FIRST
+    occurrence (min (doc_id, byte_pos)); every other occurrence's bytes
+    are removed from their documents.  This is the operator of Lee et
+    al. 2021 (ExactSubstr, suffix-array formulation) re-expressed as a
+    hash exchange: identical windows hash identically (dual independent
+    64-bit Karp–Rabin — a cross-pair collision needs both to collide),
+    and all occurrences of a window land in ONE bucket, so the global
+    first-occurrence decision is a per-bucket sort.
+
+    Scale shape, two exchanges like ``line_dedup``:
+
+    1. per-batch dual rolling-hash sweep (two vectorized multiply-sum
+       passes over the block's concatenated bytes; one 32 B row per
+       window START — with ``stride=1`` that is one row per text byte,
+       the honest cost of EXACT substring dedup, the same order as the
+       suffix array's O(corpus) construction traffic; ``stride>1``
+       trades recall for volume and is the documented approximation) →
+       exchange on h1 → per-bucket global winner per (h1, h2), all
+       non-first (doc, pos) occurrences re-keyed by doc bucket.
+    2. tagged-union exchange of drop rows + doc rows on doc bucket →
+       per-bucket byte-mask rebuild: span deltas → cumsum coverage →
+       UTF-8 boundary snap (covered regions propagate across
+       continuation bytes, ≤3 masked shifts each way, never across doc
+       edges — a doc never starts with a continuation byte) → one
+       boolean gather rebuilds every doc's bytes.
+
+    Removal granularity is the byte window; a repeated region of length
+    L ≥ k loses its L-(k-1) core at every non-first occurrence (edges
+    survive because edge windows straddle unique context) — the
+    published ExactSubstr behavior.  Docs left empty are emitted with
+    empty text (caller filters).  Returns (doc_id, text) like
+    ``line_dedup``."""
+    import ray
+
+    from ..exchange import hash_exchange, refs_to_dataset
+
+    B = num_buckets
+
+    def explode(t: pa.Table) -> "pa.Table | None":
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        binc = pc.cast(pc.fill_null(col, ""), pa.binary())
+        if isinstance(binc, pa.ChunkedArray):
+            binc = binc.combine_chunks()
+        n = len(binc)
+        buffers = binc.buffers()
+        offs = np.frombuffer(buffers[1], dtype=np.int32)[
+            binc.offset: binc.offset + n + 1].astype(np.int64)
+        data = (np.frombuffer(buffers[2], dtype=np.uint8)
+                if buffers[2] is not None else np.empty(0, np.uint8))
+        starts, lens = offs[:-1], offs[1:] - offs[:-1]
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        rows = np.nonzero(lens >= k)[0]
+        if rows.size == 0:
+            return None
+        h1, h2, row_of, pos = _window_hashes(data, starts, lens, rows,
+                                             k, stride)
+        return pa.table({
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[row_of], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "bucket": pa.array((h1 % np.uint64(B)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    windows = docs.map_batches(explode, batch_format="pyarrow")
+
+    def win_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        if t.num_rows == 0:
+            return None
+        h1 = t.column("h1").to_numpy()
+        h2 = t.column("h2").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        p = t.column("pos").to_numpy()
+        order = np.lexsort((p, d, h2, h1))
+        h1o, h2o = h1[order], h2[order]
+        first = np.concatenate(
+            ([True], (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
+        # groups of size 1 contribute nothing; in larger groups every
+        # row EXCEPT the first (global min (doc,pos) — the whole group
+        # is in this bucket) is a drop span
+        grp_id = np.cumsum(first) - 1
+        grp_size = np.bincount(grp_id)
+        dup = (grp_size[grp_id] > 1) & ~first
+        sel = order[dup]
+        if sel.size == 0:
+            return None
+        return pa.table({
+            "doc_id": pa.array(d[sel], pa.int64()),
+            "pos": pa.array(p[sel], pa.int64()),
+            "dbucket": pa.array((d[sel] % B).astype(np.int32),
+                                pa.int32()),
+        })
+
+    drop_refs = hash_exchange(windows, "bucket", B, win_bucket,
+                              materialize=False)
+    drops = refs_to_dataset(list(drop_refs), pa.schema([
+        ("doc_id", pa.int64()), ("pos", pa.int64()),
+        ("dbucket", pa.int32())]))
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "pos": pa.nulls(t.num_rows, pa.int64()),   # doc marker
+            "text": pc.fill_null(pc.cast(t.column("text"), pa.string()),
+                                 ""),
+            "dbucket": pa.array((d % B).astype(np.int32), pa.int32()),
+        })
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pos": t.column("pos"),
+            "text": pa.nulls(t.num_rows, pa.string()),
+            "dbucket": t.column("dbucket"),
+        })
+
+    tagged = drops.map_batches(tag_drops, batch_format="pyarrow").union(
+        docs.map_batches(tag_docs, batch_format="pyarrow"))
+
+    def rebuild(pid: int, t: pa.Table) -> "pa.Table | None":
+        is_doc = pc.is_valid(t["text"])
+        dr = t.filter(pc.invert(is_doc))
+        dd = t.filter(is_doc)
+        if dd.num_rows == 0:
+            return None
+        col = dd.column("text").combine_chunks() \
+            if isinstance(dd.column("text"), pa.ChunkedArray) \
+            else dd.column("text")
+        binc = pc.cast(col, pa.binary())
+        if isinstance(binc, pa.ChunkedArray):
+            binc = binc.combine_chunks()
+        nb = len(binc)
+        buffers = binc.buffers()
+        offs = np.frombuffer(buffers[1], dtype=np.int32)[
+            binc.offset: binc.offset + nb + 1].astype(np.int64)
+        data = (np.frombuffer(buffers[2], dtype=np.uint8).copy()
+                if buffers[2] is not None else np.empty(0, np.uint8))
+        starts, lens = offs[:-1], offs[1:] - offs[:-1]
+        ids = dd.column("doc_id").to_numpy().astype(np.int64)
+        # map drop (doc_id, pos) -> global byte offsets via searchsorted
+        order = np.argsort(ids, kind="stable")
+        sid = ids[order]
+        sstart = starts[order]
+        slen = lens[order]
+        ddoc = dr.column("doc_id").to_numpy().astype(np.int64)
+        dpos = dr.column("pos").to_numpy().astype(np.int64)
+        total = int(offs[-1])
+        delta = np.zeros(total + 1, dtype=np.int64)
+        if ddoc.size:
+            at = np.clip(np.searchsorted(sid, ddoc), 0,
+                         max(sid.size - 1, 0))
+            found = sid[at] == ddoc if sid.size else \
+                np.zeros(ddoc.size, dtype=bool)
+            g0 = sstart[at[found]] + dpos[found]
+            g1 = np.minimum(g0 + k, sstart[at[found]] + slen[at[found]])
+            np.add.at(delta, g0, 1)
+            np.add.at(delta, g1, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        # UTF-8 boundary snap: extend coverage over continuation bytes
+        # (left: a covered continuation byte drags its lead byte in;
+        # right: a covered lead byte drags its continuations in).  A doc
+        # never starts with a continuation byte in valid UTF-8, so the
+        # propagation cannot cross doc edges.
+        is_cont = (data & 0xC0) == 0x80
+        for _ in range(3):
+            covered[:-1] |= covered[1:] & is_cont[1:]
+        for _ in range(3):
+            covered[1:] |= covered[:-1] & is_cont[1:]
+        keep = ~covered
+        cum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+        new_lens = cum[offs[1:]] - cum[offs[:-1]]
+        new_offs = np.concatenate(([0], np.cumsum(new_lens)))
+        out_text = pa.Array.from_buffers(
+            pa.large_utf8(), nb,
+            [None, pa.py_buffer(new_offs.astype(np.int64)),
+             pa.py_buffer(data[keep])]).cast(pa.string())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": out_text,
+            "n_removed": pa.array(lens - new_lens, pa.int64()),
+        })
+
+    shards = hash_exchange(tagged, "dbucket", B, rebuild,
+                           materialize=False)
+    if return_refs:
+        return list(shards)
+    return refs_to_dataset(list(shards), pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("n_removed", pa.int64())]))

@@ -1474,3 +1474,119 @@ def test_verify_pairs_distributed_randomized_vs_reference():
         for k in ref_map:
             for x, y in zip(sorted(ref_map[k]), sorted(got[k])):
                 assert abs(x - y) < 1e-12, (k, ref_map[k], got[k])
+
+
+def _substr_ref(texts, k):
+    """Quadratic byte-level reference for substring_dedup: global
+    first-occurrence per k-byte window, later occurrences' bytes removed,
+    coverage snapped outward over UTF-8 continuation bytes."""
+    first = {}
+    raws = {i: (t or "").encode() for i, t in enumerate(texts)}
+    cover = {i: np.zeros(len(b), bool) for i, b in raws.items()}
+    for i in sorted(raws):
+        b = raws[i]
+        for p in range(0, len(b) - k + 1):
+            w = b[p:p + k]
+            if w in first:
+                cover[i][p:p + k] = True
+            else:
+                first[w] = (i, p)
+    out = {}
+    for i, b in raws.items():
+        cv = cover[i]
+        arr = np.frombuffer(b, np.uint8)
+        cont = (arr & 0xC0) == 0x80
+        for _ in range(3):
+            cv[:-1] |= cv[1:] & cont[1:]
+        for _ in range(3):
+            cv[1:] |= cv[:-1] & cont[1:]
+        out[i] = bytes(arr[~cv]).decode("utf-8")
+    return out
+
+
+def test_substring_dedup_planted_boilerplate():
+    from kafka_connect_plugins_ray.pipelines.dedup import substring_dedup
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND MORE! " * 3
+    texts = ["unique alpha text. " + boiler + "ending one.",
+             "different beta words here. " + boiler + "ending two.",
+             boiler,                       # the whole doc is boilerplate
+             "completely unrelated document with no duplication at all"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = substring_dedup(rd.from_arrow(t).repartition(2), k=40,
+                          num_buckets=8).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    ref = _substr_ref(texts, 40)
+    for i in range(4):
+        assert out["text"][i] == ref[i], i
+    # doc 0 keeps the FIRST copy of the boilerplate unit (the "* 3"
+    # repeats inside doc 0 are themselves non-first occurrences and go)
+    unit = "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND MORE!"
+    assert out["text"][0].count(unit) == 1
+    assert out["text"][0].startswith("unique alpha text. " + unit[:20])
+    assert out["n_removed"][0] > 0
+    # docs 1-2 lose even more (their whole boilerplate is non-first)
+    assert out["n_removed"][1] > out["n_removed"][0]
+    assert out["n_removed"][1] > len(boiler) - 80
+    # the no-duplication doc is untouched
+    assert out["text"][3] == texts[3]
+    assert out["n_removed"][3] == 0
+
+
+def test_substring_dedup_randomized_vs_reference():
+    from kafka_connect_plugins_ray.pipelines.dedup import substring_dedup
+
+    rng = np.random.RandomState(17)
+    frags = ["lorem ipsum dolor sit amet " * 2,
+             "καλημέρα κόσμε unicode φράση εδώ ",   # multibyte UTF-8
+             "quick brown foxes jump over lazy dogs again "]
+    texts = []
+    for i in range(60):
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            r = rng.randint(0, 4)
+            if r < 3 and rng.rand() < 0.5:
+                parts.append(frags[r % 3])
+            else:
+                parts.append("".join(rng.choice(list("abcdefg "),
+                                                 size=rng.randint(5, 80))))
+        texts.append("".join(parts))
+    texts += ["", None, "short"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    for B in (1, 4, 16):
+        out = substring_dedup(rd.from_arrow(t).repartition(3), k=32,
+                              num_buckets=B).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        ref = _substr_ref(texts, 32)
+        for i in range(len(texts)):
+            assert out["text"][i] == ref[i], (B, i)
+        # every output is valid UTF-8 and total removal is consistent
+        assert (out["n_removed"] >= 0).all()
+
+
+def test_substring_dedup_identity_and_stride():
+    from kafka_connect_plugins_ray.pipelines.dedup import substring_dedup
+
+    texts = ["totally unique first document text",
+             "another fully distinct second doc"]
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = substring_dedup(rd.from_arrow(t), k=20,
+                          num_buckets=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == texts       # no dups -> identity
+    assert out["n_removed"].tolist() == [0, 0]
+    # stride > 1 removes a SUBSET of what stride=1 removes
+    boiler = "shared boilerplate sentence repeated verbatim! " * 4
+    texts2 = ["a" * 30 + boiler, "b" * 30 + boiler]
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array(texts2, pa.string())})
+    full = substring_dedup(rd.from_arrow(t2), k=32,
+                           num_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    sub = substring_dedup(rd.from_arrow(t2), k=32, stride=8,
+                          num_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert full["n_removed"][1] >= sub["n_removed"][1] > 0
