@@ -1374,7 +1374,7 @@ def q_text_metrics(sf_dir: str) -> "rd.Dataset":
     import ray
 
     from ..exchange import hash_exchange, refs_to_dataset
-    from .dedup import line_dedup
+    from .dedup import line_dedup, substring_dedup
     from .text import repetition_batch, round_half_up
 
     B = 32
@@ -1398,17 +1398,22 @@ def q_text_metrics(sf_dir: str) -> "rd.Dataset":
     from concurrent.futures import ThreadPoolExecutor
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    # line_dedup's exchanges and the metric kernels are independent until
-    # the join — overlap their driver-blocking executions
-    with ThreadPoolExecutor(2) as pool:
+    # line_dedup's / substring_dedup's exchanges and the metric kernels
+    # are independent until the join — overlap their driver-blocking
+    # executions
+    with ThreadPoolExecutor(3) as pool:
         f_ld = pool.submit(
             line_dedup,
             read_table(sf_dir, "documents", columns=["doc_id", "text"]),
             num_buckets=B, sep=" ", return_refs=True)
+        f_sd = pool.submit(
+            substring_dedup,
+            read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+            k=40, num_buckets=B, return_refs=True)
         f_m = pool.submit(
             lambda: docs.map_batches(metrics,
                                      batch_format="pandas").materialize())
-        ld_refs, m = f_ld.result(), f_m.result()
+        ld_refs, sd_refs, m = f_ld.result(), f_sd.result(), f_m.result()
 
     def join_ld(pid: int, t: pa.Table) -> pa.Table:
         shard = ray.get(ld_refs[pid])  # rebuilt docs with doc_id % B == pid
@@ -1436,7 +1441,35 @@ def q_text_metrics(sf_dir: str) -> "rd.Dataset":
                                pa.nulls(len(ids), pa.string()))
         out = t.drop_columns(["bucket"])
         out = out.append_column("ld_len", pa.array(ld_len, pa.int64()))
-        return out.append_column("ld_fingerprint", ld_fp)
+        out = out.append_column("ld_fingerprint", ld_fp)
+        # substring-dedup columns: the sd shard carries EVERY doc of this
+        # bucket (null text degrades to ""), same doc_id % B keying
+        sshard = ray.get(sd_refs[pid])
+        if sshard is None or sshard.num_rows == 0:
+            sd_len = np.zeros(len(ids), dtype=np.int64)
+            sd_fp = pa.array([hashlib.md5(b"").hexdigest()] * len(ids),
+                             pa.string())
+        else:
+            sd = sshard.column("doc_id").to_numpy()
+            sorder = np.argsort(sd, kind="stable")
+            sd = sd[sorder]
+            stext = sshard.column("text").take(
+                pa.array(sorder, pa.int64()))
+            if isinstance(stext, pa.ChunkedArray):
+                stext = stext.combine_chunks()
+            slens = np.asarray(pc.utf8_length(stext), dtype=np.int64)
+            sfps = pa.array([hashlib.md5(s.encode()).hexdigest()
+                             for s in stext.to_pylist()], pa.string())
+            spos = np.clip(np.searchsorted(sd, ids), 0, sd.size - 1)
+            sfound = sd[spos] == ids
+            sd_len = np.where(sfound, slens[spos], 0)
+            sd_fp = pc.if_else(
+                pa.array(sfound),
+                sfps.take(pa.array(spos, pa.int64())),
+                pa.array([hashlib.md5(b"").hexdigest()] * len(ids),
+                         pa.string()))
+        out = out.append_column("sd_len", pa.array(sd_len, pa.int64()))
+        return out.append_column("sd_fingerprint", sd_fp)
 
     shards = hash_exchange(m, "bucket", B, join_ld, materialize=False)
     return refs_to_dataset(list(shards), pa.schema([
@@ -1449,6 +1482,7 @@ def q_text_metrics(sf_dir: str) -> "rd.Dataset":
         ("n_subtokens", pa.int64()), ("fingerprint", pa.string()),
         ("rep_bigram_ratio", pa.float64()),
         ("ld_len", pa.int64()), ("ld_fingerprint", pa.string()),
+        ("sd_len", pa.int64()), ("sd_fingerprint", pa.string()),
     ]))
 
 
@@ -1583,17 +1617,61 @@ FROM ld_kept GROUP BY doc_id
 HAVING count(*) FILTER (WHERE line <> '') > 0
 """
 
+# substring-level EXACT dedup (Lee et al. 2021 ExactSubstr) in pure SQL:
+# every 40-char window that occurs more than once keeps only its global
+# first occurrence (min doc_id, then position); every other occurrence's
+# characters are removed; docs rebuild from the surviving characters in
+# order.  Character==byte here (the testdata corpus is ASCII — asserted
+# in tests; the engine operates on bytes with UTF-8 boundary snapping,
+# which is the identity on ASCII).  Mirrors dedup.substring_dedup(k=40).
+SUBSTR_DEDUP_ORACLE = """
+WITH sd_d AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+sd_wp AS (
+  SELECT doc_id, text,
+         UNNEST(generate_series(1, length(text) - 40 + 1)) AS p
+  FROM sd_d WHERE length(text) >= 40),
+sd_w AS (SELECT doc_id, p::BIGINT AS p, substr(text, p::INT, 40) AS win
+         FROM sd_wp),
+sd_m AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY win ORDER BY doc_id, p) AS rn,
+           count(*) OVER (PARTITION BY win) AS c
+    FROM sd_w) WHERE c > 1 AND rn > 1),
+sd_cov AS (
+  SELECT DISTINCT doc_id, p + UNNEST(generate_series(0, 39)) AS ci
+  FROM sd_m),
+sd_cp AS (
+  SELECT doc_id, text, UNNEST(generate_series(1, length(text))) AS ci
+  FROM sd_d WHERE length(text) > 0),
+sd_chars AS (SELECT doc_id, ci::BIGINT AS ci, substr(text, ci::INT, 1) AS ch
+             FROM sd_cp),
+sd_kept AS (
+  SELECT c.doc_id, c.ci, c.ch FROM sd_chars c
+  LEFT JOIN sd_cov v ON v.doc_id = c.doc_id AND v.ci = c.ci
+  WHERE v.doc_id IS NULL)
+SELECT d.doc_id,
+       length(coalesce(string_agg(k2.ch, '' ORDER BY k2.ci), ''))
+           AS sd_len,
+       md5(coalesce(string_agg(k2.ch, '' ORDER BY k2.ci), ''))
+           AS sd_fingerprint
+FROM sd_d d LEFT JOIN sd_kept k2 ON k2.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
 TEXT_METRICS_ORACLE = f"""
 SELECT l.doc_id, l.s_en, l.s_de, l.s_fr, l.s_es, l.s_zh, l.lang_pred,
        t.n_chars_actual, t.n_tokens, t.punct_ratio, t.avg_token_len,
        k.n_subtokens, f.fingerprint, r.rep_bigram_ratio,
-       coalesce(ld.ld_len, -1) AS ld_len, ld.ld_fingerprint
+       coalesce(ld.ld_len, -1) AS ld_len, ld.ld_fingerprint,
+       sd.sd_len, sd.sd_fingerprint
 FROM ({LANG_ID_ORACLE}) l
 JOIN ({TEXT_QUALITY_ORACLE}) t ON l.doc_id = t.doc_id
 JOIN ({TOKEN_COUNT_ORACLE}) k ON l.doc_id = k.doc_id
 JOIN ({FINGERPRINT_ORACLE}) f ON l.doc_id = f.doc_id
 JOIN ({REPETITION_ORACLE}) r ON l.doc_id = r.doc_id
 LEFT JOIN ({LINE_DEDUP_ORACLE}) ld ON l.doc_id = ld.doc_id
+JOIN ({SUBSTR_DEDUP_ORACLE}) sd ON l.doc_id = sd.doc_id
 """
 
 

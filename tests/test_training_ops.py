@@ -1590,3 +1590,19 @@ def test_substring_dedup_identity_and_stride():
                           num_buckets=4).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert full["n_removed"][1] >= sub["n_removed"][1] > 0
+
+
+def test_substr_oracle_ascii_assumption():
+    """SUBSTR_DEDUP_ORACLE mirrors byte semantics with DuckDB's
+    character functions — valid only while the corpus is ASCII.  Fail
+    loudly if the testdata ever grows non-ASCII text (the oracle would
+    then need octet_length/byte slicing instead)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf = os.environ.get("KCP_TEST_SF", "/root/testdata/sf0.001")
+    t = pq.read_table(os.path.join(sf, "documents.parquet"),
+                      columns=["text"])
+    for x in t.column("text").to_pylist():
+        assert x is None or x.isascii()
