@@ -160,12 +160,19 @@ def main(argv: "list[str] | None" = None) -> int:
                           "high_water_lsn": m.high_water_lsn,
                           "partitions": len(m.files),
                           "delta_partitions": len(m.deltas)}
-                if args.compact_threshold is not None:
+                if args.compact_threshold is not None \
+                        or args.gc_keep is not None:
                     from .pipelines.maintenance import tail_maintenance
 
+                    # --gc-keep alone still runs maintenance (gc every
+                    # cycle, compaction effectively disabled via an
+                    # unreachable threshold) instead of being silently
+                    # dropped
+                    thresh = (args.compact_threshold
+                              if args.compact_threshold is not None
+                              else (1 << 62))
                     report["maintenance"] = tail_maintenance(
-                        args.lake, args.compact_threshold,
-                        gc_keep=args.gc_keep)
+                        args.lake, thresh, gc_keep=args.gc_keep)
                 print(json.dumps(report))
         elif args.cmd == "compact":
             from .pipelines.maintenance import compact_lake

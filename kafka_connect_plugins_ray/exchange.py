@@ -45,24 +45,21 @@ def _as_table(block) -> "pa.Table | None":
     """Coerce a Ray block to an Arrow table — this Ray version's
     ``to_arrow_refs`` returns pandas DataFrames verbatim for datasets
     built from pandas blocks (e.g. ``rd.from_pandas``)."""
+    from .sources.readers import strip_schema_metadata
+
     if block is None:
         return block
     if isinstance(block, pa.Table):
-        # strip schema-level metadata (e.g. the b'pandas' blob Ray attaches
-        # when a map_batches(batch_format="pandas") output is converted):
-        # any metadata makes pa.Schema unhashable, which defeats Ray's
-        # block-concat schema dedup ("Failed to hash the schemas")
-        if block.schema.metadata:
-            return block.replace_schema_metadata(None)
-        return block
+        # Ray attaches a b'pandas' schema blob when converting
+        # map_batches(batch_format="pandas") outputs — strip it (the
+        # canonical helper explains why: unhashable schemas defeat Ray's
+        # block-concat schema dedup)
+        return strip_schema_metadata(block)
     import pandas as pd
 
     if isinstance(block, pd.DataFrame):
-        # drop the b'pandas' schema metadata from_pandas attaches: any
-        # schema-level metadata makes pa.Schema unhashable, which defeats
-        # Ray's block-concat schema dedup ("Failed to hash the schemas")
-        return pa.Table.from_pandas(
-            block, preserve_index=False).replace_schema_metadata(None)
+        return strip_schema_metadata(
+            pa.Table.from_pandas(block, preserve_index=False))
     return pa.table(block)
 
 

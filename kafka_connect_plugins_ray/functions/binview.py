@@ -1,0 +1,40 @@
+"""Zero-copy views into Arrow binary/string columns — the shared access
+pattern for every byte-parsing stage (media decode, audio DSP, substring
+dedup): offsets/validity/data exposed as numpy, plus the fixed-width
+header-matrix gather used for vectorized container-format detection.
+Handles binary AND large_binary offsets and sliced columns."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def payload_view(col: "pa.Array") -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """(valid, starts, lens, flat byte buffer) for a binary/string
+    column.  ``starts``/``lens`` are int64 byte offsets into the flat
+    buffer; nulls have zero length."""
+    n = len(col)
+    valid = np.asarray(pa.compute.is_valid(col))
+    buffers = col.buffers()
+    off_dtype = (np.int64
+                 if pa.types.is_large_binary(col.type)
+                 or pa.types.is_large_string(col.type)
+                 else np.int32)
+    offs = np.frombuffer(buffers[1], dtype=off_dtype)[
+        col.offset: col.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None else np.empty(0, np.uint8))
+    return valid, offs[:-1], offs[1:] - offs[:-1], data
+
+
+def header_matrix(present: np.ndarray, starts: np.ndarray,
+                  data: np.ndarray, width: int) -> np.ndarray:
+    """(rows × width) uint8 matrix of each present row's first ``width``
+    bytes — indices clamped at the buffer end, non-present rows read
+    byte 0 (callers must keep magic tests inside the ``present`` mask)."""
+    if data.size == 0 or not present.any():
+        return np.zeros((present.size, width), dtype=np.uint8)
+    gidx = starts[:, None] + np.arange(width)
+    gidx = np.minimum(gidx, data.size - 1)
+    return data[np.where(present[:, None], gidx, 0)]

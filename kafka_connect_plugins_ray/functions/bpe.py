@@ -52,12 +52,12 @@ END_WORD = "</w>"  # Sennrich end-of-word marker (its own final symbol)
 # ---------------------------------------------------------------------------
 
 def _explode_words(words: "list[str]", sym2id: "dict[str, int]",
-                   symbols: "list[str]", *, grow: bool = True
+                   symbols: "list[str]"
                    ) -> "tuple[np.ndarray, np.ndarray]":
     """chars + END_WORD per word → (flat symbol-id array, word-id array).
-    Unknown characters get fresh ids when ``grow`` (training) or are
-    likewise appended when encoding — a fresh id can never equal a merge
-    output, so unseen chars simply never merge."""
+    Unknown characters get fresh ids (training and encoding alike — a
+    fresh id can never equal a merge output, so unseen chars simply
+    never merge)."""
     lens = np.fromiter((len(w) + 1 for w in words), dtype=np.int64,
                        count=len(words))
     total = int(lens.sum())
@@ -119,10 +119,7 @@ def train_bpe(word_counts: "dict[str, int] | pd.Series", n_merges: int,
     (Sennrich alg. 1, vectorized).  Stops early when the best pair's
     count drops below ``min_count``.  Ties break (count desc, pair asc)
     so training is order-independent and deterministic."""
-    if isinstance(word_counts, dict):
-        items = sorted(word_counts.items())
-    else:
-        items = sorted(word_counts.items())
+    items = sorted(word_counts.items())
     words = [w for w, _ in items if w]
     counts = np.array([c for w, c in items if w], dtype=np.int64)
     symbols: list[str] = [END_WORD]

@@ -395,7 +395,17 @@ class JpegError(ValueError):
 
 def parse_dims(data: bytes) -> "tuple[int, int]":
     """(width, height) from the SOF0/1/2 segment — the metadata-only
-    parse used by the vectorized decode stages."""
+    parse used by the vectorized decode stages.  Malformed streams raise
+    JpegError (struct/index failures wrapped)."""
+    try:
+        return _parse_dims_impl(data)
+    except JpegError:
+        raise
+    except (struct.error, IndexError, ValueError) as exc:
+        raise JpegError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _parse_dims_impl(data: bytes) -> "tuple[int, int]":
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -417,7 +427,20 @@ def decode(data: bytes) -> np.ndarray:
     (h, w, 3) uint8 RGB.  Supports 1- or 3-component interleaved
     baseline scans with sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0).
     Raises JpegError on progressive / arithmetic / hierarchical streams
-    (the documented remaining boundary)."""
+    (the documented remaining boundary) AND on any malformed stream —
+    low-level parse failures (short segment bodies, foreign tables with
+    out-of-range size codes, truncated scans) are wrapped so callers
+    need only catch JpegError (the decode stages' null-row contract)."""
+    try:
+        return _decode_impl(data)
+    except JpegError:
+        raise
+    except (struct.error, IndexError, ValueError, KeyError,
+            OverflowError) as exc:
+        raise JpegError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _decode_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (no SOI)")
     i = 2
@@ -557,15 +580,6 @@ def decode(data: bytes) -> np.ndarray:
 
     nbits_total = bits.size
     pos = 0
-
-    def receive_extend(pos: int, size: int) -> "tuple[int, int]":
-        if size == 0:
-            return 0, pos
-        v = win16[pos] >> (16 - size)
-        if v < (1 << (size - 1)):
-            v -= (1 << size) - 1
-        return v, pos + size
-
     mcu_since_rst = 0
     for m in range(mcux * mcuy):
         if restart_interval and mcu_since_rst == restart_interval:

@@ -90,8 +90,8 @@ def parse_avi(data: bytes) -> dict:
     H.264/VP9/AV1 boundary)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise AviError("not an AVI (RIFF/'AVI ' magic missing)")
-    meta = {"width": None, "height": None, "fps": None, "n_frames": 0,
-            "fourcc": None, "frames": []}
+    meta: dict = {"width": None, "height": None, "fps": None,
+                  "n_frames": 0, "fourcc": None, "frames": []}
 
     def walk(lo: int, hi: int) -> None:
         i = lo
@@ -117,7 +117,10 @@ def parse_avi(data: bytes) -> dict:
                 meta["frames"].append((body_lo, size))
             i = body_lo + size + (size % 2)
 
-    walk(12, len(data))
+    try:
+        walk(12, len(data))
+    except (struct.error, IndexError, ValueError) as exc:
+        raise AviError(f"malformed AVI structure: {exc}") from exc
     if meta["fourcc"] is None or meta["width"] is None:
         raise AviError("missing AVI headers")
     if meta["fourcc"] not in (b"MJPG", b"mjpg"):

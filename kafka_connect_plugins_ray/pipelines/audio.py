@@ -40,6 +40,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# shared zero-copy binary views (functions/binview.py) — one canonical
+# implementation for every byte-parsing stage
+from ..functions.binview import header_matrix as _header_matrix
+from ..functions.binview import payload_view as _payload_view
+
 WAV_HEADER_LEN = 44  # canonical PCM header: RIFF(12) + fmt(24) + data(8)
 
 
@@ -113,30 +118,6 @@ def attach_wav(batch: pa.Table, text_col: str = "text") -> pa.Table:
         [validity, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
         null_count=int((~valid).sum()))
     return batch.append_column(pa.field("payload", pa.binary()), payload)
-
-
-def _payload_view(col: "pa.Array") -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
-    """(valid, starts, lens, flat byte buffer) for a binary column —
-    the zero-copy access pattern shared with MediaDecoder."""
-    n = len(col)
-    valid = np.asarray(pc.is_valid(col))
-    buffers = col.buffers()
-    off_dtype = (np.int64 if pa.types.is_large_binary(col.type)
-                 else np.int32)
-    offs = np.frombuffer(buffers[1], dtype=off_dtype)[
-        col.offset: col.offset + n + 1].astype(np.int64)
-    data = (np.frombuffer(buffers[2], dtype=np.uint8)
-            if buffers[2] is not None else np.empty(0, np.uint8))
-    return valid, offs[:-1], offs[1:] - offs[:-1], data
-
-
-def _header_matrix(present: np.ndarray, starts: np.ndarray,
-                   data: np.ndarray, width: int) -> np.ndarray:
-    if data.size == 0 or not present.any():
-        return np.zeros((present.size, width), dtype=np.uint8)
-    gidx = starts[:, None] + np.arange(width)
-    gidx = np.minimum(gidx, data.size - 1)
-    return data[np.where(present[:, None], gidx, 0)]
 
 
 def _wav_mask(present, hdr, lens) -> np.ndarray:

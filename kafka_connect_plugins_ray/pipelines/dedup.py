@@ -1419,13 +1419,9 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
         binc = pc.cast(pc.fill_null(col, ""), pa.binary())
         if isinstance(binc, pa.ChunkedArray):
             binc = binc.combine_chunks()
-        n = len(binc)
-        buffers = binc.buffers()
-        offs = np.frombuffer(buffers[1], dtype=np.int32)[
-            binc.offset: binc.offset + n + 1].astype(np.int64)
-        data = (np.frombuffer(buffers[2], dtype=np.uint8)
-                if buffers[2] is not None else np.empty(0, np.uint8))
-        starts, lens = offs[:-1], offs[1:] - offs[:-1]
+        from ..functions.binview import payload_view
+
+        _, starts, lens, data = payload_view(binc)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
             np.int64)
         rows = np.nonzero(lens >= k)[0]
@@ -1455,13 +1451,10 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
         h1o, h2o = h1[order], h2[order]
         first = np.concatenate(
             ([True], (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
-        # groups of size 1 contribute nothing; in larger groups every
-        # row EXCEPT the first (global min (doc,pos) — the whole group
-        # is in this bucket) is a drop span
-        grp_id = np.cumsum(first) - 1
-        grp_size = np.bincount(grp_id)
-        dup = (grp_size[grp_id] > 1) & ~first
-        sel = order[dup]
+        # every non-first row of a (h1,h2) group is a drop span (the
+        # group's global min (doc,pos) lives in this bucket and is the
+        # `first` row; size-1 groups have no non-first rows)
+        sel = order[~first]
         if sel.size == 0:
             return None
         return pa.table({
@@ -1512,12 +1505,11 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
         if isinstance(binc, pa.ChunkedArray):
             binc = binc.combine_chunks()
         nb = len(binc)
-        buffers = binc.buffers()
-        offs = np.frombuffer(buffers[1], dtype=np.int32)[
-            binc.offset: binc.offset + nb + 1].astype(np.int64)
-        data = (np.frombuffer(buffers[2], dtype=np.uint8).copy()
-                if buffers[2] is not None else np.empty(0, np.uint8))
-        starts, lens = offs[:-1], offs[1:] - offs[:-1]
+        from ..functions.binview import payload_view
+
+        _, starts, lens, data = payload_view(binc)
+        offs = np.concatenate((starts, [starts[-1] + lens[-1]])) \
+            if nb else np.zeros(1, np.int64)
         ids = dd.column("doc_id").to_numpy().astype(np.int64)
         # map drop (doc_id, pos) -> global byte offsets via searchsorted
         order = np.argsort(ids, kind="stable")

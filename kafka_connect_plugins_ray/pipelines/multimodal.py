@@ -191,28 +191,15 @@ class MediaDecoder:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n = len(col)
-        valid = np.asarray(pc.is_valid(col))
-        buffers = col.buffers()
-        off_dtype = (np.int64 if pa.types.is_large_binary(col.type)
-                     else np.int32)
-        offs = np.frombuffer(buffers[1], dtype=off_dtype)[
-            col.offset: col.offset + n + 1].astype(np.int64)
-        data = (np.frombuffer(buffers[2], dtype=np.uint8)
-                if buffers[2] is not None else np.empty(0, np.uint8))
-        starts = offs[:-1]
-        lens = offs[1:] - starts
+        from ..functions.binview import header_matrix, payload_view
+
+        valid, starts, lens, data = payload_view(col)
         ok = valid & (lens >= BMP_HEADER_LEN)
         # gather window covers both formats' fixed-offset fields: 54 for
         # BMP, 61 (through the IDAT length/type) for PNG; indices are
         # clamped at the buffer end — bytes past a short row are garbage
         # but only ever read for rows whose format check says they exist
-        gather_len = _PNG_IDAT_DATA_OFF
-        if data.size == 0 or not ok.any():
-            hdr = np.zeros((n, gather_len), dtype=np.uint8)
-        else:
-            gidx = starts[:, None] + np.arange(gather_len)
-            gidx = np.minimum(gidx, data.size - 1)
-            hdr = data[np.where(ok[:, None], gidx, 0)]
+        hdr = header_matrix(ok, starts, data, _PNG_IDAT_DATA_OFF)
         is_bmp = ok & (hdr[:, 0] == 0x42) & (hdr[:, 1] == 0x4D)
         sig = np.frombuffer(PNG_SIG, dtype=np.uint8)
         is_png = ok & (hdr[:, :8] == sig[None, :]).all(axis=1) \
@@ -596,26 +583,14 @@ class ByteHistogramFeatures:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n = len(col)
-        valid = np.asarray(pc.is_valid(col))
-        buffers = col.buffers()
-        off_dtype = (np.int64 if pa.types.is_large_binary(col.type)
-                     else np.int32)
-        offs = np.frombuffer(buffers[1], dtype=off_dtype)[
-            col.offset: col.offset + n + 1].astype(np.int64)
-        data = (np.frombuffer(buffers[2], dtype=np.uint8)
-                if buffers[2] is not None else np.empty(0, np.uint8))
-        starts, lens = offs[:-1], offs[1:] - offs[:-1]
+        from ..functions.binview import header_matrix, payload_view
+
+        valid, starts, lens, data = payload_view(col)
         hist = np.zeros((n, 256), dtype=np.float64)
         present = valid & (lens >= BMP_HEADER_LEN)
         # vectorized format detection: one fixed-width header gather
         # (same pattern as MediaDecoder)
-        gather_len = _PNG_IDAT_DATA_OFF
-        if data.size == 0 or not present.any():
-            hdr = np.zeros((n, gather_len), dtype=np.uint8)
-        else:
-            gidx = starts[:, None] + np.arange(gather_len)
-            gidx = np.minimum(gidx, data.size - 1)
-            hdr = data[np.where(present[:, None], gidx, 0)]
+        hdr = header_matrix(present, starts, data, _PNG_IDAT_DATA_OFF)
         is_bmp = present & (hdr[:, 0] == 0x42) & (hdr[:, 1] == 0x4D)
         sig = np.frombuffer(PNG_SIG, dtype=np.uint8)
         is_png = present & (hdr[:, :8] == sig[None, :]).all(axis=1) \

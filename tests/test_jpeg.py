@@ -225,3 +225,49 @@ def test_byte_histogram_features_jpeg_branch():
     emb = hist @ W
     emb /= np.linalg.norm(emb)
     assert np.allclose(e0, emb.astype(np.float32), atol=1e-6)
+
+
+def test_malformed_payloads_degrade_not_crash():
+    """Round-4 review finding: low-level parse failures (struct.error /
+    IndexError / negative-shift ValueError) must surface as JpegError so
+    non-strict decode stages null the row instead of killing the task."""
+    import pyarrow as pa
+
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        ByteHistogramFeatures, MediaDecoder)
+
+    bad_payloads = [
+        # DRI segment with an empty body: struct.unpack on b"" inside
+        b"\xff\xd8\xff\xdd\x00\x02" + b"\x00" * 60,
+        # SOS with an empty body: body[0] IndexError
+        b"\xff\xd8\xff\xda\x00\x02" + b"\x00" * 60,
+        # DHT claiming a 17-bit DC size code: negative-shift ValueError
+        b"\xff\xd8\xff\xc4\x00\x15\x00" + bytes([1] + [0] * 15)
+        + bytes([17]) + b"\x00" * 60,
+        # segment length pointing past the buffer
+        b"\xff\xd8\xff\xdb\xff\xff" + b"\x00" * 60,
+    ]
+    for raw in bad_payloads:
+        with pytest.raises(JpegError):
+            decode_gray(raw)
+    t = pa.table({
+        "doc_id": pa.array(range(len(bad_payloads)), pa.int64()),
+        "payload": pa.array(bad_payloads, pa.binary()),
+    })
+    meta = MediaDecoder(strict=False)(t).column("media_meta")
+    assert all(meta[i].as_py() is None for i in range(len(bad_payloads)))
+    embs = ByteHistogramFeatures(strict=False)(t).column("embedding")
+    assert all(embs[i].as_py() is None for i in range(len(bad_payloads)))
+    # strict mode: the promised precise error type, not a raw crash
+    with pytest.raises((NotImplementedError, ValueError)):
+        MediaDecoder(strict=True)(t)
+    # malformed AVI structure degrades the same way
+    from kafka_connect_plugins_ray.functions.mjpeg_avi import (
+        AviError, parse_avi)
+    trunc = b"RIFF\x10\x00\x00\x00AVI LIST\xff\xff\xff\xffhdrlavih"
+    with pytest.raises(AviError):
+        parse_avi(trunc + b"\x00" * 10)
+    t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "payload": pa.array([trunc + b"\x00" * 60], pa.binary())})
+    assert MediaDecoder(strict=False)(t2).column(
+        "media_meta")[0].as_py() is None
