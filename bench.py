@@ -283,6 +283,78 @@ def run_media() -> None:
     }))
 
 
+def run_corpus() -> None:
+    """Sustained-throughput evidence for the text-dedup family on a
+    corpus ~60× sf0.1: ~90 MB / 50k docs with planted boilerplate and
+    exact-dup classes, through exact_dedup, MinHash+LSH pairs,
+    line_dedup and substring_dedup (stride=4 — the documented
+    volume/recall knob; stride=1 at this size shuffles ~3 GB).  Reports
+    MB/s per operator."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        exact_dedup, line_dedup, minhash_lsh_pairs, substring_dedup)
+
+    rng = np.random.RandomState(0)
+    boiler = ("subscribe to our newsletter for daily updates and news "
+              * 3)
+    vocab = ["w%03d" % i for i in range(600)]
+    docs = []
+    for i in range(50000):
+        body = " ".join(rng.choice(vocab, size=360))
+        if i % 10 == 0:
+            body = boiler + body            # planted boilerplate
+        if i % 17 == 0 and i:
+            body = docs[i - 1]              # exact-dup class
+        docs.append(body)
+    total_mb = sum(len(d) for d in docs) / 1e6
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    slices = [t.slice(i, 2500) for i in range(0, len(docs), 2500)]
+
+    def ds():
+        return rd.from_arrow(slices)
+
+    out = {"corpus_mb": round(total_mb, 1), "docs": len(docs)}
+    t0 = time.perf_counter()
+    n = exact_dedup(ds()).num_rows
+    out["exact_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["exact_distinct"] = n
+    t0 = time.perf_counter()
+    p = minhash_lsh_pairs(ds()).num_rows
+    out["minhash_lsh_sec"] = round(time.perf_counter() - t0, 2)
+    out["lsh_pairs"] = p
+    t0 = time.perf_counter()
+    ld = line_dedup(ds(), sep=" ")
+    nld = ld.count()
+    out["line_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["line_dedup_docs"] = nld
+    t0 = time.perf_counter()
+    sd = substring_dedup(ds(), k=50, stride=4)
+    removed = int(sd.to_pandas()["n_removed"].sum())
+    out["substring_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["substr_removed_mb"] = round(removed / 1e6, 2)
+    wall = (out["exact_dedup_sec"] + out["minhash_lsh_sec"]
+            + out["line_dedup_sec"] + out["substring_dedup_sec"])
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "corpus_dedup_family_wall_sec",
+        "value": round(wall, 2), "unit": "sec",
+        "mb_per_sec_overall": round(4 * total_mb / wall, 1),
+        **out, "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_codec() -> None:
     """JPEG + MJPEG-AVI payloads through the actor-pool decode→feature
     stage: measures our own T.81 entropy decoder inside the production
@@ -584,6 +656,8 @@ def main():
         run_bpe()
     elif "--codec" in sys.argv:
         run_codec()
+    elif "--corpus" in sys.argv:
+        run_corpus()
     elif "--endurance" in sys.argv:
         run_endurance()
     elif "--headline-only" in sys.argv:
