@@ -60,6 +60,29 @@ def test_jpeg_color_decodes_and_shapes(h, w, q, seed, sub):
     assert out.shape == img.shape and out.dtype == np.uint8
 
 
+@settings(max_examples=15, deadline=None)
+@given(h=st.integers(1, 32), w=st.integers(1, 32),
+       q=st.integers(1, 100), seed=st.integers(0, 2**31 - 1),
+       color=st.booleans())
+def test_jpeg_progressive_equals_baseline_property(h, w, q, seed, color):
+    """ANY shape/quality/content: progressive transmission must decode
+    to exactly the baseline reconstruction (same quantized
+    coefficients, different scan order)."""
+    from kafka_connect_plugins_ray.functions.jpeg import (
+        encode_color, encode_progressive)
+
+    rng = np.random.RandomState(seed)
+    if color:
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        base = decode(encode_color(img, q, "444"))
+        prog = decode(encode_progressive(img, q, "444"))
+    else:
+        img = rng.randint(0, 256, (h, w), np.uint8)
+        base = decode(encode_gray(img, q))
+        prog = decode(encode_progressive(img, q))
+    assert np.array_equal(base, prog)
+
+
 @settings(max_examples=20, deadline=None)
 @given(n=st.integers(0, 400), seed=st.integers(0, 2**31 - 1),
        doc_id=st.integers(0, 3))

@@ -79,10 +79,14 @@ def test_quality_100_near_lossless_and_dims():
 def test_mode_boundaries_raise():
     img = np.zeros((8, 8), np.uint8)
     data = bytearray(encode_gray(img, 85))
-    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    # flip SOF0 -> SOF9 (arithmetic coding): must refuse, not mis-decode
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2
+    data[i + 1] = 0xC9
     with pytest.raises(JpegError, match="non-baseline"):
+        decode_gray(bytes(data))
+    # SOF2 with a baseline-shaped scan header is inconsistent: refuse
+    data[i + 1] = 0xC2
+    with pytest.raises(JpegError, match="progressive"):
         decode_gray(bytes(data))
     with pytest.raises(JpegError, match="SOI"):
         decode_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60)
@@ -271,3 +275,54 @@ def test_malformed_payloads_degrade_not_crash():
                    "payload": pa.array([trunc + b"\x00" * 60], pa.binary())})
     assert MediaDecoder(strict=False)(t2).column(
         "media_meta")[0].as_py() is None
+
+
+def test_progressive_equals_baseline_exactly():
+    """Progressive transmission is a reordering of the SAME quantized
+    coefficients: decode(encode_progressive(x)) must equal
+    decode(encode_baseline(x)) bit for bit — any error in the spectral
+    selection, successive approximation, EOB-run or refinement-bit
+    logic breaks exact equality."""
+    from kafka_connect_plugins_ray.functions.jpeg import (
+        decode, encode_color, encode_progressive)
+
+    rng = np.random.RandomState(7)
+    for shape, q in [((24, 40), 85), ((8, 8), 95), ((7, 200), 10),
+                     ((65, 17), 50)]:
+        img = rng.randint(0, 256, shape, np.uint8)
+        assert np.array_equal(decode(encode_progressive(img, q)),
+                              decode(encode_gray(img, q))), (shape, q)
+    for shape, q, sub in [((33, 49, 3), 50, "444"),
+                          ((41, 27, 3), 70, "420"),
+                          ((9, 9, 3), 30, "420")]:
+        img = rng.randint(0, 256, shape, np.uint8)
+        assert np.array_equal(
+            decode(encode_progressive(img, q, sub)),
+            decode(encode_color(img, q, sub))), (shape, q, sub)
+    # sparse AC content drives multi-block EOB runs (EOBn symbols +
+    # run-extension bits) through encoder AND decoder
+    sparse = np.full((64, 64), 120, np.uint8)
+    sparse[10, 10] = 250
+    assert np.array_equal(decode(encode_progressive(sparse, 85)),
+                          decode(encode_gray(sparse, 85)))
+    # smooth gradient: refinement scans carry real correction bits
+    grad = np.add.outer(np.arange(48), np.arange(48)).astype(np.uint8)
+    assert np.array_equal(decode(encode_progressive(grad, 40)),
+                          decode(encode_gray(grad, 40)))
+
+
+def test_media_decoder_accepts_progressive():
+    from kafka_connect_plugins_ray.functions.jpeg import (
+        decode_gray, encode_progressive)
+    from kafka_connect_plugins_ray.functions.vhash import hash64_column
+    from kafka_connect_plugins_ray.pipelines.multimodal import MediaDecoder
+
+    img = np.random.RandomState(3).randint(0, 256, (16, 24), np.uint8)
+    payload = encode_progressive(img, 90)
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "payload": pa.array([payload], pa.binary())})
+    m = MediaDecoder(strict=True)(t).column("media_meta")[0].as_py()
+    assert (m["width"], m["height"]) == (24, 16)
+    pix = decode_gray(payload)
+    assert m["content_hash"] == hash64_column(
+        pa.array([pix.tobytes()], pa.binary())).view(np.int64)[0]
