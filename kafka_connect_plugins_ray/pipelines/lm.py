@@ -1,0 +1,222 @@
+"""N-gram language-model perplexity — the CCNet/Gopher-style quality
+filter (Wenzek et al. 2020 filter corpora by LM perplexity; public
+add-alpha-smoothed bigram math, no external model).
+
+Scale shape:
+
+- TRAINING is two distributed count summaries, both CAPPED: unigram
+  counts → vocabulary = global top-K words (the existing
+  ``corpus_word_counts_topk`` machinery), and bigram counts → global
+  top-M pairs by count (per-batch arrow group-by partials → hash
+  exchange on the packed pair → per-bucket sums + per-bucket top-M →
+  driver merge of B small lists; the per-bucket cap is sound because a
+  pair's global count lives wholly in one bucket).  The driver holds
+  ≤ K + M rows — megabytes at K=30k/M=200k, independent of corpus
+  size.  Out-of-vocabulary tokens map to a single ``<unk>`` id whose
+  count absorbs the tail mass.
+- SCORING is an actor-pool ``map_batches`` stage: the model (two numpy
+  arrays + one sorted packed-key array) ships once via ``ray.put`` and
+  unpacks once per actor in ``__init__`` — a BOUNDED broadcast (model
+  size is capped by construction, unlike a corpus-sized set).  Per
+  batch: one whitespace split, one dictionary-encode factorization, one
+  searchsorted per transition, one segment mean — no per-doc Python.
+
+Smoothing: add-alpha over the capped vocabulary,
+``p(cur|prev) = (c(prev,cur) + a) / (c(prev) + a * V)``; per-doc score
+is the mean negative log-probability over transitions (perplexity =
+``exp`` of it), 0.0 for docs with < 2 tokens.  Deterministic given the
+corpus; pinned against a pure-Python per-doc reference in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+UNK = "<unk>"
+
+
+def _pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(prev_id, cur_id) -> one uint64 key (ids < 2^32 by construction)."""
+    return (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+
+
+def bigram_counts_topm(docs, vocab: "dict[str, int]", top_m: int = 200000,
+                       num_buckets: int = 32) -> "tuple[np.ndarray, np.ndarray]":
+    """Global top-M (packed_pair, count) over vocab-mapped token
+    transitions (OOV → the <unk> id).  Same exchange shape as the word
+    summary; the broadcastable vocab dict is already capped."""
+    import ray
+
+    from ..exchange import hash_exchange
+    from ..functions.tokenize import flat_tokens
+
+    unk = vocab[UNK]
+    vocab_ref = ray.put(vocab)
+
+    def partial(batch: pa.Table) -> "pa.Table | None":
+        v = ray.get(vocab_ref)
+        flat, counts = flat_tokens(batch.column("text"))
+        if len(flat) == 0:
+            return None
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        distinct = enc.dictionary.to_pylist()
+        dmap = np.fromiter((v.get(wd, unk) for wd in distinct),
+                           dtype=np.int64, count=len(distinct))
+        ids = dmap[np.asarray(enc.indices, dtype=np.int64)]
+        # transitions within docs only
+        n = len(counts)
+        nbi = np.maximum(counts - 1, 0)
+        total = int(nbi.sum())
+        if total == 0:
+            return None
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bi_starts = np.concatenate(([0], np.cumsum(nbi)[:-1]))
+        intra = np.arange(total) - np.repeat(bi_starts, nbi)
+        g = np.repeat(starts, nbi) + intra
+        key = _pack(ids[g], ids[g + 1])
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "key": pa.array(uniq.view(np.int64), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "bucket": pa.array((uniq % np.uint64(num_buckets))
+                               .astype(np.int32), pa.int32()),
+        })
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        k = t.column("key").to_numpy()
+        n = t.column("n").to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, n = k[order], n[order]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        sums = np.add.reduceat(n, np.nonzero(first)[0])
+        ku = k[first]
+        if ku.size > top_m:
+            keep = np.argsort(-sums, kind="stable")[:top_m]
+            ku, sums = ku[keep], sums[keep]
+        return pa.table({"key": pa.array(ku, pa.int64()),
+                         "n": pa.array(sums, pa.int64())})
+
+    shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    allc = pa.concat_tables(shards)
+    k = allc.column("key").to_numpy().view(np.uint64)
+    n = allc.column("n").to_numpy()
+    if k.size > top_m:
+        keep = np.argsort(-n, kind="stable")[:top_m]
+        k, n = k[keep], n[keep]
+    order = np.argsort(k)
+    return k[order].copy(), n[order].copy()
+
+
+def train_bigram_lm(docs, vocab_k: int = 30000, top_m: int = 200000,
+                    alpha: float = 0.1, num_buckets: int = 32) -> dict:
+    """Distributed training → a small broadcastable model dict:
+    ``{vocab, unigram, bigram_keys (sorted packed), bigram_counts,
+    alpha}``.  Unigram counts for <unk> absorb the capped tail so the
+    conditional denominators stay consistent."""
+    from ..functions.bpe import corpus_word_counts_topk
+
+    wc = corpus_word_counts_topk(docs, top_k=vocab_k,
+                                 num_buckets=num_buckets)
+    words = list(wc.index)
+    vocab = {w: i for i, w in enumerate(words)}
+    vocab[UNK] = len(words)
+    uni = np.zeros(len(words) + 1, dtype=np.int64)
+    uni[:len(words)] = wc.values
+    # tail mass: total tokens minus in-vocab mass (one streaming count)
+    total_tokens = int(docs.map_batches(
+        _token_count_partial, batch_format="pyarrow").sum("n") or 0)
+    uni[-1] = max(total_tokens - int(uni.sum()), 0)
+    bk, bn = bigram_counts_topm(docs, vocab, top_m=top_m,
+                                num_buckets=num_buckets)
+    return {"vocab": vocab, "unigram": uni, "bigram_keys": bk,
+            "bigram_counts": bn, "alpha": float(alpha)}
+
+
+def _token_count_partial(batch: pa.Table) -> pa.Table:
+    from ..functions.tokenize import flat_tokens
+
+    _, counts = flat_tokens(batch.column("text"))
+    return pa.table({"n": pa.array([int(counts.sum())], pa.int64())})
+
+
+class PerplexityScorer:
+    """Actor-pool scoring stage: model unpacked once per actor from the
+    ``ray.put`` handle; per batch fully vectorized (factorize → vocab
+    map → packed-key searchsorted → segment mean).  Output:
+    (doc_id, nll, ppl) — nll is the mean negative log2-probability per
+    transition, ppl = 2^nll; both 0.0 for docs with < 2 tokens."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        m = ray.get(model_ref) if not isinstance(model_ref, dict) \
+            else model_ref
+        self.vocab = m["vocab"]
+        self.uni = m["unigram"]
+        self.bk = m["bigram_keys"]
+        self.bn = m["bigram_counts"]
+        self.alpha = m["alpha"]
+        self.V = len(self.uni)
+        self.unk = self.vocab[UNK]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import flat_tokens
+
+        flat, counts = flat_tokens(batch.column("text"))
+        n = len(counts)
+        nll = np.zeros(n, dtype=np.float64)
+        if len(flat):
+            enc = flat.dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            distinct = enc.dictionary.to_pylist()
+            dmap = np.fromiter(
+                (self.vocab.get(wd, self.unk) for wd in distinct),
+                dtype=np.int64, count=len(distinct))
+            ids = dmap[np.asarray(enc.indices, dtype=np.int64)]
+            nbi = np.maximum(counts - 1, 0)
+            total = int(nbi.sum())
+            if total:
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                bi_starts = np.concatenate(([0], np.cumsum(nbi)[:-1]))
+                intra = np.arange(total) - np.repeat(bi_starts, nbi)
+                g = np.repeat(starts, nbi) + intra
+                prev, cur = ids[g], ids[g + 1]
+                key = _pack(prev, cur)
+                pos = np.searchsorted(self.bk, key)
+                pos = np.clip(pos, 0, max(self.bk.size - 1, 0))
+                found = (self.bk[pos] == key) if self.bk.size else \
+                    np.zeros(total, dtype=bool)
+                c_bi = np.where(found, self.bn[pos] if self.bn.size
+                                else 0, 0)
+                p = (c_bi + self.alpha) / (self.uni[prev]
+                                           + self.alpha * self.V)
+                lp = -np.log2(p)
+                doc_of = np.repeat(np.arange(n), nbi)
+                nll = np.bincount(doc_of, weights=lp, minlength=n) \
+                    / np.maximum(nbi, 1)
+                nll = np.where(nbi > 0, nll, 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "nll": pa.array(nll, pa.float64()),
+            "ppl": pa.array(np.exp2(nll), pa.float64()),
+        })
+
+
+def perplexity_scores(docs, model: dict, *, batch_size: int = 4096,
+                      concurrency: int = 4):
+    """documents → (doc_id, nll, ppl) with a trained bigram model;
+    the model ships to actors once via ``ray.put``."""
+    import ray
+
+    ref = ray.put(model)
+    return docs.map_batches(PerplexityScorer, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=concurrency)

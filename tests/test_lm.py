@@ -1,0 +1,131 @@
+"""Bigram-LM perplexity tests: distributed counts vs a driver-side
+reference, vectorized scoring vs a pure-Python per-doc reference,
+boundedness of the broadcast model, and the filtering sanity property
+(in-distribution text scores lower perplexity than shuffled noise)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.lm import (
+    UNK,
+    PerplexityScorer,
+    bigram_counts_topm,
+    perplexity_scores,
+    train_bigram_lm,
+)
+
+
+def _ref_nll(text, model):
+    toks = (text or "").split()
+    if len(toks) < 2:
+        return 0.0
+    vocab, uni = model["vocab"], model["unigram"]
+    bk, bn, a = model["bigram_keys"], model["bigram_counts"], model["alpha"]
+    bmap = {int(k): int(n) for k, n in zip(bk, bn)}
+    unk = vocab[UNK]
+    V = len(uni)
+    tot = 0.0
+    for i in range(len(toks) - 1):
+        p_id = vocab.get(toks[i], unk)
+        c_id = vocab.get(toks[i + 1], unk)
+        c_bi = bmap.get((p_id << 32) | c_id, 0)
+        p = (c_bi + a) / (uni[p_id] + a * V)
+        tot += -math.log2(p)
+    return tot / (len(toks) - 1)
+
+
+def _corpus(rng, n=300):
+    # Zipf-ish bigram structure: chains over a small vocab
+    vocab = ["tok%02d" % i for i in range(40)]
+    texts = []
+    for _ in range(n):
+        k = rng.randint(3, 40)
+        start = rng.randint(0, 40)
+        toks = [vocab[(start + j * j) % 40] for j in range(k)]
+        texts.append(" ".join(toks))
+    return texts
+
+
+def test_distributed_counts_match_reference():
+    rng = np.random.RandomState(5)
+    texts = _corpus(rng) + ["", None, "solo"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    docs = rd.from_arrow(t).repartition(4)
+    model = train_bigram_lm(docs, vocab_k=100, top_m=10000, num_buckets=8)
+    # driver-side exact reference counts
+    uni_ref: dict = {}
+    bi_ref: dict = {}
+    for s in texts:
+        toks = (s or "").split()
+        for w in toks:
+            uni_ref[w] = uni_ref.get(w, 0) + 1
+        for x, y in zip(toks, toks[1:]):
+            bi_ref[(x, y)] = bi_ref.get((x, y), 0) + 1
+    vocab = model["vocab"]
+    for w, c in uni_ref.items():
+        assert model["unigram"][vocab[w]] == c
+    assert model["unigram"][vocab[UNK]] == 0   # everything fit the cap
+    assert int(model["bigram_counts"].sum()) == sum(bi_ref.values())
+    for (x, y), c in bi_ref.items():
+        key = np.uint64((vocab[x] << 32) | vocab[y])
+        pos = np.searchsorted(model["bigram_keys"], key)
+        assert model["bigram_keys"][pos] == key
+        assert model["bigram_counts"][pos] == c
+
+
+def test_scoring_matches_reference_and_caps():
+    rng = np.random.RandomState(9)
+    texts = _corpus(rng, 120) + ["", None, "one", "a b"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    docs = rd.from_arrow(t).repartition(3)
+    # tiny caps force real <unk> + missing-bigram paths
+    model = train_bigram_lm(docs, vocab_k=10, top_m=25, num_buckets=4)
+    assert model["bigram_keys"].size <= 25
+    assert model["unigram"][model["vocab"][UNK]] > 0
+    out = perplexity_scores(docs, model, batch_size=64,
+                            concurrency=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for i, s in enumerate(texts):
+        exp = _ref_nll(s, model)
+        assert abs(out["nll"][i] - exp) < 1e-9, (i, s)
+        assert abs(out["ppl"][i] - 2 ** exp) < 1e-6
+    # scorer also accepts the raw dict (unit path, no ray.put)
+    one = PerplexityScorer(model)(t.slice(0, 4))
+    assert abs(one.column("nll")[0].as_py() - _ref_nll(texts[0], model)) \
+        < 1e-9
+
+
+def test_perplexity_separates_noise_from_corpus():
+    rng = np.random.RandomState(3)
+    texts = _corpus(rng, 400)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    docs = rd.from_arrow(t).repartition(4)
+    model = train_bigram_lm(docs, vocab_k=100, top_m=20000, num_buckets=8)
+    # shuffled-token docs break the bigram structure -> higher ppl
+    noise = [" ".join(rng.permutation(s.split())) for s in texts[:50]]
+    probe = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array(texts[:50] + noise, pa.string()),
+    })
+    scores = PerplexityScorer(model)(probe).column("ppl").to_pylist()
+    in_dist = np.mean(scores[:50])
+    shuffled = np.mean(scores[50:])
+    assert shuffled > in_dist * 1.5
+
+
+def test_bigram_bucket_cap_keeps_heavy_pairs():
+    texts = ["x y " * 50, "p q r"]   # (x,y)/(y,x) dominate
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    docs = rd.from_arrow(t)
+    vocab = {w: i for i, w in enumerate(["x", "y", "p", "q", "r"])}
+    vocab[UNK] = 5
+    bk, bn = bigram_counts_topm(docs, vocab, top_m=2, num_buckets=4)
+    assert bk.size == 2
+    assert set(bn.tolist()) == {50, 49}
