@@ -154,7 +154,8 @@ def train_bpe(word_counts: "dict[str, int] | pd.Series", n_merges: int,
 
 
 def corpus_word_counts_topk(docs, top_k: int = 30000,
-                            num_buckets: int = 32) -> pd.Series:
+                            num_buckets: int = 32,
+                            with_mass: bool = False):
     """Distributed word-frequency summary capped at ``top_k`` distinct
     words: per-batch arrow counts → hash exchange on word → per-bucket
     exact sums + per-bucket top-K → driver merge of B top-K lists.
@@ -179,22 +180,28 @@ def corpus_word_counts_topk(docs, top_k: int = 30000,
 
     partials = docs.map_batches(partial, batch_format="pyarrow")
 
-    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+    def reduce_bucket(pid: int, t: pa.Table):
         df = t.to_pandas()
+        mass = int(df["n"].sum())        # pre-cap token mass (exact)
         g = df.groupby("word", as_index=False)["n"].sum()
         g = g.sort_values(["n", "word"], ascending=[False, True]).head(top_k)
         if g.empty:
             return None
-        return pa.Table.from_pandas(g.reset_index(drop=True),
-                                    preserve_index=False)
+        return (pa.Table.from_pandas(g.reset_index(drop=True),
+                                     preserve_index=False), mass)
 
     shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
+    total_mass = sum(m for _, m in shards)
     if not shards:
-        return pd.Series(dtype="int64")
-    allc = pa.concat_tables(shards).to_pandas()
-    allc = allc.sort_values(["n", "word"],
-                            ascending=[False, True]).head(top_k)
-    return allc.set_index("word")["n"]
+        out = pd.Series(dtype="int64")
+    else:
+        allc = pa.concat_tables([t for t, _ in shards]).to_pandas()
+        allc = allc.sort_values(["n", "word"],
+                                ascending=[False, True]).head(top_k)
+        out = allc.set_index("word")["n"]
+    if with_mass:
+        return out, total_mass
+    return out
 
 
 def train_bpe_from_dataset(docs, n_merges: int = 512, top_k: int = 30000,

@@ -230,6 +230,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill final byte (F.1.2.3)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (raw marker bytes, never stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _magnitude(v: int) -> "tuple[int, int]":
     """(size category, appended bits) for a coefficient (T.81 F.1.2.1)."""
@@ -439,7 +446,6 @@ def _prog_ac_first(wr: _ProgACWriter, blk, Ss: int, Se: int,
     """One block of an AC first scan (Ah=0): point-transformed values,
     run/size symbols, EOB-run accumulation across blocks."""
     r = 0
-    wrote = False
     for k in range(Ss, Se + 1):
         v = int(blk[k])
         t = (v >> Al) if v >= 0 else -((-v) >> Al)
@@ -454,9 +460,6 @@ def _prog_ac_first(wr: _ProgACWriter, blk, Ss: int, Se: int,
         wr.sym((r << 4) | size)
         wr.bw.write(bits, size)
         r = 0
-        wrote = True
-    if r > 0 or not wrote and Ss <= Se and r == (Se - Ss + 1):
-        pass
     if r > 0:
         wr.eobrun += 1
         if wr.eobrun == 0x7FFF:
@@ -508,14 +511,19 @@ def _prog_ac_refine(wr: _ProgACWriter, blk, Ss: int, Se: int,
 
 
 def encode_progressive(img: np.ndarray, quality: int = 85,
-                       subsample: str = "444") -> bytes:
+                       subsample: str = "444", restart_interval: int = 0,
+                       dc_interleaved: bool = True) -> bytes:
     """Encode as PROGRESSIVE JFIF (SOF2): gray (h, w) or RGB (h, w, 3)
-    uint8.  Scan script: interleaved DC at Al=1 → interleaved DC
-    refinement → per-component AC 1..63 at Al=1 → per-component AC
-    refinement — both successive-approximation passes and spectral
-    selection, i.e. the shape libjpeg emits.  The transmitted
-    coefficients are identical to the baseline encoder's, so
-    decode(encode_progressive(x)) == decode(encode_gray/color(x))."""
+    uint8.  Scan script: DC at Al=1 → DC refinement → per-component AC
+    1..63 at Al=1 → per-component AC refinement — both
+    successive-approximation passes and spectral selection, i.e. the
+    shape libjpeg emits.  ``restart_interval`` > 0 emits a DRI segment
+    and RST markers every that-many decode units in every scan;
+    ``dc_interleaved=False`` emits per-component DC scans (ns=1, the
+    jpegtran custom-scan-script shape) instead of one interleaved DC
+    scan.  The transmitted coefficients are identical to the baseline
+    encoder's, so decode(encode_progressive(x)) ==
+    decode(encode_gray/color(x))."""
     img = np.asarray(img, dtype=np.uint8)
     color = img.ndim == 3
     h, w = img.shape[0], img.shape[1]
@@ -547,8 +555,6 @@ def encode_progressive(img: np.ndarray, quality: int = 85,
               _plane_zz(cr, qc, mcuy, mcux)]
         samps = [(hs, vs), (1, 1), (1, 1)]
         # non-interleaved AC scans cover the component's OWN block grid
-        bdims = [(-(-h // 8) if vs == 1 else -(-h // 8),
-                  -(-w // 8) if hs == 1 else -(-w // 8))]
         bdims = []
         hmax, vmax = hs, vs
         for (chs, cvs) in samps:
@@ -581,52 +587,75 @@ def encode_progressive(img: np.ndarray, quality: int = 85,
                _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)}
     ac_codes = [prog_ac, prog_ac]
 
-    def mcu_blocks(ci):
-        chs, cvs = samps[ci]
-        for m in range(mcux * mcuy):
-            my, mx = divmod(m, mcux)
-            for by in range(cvs):
-                for bx in range(chs):
-                    yield zz[ci][my * cvs + by, mx * chs + bx]
+    def _dc_units(cis):
+        """(ci, block) decode units: MCU-interleaved over ``cis``, or a
+        single component's own block raster when len(cis)==1 < ncomp."""
+        if len(cis) > 1 or ncomp == 1:
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                unit = []
+                for ci in cis:
+                    chs, cvs = samps[ci]
+                    for by in range(cvs):
+                        for bx in range(chs):
+                            unit.append(
+                                (ci, zz[ci][my * cvs + by, mx * chs + bx]))
+                yield unit
+            return
+        ci = cis[0]
+        bh, bwid = bdims[ci]
+        for b in range(bh * bwid):
+            yield [(ci, zz[ci][b // bwid, b % bwid])]
 
-    def dc_first(Al):
+    def dc_first(cis, Al):
         bw = _BitWriter()
         preds = [0] * ncomp
-        iters = [iter([]) for _ in range(ncomp)]
-        for m in range(mcux * mcuy):
-            my, mx = divmod(m, mcux)
-            for ci in range(ncomp):
-                chs, cvs = samps[ci]
-                for by in range(cvs):
-                    for bx in range(chs):
-                        v = int(zz[ci][my * cvs + by, mx * chs + bx][0])
-                        t = v >> Al            # arithmetic point transform
-                        size, bits = _magnitude(t - preds[ci])
-                        preds[ci] = t
-                        c, l = dc_codes[dc_tabs[ci]][size]
-                        bw.write(c, l)
-                        if size:
-                            bw.write(bits, size)
+        units = 0
+        rst = 0
+        for unit in _dc_units(cis):
+            if restart_interval and units == restart_interval:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * ncomp
+                units = 0
+            units += 1
+            for ci, blk in unit:
+                t = int(blk[0]) >> Al          # arithmetic point transform
+                size, bits = _magnitude(t - preds[ci])
+                preds[ci] = t
+                c, l = dc_codes[dc_tabs[ci]][size]
+                bw.write(c, l)
+                if size:
+                    bw.write(bits, size)
         return bw.flush()
 
-    def dc_refine(Al):
+    def dc_refine(cis, Al):
         bw = _BitWriter()
-        for m in range(mcux * mcuy):
-            my, mx = divmod(m, mcux)
-            for ci in range(ncomp):
-                chs, cvs = samps[ci]
-                for by in range(cvs):
-                    for bx in range(chs):
-                        v = int(zz[ci][my * cvs + by, mx * chs + bx][0])
-                        bw.write((v >> Al) & 1, 1)
+        units = 0
+        rst = 0
+        for unit in _dc_units(cis):
+            if restart_interval and units == restart_interval:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                units = 0
+            units += 1
+            for ci, blk in unit:
+                bw.write((int(blk[0]) >> Al) & 1, 1)
         return bw.flush()
 
     def ac_scan(ci, Ss, Se, Ah, Al):
         bw = _BitWriter()
         wr = _ProgACWriter(bw, ac_codes[ac_tabs[ci]])
         bh, bwid = bdims[ci]
-        gh, gwid = zz[ci].shape[0], zz[ci].shape[1]
+        units = 0
+        rst = 0
         for b in range(bh * bwid):
+            if restart_interval and units == restart_interval:
+                wr.flush_eobrun()
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                units = 0
+            units += 1
             blk = zz[ci][b // bwid, b % bwid]
             if Ah == 0:
                 _prog_ac_first(wr, blk, Ss, Se, Al)
@@ -667,9 +696,17 @@ def encode_progressive(img: np.ndarray, quality: int = 85,
                     + bytes(PROG_AC_VALS))
         ids = [1]
 
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     all_sel = [(ids[ci], dc_tabs[ci], 0) for ci in range(ncomp)]
-    out += sos(all_sel, 0, 0, 0, 1) + dc_first(1)           # DC first
-    out += sos(all_sel, 0, 0, 1, 0) + dc_refine(0)          # DC refine
+    if dc_interleaved or ncomp == 1:
+        out += sos(all_sel, 0, 0, 0, 1) + dc_first(list(range(ncomp)), 1)
+        out += sos(all_sel, 0, 0, 1, 0) + dc_refine(list(range(ncomp)), 0)
+    else:                       # per-component DC scans (ns=1)
+        for ci in range(ncomp):
+            out += sos([all_sel[ci]], 0, 0, 0, 1) + dc_first([ci], 1)
+        for ci in range(ncomp):
+            out += sos([all_sel[ci]], 0, 0, 1, 0) + dc_refine([ci], 0)
     for ci in range(ncomp):                                  # AC first
         out += sos([(ids[ci], 0, 2)], 1, 63, 0, 1)
         out += ac_scan(ci, 1, 63, 0, 1)
@@ -717,14 +754,16 @@ def _parse_dims_impl(data: bytes) -> "tuple[int, int]":
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF: grayscale → (h, w) uint8, YCbCr color →
-    (h, w, 3) uint8 RGB.  Supports 1- or 3-component interleaved
-    baseline scans with sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0).
-    Raises JpegError on progressive / arithmetic / hierarchical streams
-    (the documented remaining boundary) AND on any malformed stream —
-    low-level parse failures (short segment bodies, foreign tables with
-    out-of-range size codes, truncated scans) are wrapped so callers
-    need only catch JpegError (the decode stages' null-row contract)."""
+    """Decode BASELINE or PROGRESSIVE JFIF: grayscale → (h, w) uint8,
+    YCbCr color → (h, w, 3) uint8 RGB.  1- or 3-component scans,
+    sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0); progressive streams
+    may mix interleaved DC scans, single-component DC/AC scans,
+    successive approximation and restart intervals.  Raises JpegError
+    on arithmetic / lossless / hierarchical streams (the remaining
+    boundary) AND on any malformed stream — low-level parse failures
+    (short segment bodies, foreign tables with out-of-range size codes,
+    truncated scans) are wrapped so callers need only catch JpegError
+    (the decode stages' null-row contract)."""
     try:
         return _decode_impl(data)
     except JpegError:
@@ -878,58 +917,85 @@ def _decode_impl(data: bytes) -> np.ndarray:
                             k += 1
             mcu_since_rst += 1
 
+    def _scan_units(scan):
+        """Decode units of a scan: interleaved scans step MCUs (each
+        yielding every block of every listed component); a
+        single-component scan steps that component's OWN block grid
+        (T.81 A.2.2).  Yields (comp, coef_base) per block; restart
+        boundaries are unit-aligned in both shapes."""
+        if len(scan) > 1 or (len(scan) == 1 and len(comps) == 1):
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                unit = []
+                for c in scan:
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            unit.append((c, ((my * c["vs"] + by) * c["gw"]
+                                             + (mx * c["hs"] + bx)) * 64))
+                yield unit
+        else:
+            c = scan[0]
+            for b in range(c["bh"] * c["bw"]):
+                yield [(c, ((b // c["bw"]) * c["gw"] + (b % c["bw"])) * 64)]
+
     def dc_first_scan(scan, Al, win16, nbits):
         pos = 0
+        units = 0
         for c in comps:
             c["dc"] = 0
-        for m in range(mcux * mcuy):
-            my, mx = divmod(m, mcux)
-            for c in scan:
+        for unit in _scan_units(scan):
+            if restart_interval and units == restart_interval:
+                pos = (pos + 7) // 8 * 8
+                for c in comps:
+                    c["dc"] = 0
+                units = 0
+            units += 1
+            for c, base in unit:
                 dc_lut = huff[(0, c["td"])]
-                coefd = c["coefd"]
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        if pos >= nbits:
-                            raise JpegError("truncated entropy stream")
-                        f = dc_lut[win16[pos]]
-                        if f == 0:
-                            raise JpegError("bad DC Huffman code")
-                        pos += f >> 8
-                        size = f & 0xFF
-                        if size:
-                            v = win16[pos] >> (16 - size)
-                            if v < (1 << (size - 1)):
-                                v -= (1 << size) - 1
-                            pos += size
-                            c["dc"] += v
-                        base = ((my * c["vs"] + by) * c["gw"]
-                                + (mx * c["hs"] + bx)) * 64
-                        coefd[base] = c["dc"] << Al
+                if pos >= nbits:
+                    raise JpegError("truncated entropy stream")
+                f = dc_lut[win16[pos]]
+                if f == 0:
+                    raise JpegError("bad DC Huffman code")
+                pos += f >> 8
+                size = f & 0xFF
+                if size:
+                    v = win16[pos] >> (16 - size)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    pos += size
+                    c["dc"] += v
+                c["coefd"][base] = c["dc"] << Al
 
     def dc_refine_scan(scan, Al, win16, nbits):
         pos = 0
+        units = 0
         bit = 1 << Al
-        for m in range(mcux * mcuy):
-            my, mx = divmod(m, mcux)
-            for c in scan:
-                coefd = c["coefd"]
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        if pos >= nbits:
-                            raise JpegError("truncated entropy stream")
-                        base = ((my * c["vs"] + by) * c["gw"]
-                                + (mx * c["hs"] + bx)) * 64
-                        if win16[pos] >> 15:
-                            coefd[base] |= bit
-                        pos += 1
+        for unit in _scan_units(scan):
+            if restart_interval and units == restart_interval:
+                pos = (pos + 7) // 8 * 8
+                units = 0
+            units += 1
+            for c, base in unit:
+                if pos >= nbits:
+                    raise JpegError("truncated entropy stream")
+                if win16[pos] >> 15:
+                    c["coefd"][base] |= bit
+                pos += 1
 
     def ac_first_scan(c, Ss, Se, Al, win16, nbits):
         pos = 0
         eobrun = 0
+        units = 0
         ac_lut = huff[(1, c["ta"])]
         coefd = c["coefd"]
         gw = c["gw"]
         for b in range(c["bh"] * c["bw"]):
+            if restart_interval and units == restart_interval:
+                pos = (pos + 7) // 8 * 8
+                eobrun = 0
+                units = 0
+            units += 1
             if eobrun:
                 eobrun -= 1
                 continue
@@ -974,7 +1040,13 @@ def _decode_impl(data: bytes) -> np.ndarray:
         ac_lut = huff[(1, c["ta"])]
         coefd = c["coefd"]
         gw = c["gw"]
+        units = 0
         for b in range(c["bh"] * c["bw"]):
+            if restart_interval and units == restart_interval:
+                pos = (pos + 7) // 8 * 8
+                eobrun = 0
+                units = 0
+            units += 1
             base = ((b // c["bw"]) * gw + (b % c["bw"])) * 64
             k = Ss
             if eobrun == 0:
@@ -1125,12 +1197,8 @@ def _decode_impl(data: bytes) -> np.ndarray:
                         raise JpegError("missing Huffman table")
                 baseline_scan(scan, win16, nbits)
             else:
-                if restart_interval:
-                    raise JpegError(
-                        "restart intervals in progressive scans "
-                        "unsupported")
-                if Ss == 0:                     # DC scan (whole image)
-                    if Se != 0 or ns != len(comps):
+                if Ss == 0:             # DC scan (interleaved or ns=1)
+                    if Se != 0 or ns not in (1, len(comps)):
                         raise JpegError("bad progressive DC scan header")
                     if Ah == 0:
                         for c in scan:

@@ -23,9 +23,11 @@ Scale shape:
 
 Smoothing: add-alpha over the capped vocabulary,
 ``p(cur|prev) = (c(prev,cur) + a) / (c(prev) + a * V)``; per-doc score
-is the mean negative log-probability over transitions (perplexity =
-``exp`` of it), 0.0 for docs with < 2 tokens.  Deterministic given the
-corpus; pinned against a pure-Python per-doc reference in tests.
+is the mean negative log2-probability over transitions (perplexity =
+``2**nll``, base-2 throughout), 0.0 for docs with < 2 tokens.
+Deterministic given the corpus; pinned against a pure-Python per-doc
+reference in tests.  Driver-gate note: the driver's 50-query window is
+full, so this operator is pytest-gated like BPE (SURVEY §8).
 """
 
 from __future__ import annotations
@@ -54,11 +56,17 @@ def bigram_counts_topm(docs, vocab: "dict[str, int]", top_m: int = 200000,
     unk = vocab[UNK]
     vocab_ref = ray.put(vocab)
 
-    def partial(batch: pa.Table) -> "pa.Table | None":
+    empty = pa.table({"key": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int32())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # a map_batches UDF must return a batch — Ray rejects None (a
+        # block of only short/empty docs is a legal input)
         v = ray.get(vocab_ref)
         flat, counts = flat_tokens(batch.column("text"))
         if len(flat) == 0:
-            return None
+            return empty
         enc = flat.dictionary_encode()
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
@@ -71,7 +79,7 @@ def bigram_counts_topm(docs, vocab: "dict[str, int]", top_m: int = 200000,
         nbi = np.maximum(counts - 1, 0)
         total = int(nbi.sum())
         if total == 0:
-            return None
+            return empty
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         bi_starts = np.concatenate(([0], np.cumsum(nbi)[:-1]))
         intra = np.arange(total) - np.repeat(bi_starts, nbi)
@@ -122,28 +130,20 @@ def train_bigram_lm(docs, vocab_k: int = 30000, top_m: int = 200000,
     conditional denominators stay consistent."""
     from ..functions.bpe import corpus_word_counts_topk
 
-    wc = corpus_word_counts_topk(docs, top_k=vocab_k,
-                                 num_buckets=num_buckets)
+    # with_mass: the word-count exchange also reports each bucket's
+    # PRE-CAP token mass, so the <unk> tail needs no third corpus pass
+    wc, total_tokens = corpus_word_counts_topk(
+        docs, top_k=vocab_k, num_buckets=num_buckets, with_mass=True)
     words = list(wc.index)
     vocab = {w: i for i, w in enumerate(words)}
     vocab[UNK] = len(words)
     uni = np.zeros(len(words) + 1, dtype=np.int64)
     uni[:len(words)] = wc.values
-    # tail mass: total tokens minus in-vocab mass (one streaming count)
-    total_tokens = int(docs.map_batches(
-        _token_count_partial, batch_format="pyarrow").sum("n") or 0)
-    uni[-1] = max(total_tokens - int(uni.sum()), 0)
+    uni[-1] = max(int(total_tokens) - int(uni.sum()), 0)
     bk, bn = bigram_counts_topm(docs, vocab, top_m=top_m,
                                 num_buckets=num_buckets)
     return {"vocab": vocab, "unigram": uni, "bigram_keys": bk,
             "bigram_counts": bn, "alpha": float(alpha)}
-
-
-def _token_count_partial(batch: pa.Table) -> pa.Table:
-    from ..functions.tokenize import flat_tokens
-
-    _, counts = flat_tokens(batch.column("text"))
-    return pa.table({"n": pa.array([int(counts.sum())], pa.int64())})
 
 
 class PerplexityScorer:

@@ -326,3 +326,43 @@ def test_media_decoder_accepts_progressive():
     pix = decode_gray(payload)
     assert m["content_hash"] == hash64_column(
         pa.array([pix.tobytes()], pa.binary())).view(np.int64)[0]
+
+
+def test_progressive_restart_and_noninterleaved_dc():
+    """Second-review coverage: restart intervals in every progressive
+    scan type, and per-component (ns=1) DC scans on a 3-component image
+    — both spec-valid shapes the first cut refused — must decode to the
+    exact baseline reconstruction."""
+    from kafka_connect_plugins_ray.functions.jpeg import (
+        decode, encode_color, encode_progressive)
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (41, 27), np.uint8)
+    base = decode(encode_gray(img, 80))
+    for ri in (1, 3, 7):
+        assert np.array_equal(
+            base, decode(encode_progressive(img, 80,
+                                             restart_interval=ri))), ri
+    c = rng.randint(0, 256, (33, 49, 3), np.uint8)
+    cbase = decode(encode_color(c, 70, "420"))
+    for ri, dci in [(0, False), (2, False), (2, True), (5, False)]:
+        got = decode(encode_progressive(c, 70, "420",
+                                        restart_interval=ri,
+                                        dc_interleaved=dci))
+        assert np.array_equal(cbase, got), (ri, dci)
+
+
+def test_lm_training_survives_degenerate_blocks():
+    """Second-review regression: a Ray block holding only <2-token docs
+    must not crash bigram training (map_batches UDFs cannot return
+    None)."""
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.lm import train_bigram_lm
+
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(["solo", "", None, "x"], pa.string())})
+    model = train_bigram_lm(rd.from_arrow(t).repartition(4),
+                            vocab_k=10, top_m=10, num_buckets=2)
+    assert model["bigram_keys"].size == 0
+    assert model["unigram"].sum() == 2   # "solo" + "x"
