@@ -355,6 +355,49 @@ def run_corpus() -> None:
     }))
 
 
+def run_lm() -> None:
+    """Bigram-LM perplexity end-to-end over the sf documents table:
+    distributed capped training (vocab + bigram summaries) + actor-pool
+    scoring."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kafka_connect_plugins_ray.pipelines.lm import (
+        perplexity_scores, train_bigram_lm)
+    from kafka_connect_plugins_ray.sources.readers import read_table
+
+    docs = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    model = train_bigram_lm(docs, vocab_k=30000, top_m=200000)
+    t1 = time.perf_counter()
+    out = perplexity_scores(docs, model, concurrency=8)
+    import numpy as np
+
+    ppl = []
+    n = 0
+    for b in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ppl.append(b.column("ppl").to_numpy(zero_copy_only=False))
+        n += b.num_rows
+    mean_ppl = float(np.mean(np.concatenate(ppl))) if ppl else 0.0
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "lm_train_and_score_wall_sec",
+        "value": round(wall, 3), "unit": "sec",
+        "train_sec": round(t1 - t0, 3),
+        "score_sec": round(wall - (t1 - t0), 3),
+        "docs": n, "vocab": len(model["vocab"]),
+        "bigrams": int(model["bigram_keys"].size),
+        "mean_ppl": round(mean_ppl, 2),
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_codec() -> None:
     """JPEG + MJPEG-AVI payloads through the actor-pool decode→feature
     stage: measures our own T.81 entropy decoder inside the production
@@ -658,6 +701,8 @@ def main():
         run_codec()
     elif "--corpus" in sys.argv:
         run_corpus()
+    elif "--lm" in sys.argv:
+        run_lm()
     elif "--endurance" in sys.argv:
         run_endurance()
     elif "--headline-only" in sys.argv:

@@ -120,3 +120,40 @@ def test_byte_histogram_features_video_branch():
     exp = acc @ W
     exp /= np.linalg.norm(exp)
     assert np.allclose(emb, exp.astype(np.float32), atol=1e-6)
+
+
+def test_media_decoder_all_five_formats_one_batch():
+    """Integration pin: one batch mixing BMP, PNG, baseline JPEG,
+    progressive JPEG and MJPEG-AVI payloads (plus a null and garbage)
+    decodes in a single MediaDecoder pass — per-row format dispatch,
+    correct metadata per branch, garbage nulls in non-strict mode."""
+    import numpy as np
+
+    from kafka_connect_plugins_ray.functions.jpeg import (
+        encode_progressive)
+    from kafka_connect_plugins_ray.pipelines.multimodal import (
+        MediaDecoder, attach_avi, attach_jpeg, attach_payload)
+
+    text = "five formats one batch " * 30
+    base = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array([text, text], pa.string())})
+    bmp_png = attach_payload(base).column("payload")   # 0=BMP, 1=PNG
+    jpg = attach_jpeg(base.slice(0, 1), width=32).column("payload")[0]
+    img = np.frombuffer(text.encode()[:64], np.uint8).reshape(8, 8)
+    prog = encode_progressive(np.ascontiguousarray(img), 90)
+    avi = attach_avi(base.slice(0, 1),
+                     frame_shape=(8, 16)).column("payload")[0]
+    payloads = [bmp_png[0].as_py(), bmp_png[1].as_py(), jpg.as_py(),
+                prog, avi.as_py(), None, b"\x00" * 80]
+    t = pa.table({"doc_id": pa.array(range(7), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    meta = MediaDecoder(strict=False)(t).column("media_meta")
+    n = len(text.encode())
+    assert meta[0].as_py()["n_bytes"] == n                 # BMP
+    assert meta[1].as_py()["n_bytes"] == n                 # PNG inflate
+    assert meta[2].as_py()["width"] == 32                  # baseline JPEG
+    assert (meta[3].as_py()["width"],
+            meta[3].as_py()["height"]) == (8, 8)           # progressive
+    assert meta[4].as_py()["n_frames"] >= 1                # MJPEG-AVI
+    assert meta[5].as_py() is None                         # null
+    assert meta[6].as_py() is None                         # garbage
