@@ -1372,6 +1372,7 @@ _UTF8_CONT = 0b1000_0000, 0b1100_0000  # continuation byte: (b & C0) == 80
 
 def substring_dedup(docs: "rd.Dataset", k: int = 50,
                     num_buckets: int = DEDUP_BUCKETS, stride: int = 1,
+                    two_pass: bool = False,
                     return_refs: bool = False):
     """EXACT substring-level dedup: every k-BYTE window of text that
     occurs more than once across the whole corpus keeps only its FIRST
@@ -1390,7 +1391,12 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
        window START — with ``stride=1`` that is one row per text byte,
        the honest cost of EXACT substring dedup, the same order as the
        suffix array's O(corpus) construction traffic; ``stride>1``
-       trades recall for volume and is the documented approximation) →
+       trades recall for volume and is the documented approximation;
+       ``two_pass=True`` is the scale refinement: a hash-only counting
+       pass first, then full rows ONLY for the duplicated-h1 set —
+       broadcast bounded by duplicate volume like the drop sets —
+       cutting this exchange to 16 B/distinct-window + 32 B/duplicate;
+       output is pinned identical to one-pass) →
        exchange on h1 → per-bucket global winner per (h1, h2), all
        non-first (doc, pos) occurrences re-keyed by doc bucket.
     2. tagged-union exchange of drop rows + doc rows on doc bucket →
@@ -1411,8 +1417,14 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
     from ..exchange import hash_exchange, refs_to_dataset
 
     B = num_buckets
+    _empty_w = pa.table({
+        "h1": pa.array([], pa.int64()), "h2": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64()),
+        "bucket": pa.array([], pa.int32())})
 
-    def explode(t: pa.Table) -> "pa.Table | None":
+    def explode(t: pa.Table) -> pa.Table:
+        # map_batches UDFs must return a batch, never None (a block of
+        # only short docs is a legal input)
         col = t.column("text")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -1426,9 +1438,17 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
             np.int64)
         rows = np.nonzero(lens >= k)[0]
         if rows.size == 0:
-            return None
+            return _empty_w
         h1, h2, row_of, pos = _window_hashes(data, starts, lens, rows,
                                              k, stride)
+        if dup_ref is not None:
+            # two-pass stage 2: full rows only for candidate-duplicated
+            # h1s (the bounded set from pass 1); hash-collision FPs just
+            # ride along and fall out in the (h1, h2) group sort
+            keep = _in_sorted(h1.view(np.int64),
+                              ray.get(dup_ref))
+            h1, h2 = h1[keep], h2[keep]
+            row_of, pos = row_of[keep], pos[keep]
         return pa.table({
             "h1": pa.array(h1.view(np.int64), pa.int64()),
             "h2": pa.array(h2.view(np.int64), pa.int64()),
@@ -1437,6 +1457,57 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
             "bucket": pa.array((h1 % np.uint64(B)).astype(np.int32),
                                pa.int32()),
         })
+
+    dup_ref = None
+    if two_pass:
+        # PASS 1 — hash-only duplicate detection: one 16 B (h1, count)
+        # row per DISTINCT window per block (repetitive blocks
+        # pre-reduce), per-bucket sum → the global duplicated-h1 set,
+        # which is bounded by DUPLICATE volume (the accepted drop-set
+        # broadcast pattern) — so pass 2's full 32 B rows are emitted
+        # only for duplicated windows.
+        _empty_c = pa.table({
+            "h1": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32())})
+
+        def explode_h1(t: pa.Table) -> pa.Table:
+            col = t.column("text")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            binc = pc.cast(pc.fill_null(col, ""), pa.binary())
+            if isinstance(binc, pa.ChunkedArray):
+                binc = binc.combine_chunks()
+            from ..functions.binview import payload_view
+
+            _, starts1, lens1, data1 = payload_view(binc)
+            rows1 = np.nonzero(lens1 >= k)[0]
+            if rows1.size == 0:
+                return _empty_c
+            h1a, _h2, _r, _p = _window_hashes(data1, starts1, lens1,
+                                              rows1, k, stride)
+            uniq, cnt = np.unique(h1a, return_counts=True)
+            return pa.table({
+                "h1": pa.array(uniq.view(np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "bucket": pa.array((uniq % np.uint64(B)).astype(np.int32),
+                                   pa.int32()),
+            })
+
+        def dup_bucket(pid: int, t: pa.Table):
+            hh = t.column("h1").to_numpy()
+            nn = t.column("n").to_numpy()
+            order = np.argsort(hh, kind="stable")
+            hh, nn = hh[order], nn[order]
+            first = np.concatenate(([True], hh[1:] != hh[:-1]))
+            sums = np.add.reduceat(nn, np.nonzero(first)[0])
+            dup = hh[first][sums >= 2]
+            return dup if dup.size else None
+
+        counts = docs.map_batches(explode_h1, batch_format="pyarrow")
+        parts = hash_exchange(counts, "bucket", B, dup_bucket)
+        dup = (np.sort(np.concatenate(parts)) if parts
+               else np.empty(0, np.int64))
+        dup_ref = ray.put(dup)
 
     windows = docs.map_batches(explode, batch_format="pyarrow")
 

@@ -1606,3 +1606,34 @@ def test_substr_oracle_ascii_assumption():
                       columns=["text"])
     for x in t.column("text").to_pylist():
         assert x is None or x.isascii()
+
+
+def test_substring_dedup_two_pass_identical_and_degenerate_blocks():
+    from kafka_connect_plugins_ray.pipelines.dedup import substring_dedup
+
+    rng = np.random.RandomState(21)
+    frag = "the exact same boilerplate fragment appears here again "
+    texts = []
+    for i in range(80):
+        body = "".join(rng.choice(list("abcdef gh"), size=rng.randint(10, 200)))
+        texts.append((frag if i % 4 == 0 else "") + body)
+    texts += ["", None, "tiny"]      # degenerate rows / blocks
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    one = substring_dedup(rd.from_arrow(t).repartition(4), k=32,
+                          num_buckets=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    two = substring_dedup(rd.from_arrow(t).repartition(4), k=32,
+                          num_buckets=8, two_pass=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert one["text"].tolist() == two["text"].tolist()
+    assert one["n_removed"].tolist() == two["n_removed"].tolist()
+    assert one["n_removed"].sum() > 0
+    # a corpus where EVERY block is degenerate (all docs < k) must not
+    # crash either pass (map_batches UDFs cannot return None)
+    short = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["a", None], pa.string())})
+    for tp in (False, True):
+        out = substring_dedup(rd.from_arrow(short).repartition(2), k=32,
+                              two_pass=tp).to_pandas()
+        assert out["n_removed"].sum() == 0
