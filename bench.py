@@ -383,7 +383,9 @@ def run_lm() -> None:
     for b in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
         ppl.append(b.column("ppl").to_numpy(zero_copy_only=False))
         n += b.num_rows
-    mean_ppl = float(np.mean(np.concatenate(ppl))) if ppl else 0.0
+    allp = np.concatenate(ppl) if ppl else np.empty(0)
+    scored = allp[allp > 0]          # ppl==0 is the <2-token sentinel
+    mean_ppl = float(scored.mean()) if scored.size else 0.0
     wall = time.perf_counter() - t0
     ray.shutdown()
     print(json.dumps({
@@ -391,7 +393,8 @@ def run_lm() -> None:
         "value": round(wall, 3), "unit": "sec",
         "train_sec": round(t1 - t0, 3),
         "score_sec": round(wall - (t1 - t0), 3),
-        "docs": n, "vocab": len(model["vocab"]),
+        "docs": n, "scored_docs": int(scored.size),
+        "vocab": len(model["vocab"]),
         "bigrams": int(model["bigram_keys"].size),
         "mean_ppl": round(mean_ppl, 2),
         "sf": SF_DIR, "num_cpus": NUM_CPUS,

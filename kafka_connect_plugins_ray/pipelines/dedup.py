@@ -1346,25 +1346,47 @@ def line_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS,
 
 def _window_hashes(data: np.ndarray, starts: np.ndarray,
                    lens: np.ndarray, rows: np.ndarray, k: int,
-                   stride: int):
+                   stride: int, with_h2: bool = True):
     """Dual Karp–Rabin hashes of every (stride-spaced) k-BYTE window of
-    the docs in ``rows`` — two vectorized sweeps over the contiguous
-    span, per-doc positions gathered exactly (the winnow-slice pattern).
-    Returns (h1, h2, doc_row, byte_pos)."""
+    the docs in ``rows`` — vectorized sweeps over the contiguous span,
+    per-doc positions gathered exactly (the winnow-slice pattern).
+    Returns (h1, h2, doc_row, byte_pos); ``with_h2=False`` skips the
+    second sweep (h2 is None) for the two-pass counting stage, which
+    only needs h1."""
     from ..functions.hashing import _BASE2, _rolling_from_bytes
 
     s0 = int(starts[rows[0]])
     e0 = int(starts[rows[-1]] + lens[rows[-1]])
     span = data[s0:e0]
     h1 = _rolling_from_bytes(span, k)
-    h2 = _rolling_from_bytes(span, k, base=_BASE2)
+    h2 = _rolling_from_bytes(span, k, base=_BASE2) if with_h2 else None
     m = (lens[rows] - k) // stride + 1          # windows per doc
     total = int(m.sum())
     grp = np.concatenate(([0], np.cumsum(m)[:-1]))
     intra = (np.arange(total) - np.repeat(grp, m)) * stride
     pos = intra.astype(np.int64)                # byte pos within doc
     gidx = np.repeat(starts[rows] - s0, m) + pos
-    return h1[gidx], h2[gidx], np.repeat(rows, m), pos
+    return (h1[gidx], h2[gidx] if with_h2 else None,
+            np.repeat(rows, m), pos)
+
+
+def _doc_byte_view(t: pa.Table, k: int):
+    """Shared preamble for both substring-dedup passes: (ids, starts,
+    lens, data, rows-with-len>=k) over the block's text bytes.  ONE
+    implementation so the two passes can never disagree on which rows
+    qualify (the pinned one-pass/two-pass identity depends on it)."""
+    col = t.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    binc = pc.cast(pc.fill_null(col, ""), pa.binary())
+    if isinstance(binc, pa.ChunkedArray):
+        binc = binc.combine_chunks()
+    from ..functions.binview import payload_view
+
+    _, starts, lens, data = payload_view(binc)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    return ids, starts, lens, data, np.nonzero(lens >= k)[0]
 
 
 _UTF8_CONT = 0b1000_0000, 0b1100_0000  # continuation byte: (b & C0) == 80
@@ -1425,18 +1447,7 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
     def explode(t: pa.Table) -> pa.Table:
         # map_batches UDFs must return a batch, never None (a block of
         # only short docs is a legal input)
-        col = t.column("text")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        binc = pc.cast(pc.fill_null(col, ""), pa.binary())
-        if isinstance(binc, pa.ChunkedArray):
-            binc = binc.combine_chunks()
-        from ..functions.binview import payload_view
-
-        _, starts, lens, data = payload_view(binc)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        rows = np.nonzero(lens >= k)[0]
+        ids, starts, lens, data, rows = _doc_byte_view(t, k)
         if rows.size == 0:
             return _empty_w
         h1, h2, row_of, pos = _window_hashes(data, starts, lens, rows,
@@ -1471,20 +1482,12 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
             "bucket": pa.array([], pa.int32())})
 
         def explode_h1(t: pa.Table) -> pa.Table:
-            col = t.column("text")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            binc = pc.cast(pc.fill_null(col, ""), pa.binary())
-            if isinstance(binc, pa.ChunkedArray):
-                binc = binc.combine_chunks()
-            from ..functions.binview import payload_view
-
-            _, starts1, lens1, data1 = payload_view(binc)
-            rows1 = np.nonzero(lens1 >= k)[0]
+            _ids, starts1, lens1, data1, rows1 = _doc_byte_view(t, k)
             if rows1.size == 0:
                 return _empty_c
             h1a, _h2, _r, _p = _window_hashes(data1, starts1, lens1,
-                                              rows1, k, stride)
+                                              rows1, k, stride,
+                                              with_h2=False)
             uniq, cnt = np.unique(h1a, return_counts=True)
             return pa.table({
                 "h1": pa.array(uniq.view(np.int64), pa.int64()),
