@@ -1394,7 +1394,7 @@ _UTF8_CONT = 0b1000_0000, 0b1100_0000  # continuation byte: (b & C0) == 80
 
 def substring_dedup(docs: "rd.Dataset", k: int = 50,
                     num_buckets: int = DEDUP_BUCKETS, stride: int = 1,
-                    two_pass: bool = False,
+                    two_pass: bool = True,
                     return_refs: bool = False):
     """EXACT substring-level dedup: every k-BYTE window of text that
     occurs more than once across the whole corpus keeps only its FIRST
@@ -1414,11 +1414,15 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
        the honest cost of EXACT substring dedup, the same order as the
        suffix array's O(corpus) construction traffic; ``stride>1``
        trades recall for volume and is the documented approximation;
-       ``two_pass=True`` is the scale refinement: a hash-only counting
-       pass first, then full rows ONLY for the duplicated-h1 set —
-       broadcast bounded by duplicate volume like the drop sets —
-       cutting this exchange to 16 B/distinct-window + 32 B/duplicate;
-       output is pinned identical to one-pass) →
+       ``two_pass=True`` — the DEFAULT and the driver-gated path — is
+       the scale refinement: a hash-only counting pass first, then full
+       rows ONLY for the duplicated-h1 set — broadcast bounded by
+       duplicate volume like the drop sets — cutting this exchange to
+       16 B/distinct-window + 32 B/duplicate; output is pinned
+       identical to one-pass (``two_pass=False`` remains for the
+       identity test and for small corpora where one exchange beats
+       two); measured pass-2 volume vs one-pass on the sf0.01 corpus is
+       recorded in SCALE.md) →
        exchange on h1 → per-bucket global winner per (h1, h2), all
        non-first (doc, pos) occurrences re-keyed by doc bucket.
     2. tagged-union exchange of drop rows + doc rows on doc bucket →

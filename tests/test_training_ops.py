@@ -1621,7 +1621,7 @@ def test_substring_dedup_two_pass_identical_and_degenerate_blocks():
     t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                   "text": pa.array(texts, pa.string())})
     one = substring_dedup(rd.from_arrow(t).repartition(4), k=32,
-                          num_buckets=8).to_pandas() \
+                          num_buckets=8, two_pass=False).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     two = substring_dedup(rd.from_arrow(t).repartition(4), k=32,
                           num_buckets=8, two_pass=True).to_pandas() \
