@@ -265,6 +265,20 @@ def exact_dedup(docs: "rd.Dataset", num_buckets: int = DEDUP_BUCKETS) -> pa.Tabl
     return pa.concat_tables(shards, promote_options="permissive")
 
 
+_PAIR_DTYPE = np.dtype([("h1", "<i8"), ("h2", "<i8")])
+
+
+def _pair_view(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """(h1, h2) int64 pairs as a lexicographically-ordered structured
+    array — gives EXACT dual-hash set membership via one structured
+    ``np.searchsorted`` (no third mixing hash whose collisions could
+    alias a unique doc into a duplicate class)."""
+    out = np.empty(h1.size, dtype=_PAIR_DTYPE)
+    out["h1"] = h1.view(np.int64)
+    out["h2"] = h2.view(np.int64)
+    return out
+
+
 def exact_dedup_drop(docs: "rd.Dataset",
                      num_buckets: int = DEDUP_BUCKETS) -> np.ndarray:
     """Sorted doc_ids to DROP under exact content dedup — every member of
@@ -275,44 +289,91 @@ def exact_dedup_drop(docs: "rd.Dataset",
     ~one id per document and was the round-3 review's flagged
     corpus-sized broadcast in ``corpus_prep``).
 
-    Shuffle shape: each batch ships one (h1, h2, doc_id) row per doc
-    (24 B — non-min ids must survive the exchange to be droppable, so
-    the ids can't pre-reduce to min/count like ``exact_dedup``'s
-    partials; 24 B/doc is ~0.25% of corpus bytes at 10 KB/doc) → hash
-    exchange on the hash prefix → per-bucket drop rows = every id above
-    its (h1, h2) group's min."""
+    TWO-LEVEL shape (round 5 — bounds duplicate-class skew, the r4
+    review's #2): the r4 form shipped one (h1, h2, doc_id) row per DOC
+    through the exchange, and every member of one duplicate class
+    necessarily landed in ONE reduce task — a viral duplicate (empty
+    string, boilerplate page: 10^8-10^9 copies at web scale) put the
+    whole class in a single task with no pre-reduce possible.  Now:
+
+    1. per-block partials pre-reduce to (h1, h2, block_min, count) — ≤
+       one row per DISTINCT text per block, so one class contributes ≤
+       #blocks rows to its reduce task (the bounded ``line_dedup``
+       win-bucket shape) → hash exchange → per-bucket global
+       (min, total) per class; only classes with total ≥ 2 survive.
+    2. the duplicate-class (h1, h2, min_id) table — bounded by the
+       number of DISTINCT duplicated texts, ≤ half the duplicate
+       volume — broadcasts back; each block emits its drop rows
+       LOCALLY (member of a dup class ∧ doc_id != class min), so
+       doc-level rows never transit the exchange at all."""
+    import ray
 
     def partial(batch: pa.Table) -> pa.Table:
         h1 = hash64_column(batch.column("text"), seed=0)
         h2 = hash64_column(batch.column("text"), seed=1)
-        return pa.table({
+        t = pa.table({
             "h1": pa.array(h1.view(np.int64), pa.int64()),
             "h2": pa.array(h2.view(np.int64), pa.int64()),
-            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-            "bucket": pa.array((h1 % np.uint64(num_buckets)).astype(
-                np.int32), pa.int32()),
+            "min_id": pc.cast(batch.column("doc_id"), pa.int64()),
         })
+        g = t.group_by(["h1", "h2"]).aggregate([
+            ("min_id", "min"), ("min_id", "count")])
+        g = g.rename_columns(["h1", "h2", "min_id", "n"])
+        bucket = (g.column("h1").to_numpy().view(np.uint64)
+                  % num_buckets).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
 
-    rows = docs.map_batches(partial, batch_format="pyarrow")
+    partials = docs.map_batches(partial, batch_format="pyarrow")
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
         h1 = t.column("h1").to_numpy()
         h2 = t.column("h2").to_numpy()
-        d = t.column("doc_id").to_numpy()
-        order = np.lexsort((d, h2, h1))
+        mn = t.column("min_id").to_numpy()
+        n = t.column("n").to_numpy()
+        order = np.lexsort((mn, h2, h1))
         h1o, h2o = h1[order], h2[order]
-        keep_first = np.concatenate(
+        first = np.concatenate(
             ([True], (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
-        drops = d[order][~keep_first]
-        if drops.size == 0:
+        starts = np.nonzero(first)[0]
+        total = np.add.reduceat(n[order], starts)
+        gmin = np.minimum.reduceat(mn[order], starts)
+        dup = total >= 2
+        if not dup.any():
             return None
-        return pa.table({"doc_id": pa.array(drops, pa.int64())})
+        return pa.table({
+            "h1": pa.array(h1o[starts][dup], pa.int64()),
+            "h2": pa.array(h2o[starts][dup], pa.int64()),
+            "min_id": pa.array(gmin[dup], pa.int64()),
+        })
 
-    shards = hash_exchange(rows, "bucket", num_buckets, reduce_bucket)
+    shards = hash_exchange(partials, "bucket", num_buckets, reduce_bucket)
     if not shards:
         return np.zeros(0, dtype=np.int64)
+    classes = pa.concat_tables(shards, promote_options="permissive")
+    keys = _pair_view(classes.column("h1").to_numpy(),
+                      classes.column("h2").to_numpy())
+    order = np.argsort(keys, kind="stable")
+    cls_ref = ray.put((keys[order],
+                       classes.column("min_id").to_numpy()[order]))
+
+    def local_drops(batch: pa.Table) -> pa.Table:
+        keys_s, mins_s = ray.get(cls_ref)
+        h1 = hash64_column(batch.column("text"), seed=0)
+        h2 = hash64_column(batch.column("text"), seed=1)
+        q = _pair_view(h1, h2)
+        pos = np.clip(np.searchsorted(keys_s, q), 0, keys_s.size - 1)
+        member = keys_s[pos] == q
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        drops = ids[member & (ids != mins_s[pos])]
+        return pa.table({"doc_id": pa.array(drops, pa.int64())})
+
+    parts = [p for p in ray.get(
+        docs.map_batches(local_drops, batch_format="pyarrow")
+        .to_arrow_refs()) if p is not None and p.num_rows]
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
     return np.sort(np.concatenate(
-        [s.column("doc_id").to_numpy() for s in shards]))
+        [p.column("doc_id").to_numpy() for p in parts]))
 
 
 def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,

@@ -1305,6 +1305,52 @@ def test_exact_dedup_drop_is_bounded_by_duplicates():
     assert len(keep_ids) + len(drop) == n + len(dup_ids)
 
 
+def test_exact_dedup_drop_viral_class_skew_is_bounded(monkeypatch):
+    # round-5 design fix (r4 review #2): a viral duplicate (one text
+    # duplicated across ~half the corpus) must NOT land its whole class
+    # in one reduce task.  The two-level form pre-reduces per block to
+    # (h1, h2, block_min, count), so a class contributes <= one row per
+    # input BATCH to its reduce task.  The wrapped reduce_fn asserts the
+    # cap REMOTELY (a violation raises out of ray.get); the old one-row-
+    # per-doc form would see the viral class's 2000 rows at once.
+    import kafka_connect_plugins_ray.pipelines.dedup as dd
+
+    n = 4000
+    viral = "the same boilerplate page body repeated everywhere"
+    texts = [viral if i % 2 == 0 else f"unique doc {i}" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    real = dd.hash_exchange
+    cap = 64  # >= max input batches, << the 2000-member viral class
+
+    def spy(ds, col, B, reduce_fn, **kw):
+        def wrapped(pid, tbl):
+            if "n" in tbl.column_names:  # the class-partial exchange
+                h1 = tbl.column("h1").to_numpy()
+                h2 = tbl.column("h2").to_numpy()
+                order = np.lexsort((h2, h1))
+                h1o, h2o = h1[order], h2[order]
+                first = np.concatenate(
+                    ([True],
+                     (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
+                runs = np.diff(np.concatenate(
+                    (np.nonzero(first)[0], [h1o.size])))
+                if runs.size and runs.max() > cap:
+                    raise AssertionError(
+                        f"reduce task {pid} saw {runs.max()} rows for one "
+                        f"duplicate class (cap {cap}) — per-block "
+                        "pre-reduce is broken")
+            return reduce_fn(pid, tbl)
+        return real(ds, col, B, wrapped, **kw)
+
+    monkeypatch.setattr(dd, "hash_exchange", spy)
+    drop = dd.exact_dedup_drop(rd.from_arrow(t).repartition(8),
+                               num_buckets=8)
+    # every viral member except doc 0 (the class min) drops
+    assert drop.tolist() == [i for i in range(2, n, 2)]
+
+
 def test_verify_pairs_distributed_semantics():
     # round-4 design fix: pair verification happens inside bucket reduce
     # tasks (no driver-side text dict).  Semantics must match the
