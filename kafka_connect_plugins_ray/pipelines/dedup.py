@@ -16,7 +16,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -152,42 +151,58 @@ class MinHasher:
         })
 
 
-class BandExplode:
-    """Vectorized LSH banding: reshape the batch's signature matrix to
-    (docs, bands, rows_per_band), hash each band row with the numpy murmur
-    chain, and emit (doc_id, band_id, band_hash) via np.repeat/tile — no
-    per-row Python, and band hashes travel as int64 (8 bytes) rather than
-    hex strings (16+)."""
+_BAND_EXPLODE_EMPTY = pa.table({
+    "doc_id": pa.array([], pa.int64()),
+    "band_id": pa.array([], pa.int32()),
+    "band_hash": pa.array([], pa.int64()),
+    "bucket": pa.array([], pa.int32()),
+})
 
-    def __init__(self, num_bands: int = 16):
-        self.num_bands = num_bands
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        if n == 0:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype="int64"),
-                "band_id": pd.Series([], dtype="int32"),
-                "band_hash": pd.Series([], dtype="int64"),
-            })
-        sigs = batch["sig"].tolist()  # equal-length bytes per doc
-        m = np.frombuffer(b"".join(sigs), dtype=np.uint64).reshape(n, -1)
-        num_perm = m.shape[1]
-        rows = num_perm // self.num_bands
-        # mirror the old slicing semantics: trailing perms beyond
-        # rows*num_bands are dropped when num_perm isn't divisible
-        bands = m[:, :rows * self.num_bands].reshape(n, self.num_bands, rows)
-        # (docs*bands,) hash of each band's row values; salt with band_id so
-        # identical values in different bands never collide into one bucket
-        flat = bands.reshape(n * self.num_bands, rows)
-        band_ids = np.tile(np.arange(self.num_bands, dtype=np.uint64), n)
-        h = mix_columns_u64([band_ids] + [flat[:, r] for r in range(rows)])
-        return pd.DataFrame({
-            "doc_id": pd.Series(np.repeat(batch["doc_id"].to_numpy(),
-                                          self.num_bands), dtype="int64"),
-            "band_id": pd.Series(band_ids.astype(np.int32), dtype="int32"),
-            "band_hash": pd.Series(h.astype(np.int64), dtype="int64"),
-        })
+def band_explode(t: pa.Table, num_bands: int, num_buckets: int) -> pa.Table:
+    """Arrow-native LSH banding (round 5 — removes the pandas copy of the
+    widest minhash intermediate, the r4 review's #3): the signature
+    column's bytes are read straight from the Arrow buffer (zero-copy
+    reshape when rows are adjacent, one gather when sliced), each band
+    row hashes with the numpy murmur chain salted by band_id (identical
+    values in different bands never collide into one bucket), and the
+    (doc_id, band_id, band_hash, bucket) rows emit via np.repeat/tile —
+    no per-row Python, band hashes travel as int64."""
+    n = t.num_rows
+    if n == 0:
+        return _BAND_EXPLODE_EMPTY
+    from ..functions.binview import payload_view
+
+    sig = t.column("sig")
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    _, starts, lens, data = payload_view(sig)
+    width = int(lens[0])
+    if not (lens == width).all():
+        raise ValueError("minhash signatures must be equal-length")
+    if n == 1 or (starts[1:] == starts[:-1] + width).all():
+        flat_bytes = data[starts[0]:starts[0] + n * width]
+    else:  # sliced / non-adjacent rows: one vectorized gather
+        flat_bytes = data[(starts[:, None]
+                           + np.arange(width)).reshape(-1)]
+    m = np.ascontiguousarray(flat_bytes).view(np.uint64).reshape(n, -1)
+    num_perm = m.shape[1]
+    rows = num_perm // num_bands
+    # trailing perms beyond rows*num_bands are dropped when num_perm
+    # isn't divisible (pinned slicing semantics)
+    bands = m[:, :rows * num_bands].reshape(n, num_bands, rows)
+    flat = bands.reshape(n * num_bands, rows)
+    band_ids = np.tile(np.arange(num_bands, dtype=np.uint64), n)
+    h = mix_columns_u64([band_ids] + [flat[:, r] for r in range(rows)])
+    return pa.table({
+        "doc_id": pa.array(
+            np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False)
+                      .astype(np.int64), num_bands), pa.int64()),
+        "band_id": pa.array(band_ids.astype(np.int32), pa.int32()),
+        "band_hash": pa.array(h.view(np.int64), pa.int64()),
+        "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32),
+                           pa.int32()),
+    })
 
 
 def _runs_to_pairs(newrun: np.ndarray, doc: np.ndarray,
@@ -392,15 +407,9 @@ def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
     the task log)."""
     sigs = docs.map_batches(MinHasher(num_perm, shingle_k=shingle_k),
                             batch_format="pyarrow", batch_size=2048)
-    explode = BandExplode(num_bands)
-
-    def explode_with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        df = explode(batch)
-        df["bucket"] = (df["band_hash"].to_numpy().view(np.uint64)
-                        % num_buckets).astype("int32")
-        return df
-
-    exploded = sigs.map_batches(explode_with_bucket, batch_format="pandas")
+    exploded = sigs.map_batches(
+        lambda t: band_explode(t, num_bands, num_buckets),
+        batch_format="pyarrow")
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
         # one lexsort groups the bucket's rows into (band_id, band_hash)
@@ -1150,23 +1159,32 @@ def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3,
     XOR + LUT-popcount over the upper triangle, not a Python pair loop."""
     sigs = simhash_signatures(docs)
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        sig = batch["simhash"].to_numpy().astype(np.uint64)
-        rows = []
-        for band in range(4):
-            chunk = (sig >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-            rows.append(pd.DataFrame({
-                "doc_id": batch["doc_id"].astype("int64"),
-                "simhash": batch["simhash"].astype("int64"),
-                "band_id": np.int32(band),
-                "band_val": chunk.astype("int64"),
-            }))
-        df = pd.concat(rows, ignore_index=True)
-        df["bucket"] = ((df["band_id"].astype("int64") * 65536 + df["band_val"])
-                        % num_buckets).astype("int32")
-        return df
+    def explode(t: pa.Table) -> pa.Table:
+        # arrow-native band explode (round 5 — no pandas copy of the
+        # widest simhash intermediate): one tile/repeat per column, the
+        # 16-bit band extraction vectorized across all 4 bands at once
+        n = t.num_rows
+        sig = t.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        band_ids = np.repeat(np.arange(4, dtype=np.int64), n)
+        sig4 = np.tile(sig, 4)
+        doc4 = np.tile(doc, 4)
+        chunk = ((sig4.view(np.uint64) >> (band_ids.astype(np.uint64)
+                                           * np.uint64(16)))
+                 & np.uint64(0xFFFF)).astype(np.int64)
+        bucket = ((band_ids * 65536 + chunk) % num_buckets) \
+            .astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(doc4, pa.int64()),
+            "simhash": pa.array(sig4, pa.int64()),
+            "band_id": pa.array(band_ids.astype(np.int32), pa.int32()),
+            "band_val": pa.array(chunk, pa.int64()),
+            "bucket": pa.array(bucket, pa.int32()),
+        })
 
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
         # lexsort into (band_id, band_val) runs, triu + XOR/popcount per
