@@ -40,9 +40,15 @@ def table_state_sha256(table: pa.Table, sort_keys: list[str]) -> str:
 
 
 _BASE = np.uint64(1_000_003)
-# second independent base for dual-hash soundness (substring dedup):
-# any odd 64-bit constant works under mod-2^64 wrapping arithmetic
-_BASE2 = np.uint64(0x100000001B3)
+# second hash for dual-hash soundness (substring dedup) runs modulo the
+# Mersenne prime 2^61-1 (advisor r4): two polynomial hashes that BOTH
+# wrap mod 2^64 share base-independent collision families (Thue–Morse
+# difference vectors vanish for every odd base), so "a cross-pair
+# collision needs both to collide" would overstate their independence;
+# a prime-field second hash has a genuinely independent collision set.
+_BASE2 = np.uint64(1_000_000_007)
+_M61 = np.uint64((1 << 61) - 1)
+_LO31 = np.uint64((1 << 31) - 1)
 
 
 def _base_powers(k: int, base: np.uint64 = _BASE) -> np.ndarray:
@@ -77,6 +83,55 @@ def _rolling_from_bytes(data: np.ndarray, k: int,
     for s in range(0, m, step):
         w = win[s:s + step].astype(np.uint64)
         out[s:s + step] = (w * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def _fold_m61(x: np.ndarray) -> np.ndarray:
+    """Reduce values < 2^62 + 2^61 modulo 2^61-1 (one Mersenne fold +
+    conditional subtract)."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
+def _rolling_from_bytes_m61(data: np.ndarray, k: int,
+                            base: np.uint64 = _BASE2) -> np.ndarray:
+    """Karp–Rabin hashes of all k-byte windows MODULO the Mersenne prime
+    2^61-1 — the prime-field sibling of ``_rolling_from_bytes`` used as
+    the second hash of substring dedup's dual-hash key.  Overflow-free
+    in uint64 via a two-limb multiply: powers mod p split into
+    (hi = p >> 31, lo = p & (2^31-1)); each window's two multiply-sums
+    stay < k·255·2^31 < 2^56 for k ≤ 2^16, and the recombination
+    hi·2^31 ≡ (hi >> 30) + (hi & (2^30-1))·2^31 (mod p, since
+    2^61 ≡ 1) stays < 2^62."""
+    n = data.size
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    if k > (1 << 16):
+        raise ValueError("window size too large for the two-limb "
+                         "mod-2^61-1 sweep (k must be <= 65536)")
+    key = ("m61", k, int(base))
+    pows = _POW_CACHE.get(key)
+    if pows is None:
+        p = int(_M61)
+        pows = np.array([pow(int(base), k - 1 - j, p) for j in range(k)],
+                        dtype=np.uint64)
+        _POW_CACHE[key] = pows
+    pows_hi = pows >> np.uint64(31)
+    pows_lo = pows & _LO31
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(data, k)
+    m = n - k + 1
+    out = np.empty(m, dtype=np.uint64)
+    step = 1 << 16
+    for s in range(0, m, step):
+        w = win[s:s + step].astype(np.uint64)
+        s_hi = (w * pows_hi[None, :]).sum(axis=1, dtype=np.uint64)
+        s_lo = (w * pows_lo[None, :]).sum(axis=1, dtype=np.uint64)
+        # s_hi·2^31 mod p: s_hi = a·2^30 + b → a·2^61 + b·2^31 ≡ a + b·2^31
+        a = s_hi >> np.uint64(30)
+        b = s_hi & np.uint64((1 << 30) - 1)
+        out[s:s + step] = _fold_m61(a + (b << np.uint64(31)) + s_lo)
     return out
 
 

@@ -782,15 +782,23 @@ def _entropy_bits(data: bytes, off: int):
     raw = np.frombuffer(data, np.uint8)[off:]
     is_ff = raw[:-1] == 0xFF
     nxt = raw[1:]
-    marker_pos = np.flatnonzero(is_ff & (nxt != 0x00)
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    # marker, so an FF followed by another FF is fill, not a marker
+    # head — classify on the LAST FF of each run (advisor r4: FF FF D0
+    # used to truncate the scan at the first FF of the run)
+    marker_pos = np.flatnonzero(is_ff & (nxt != 0x00) & (nxt != 0xFF)
                                 & ~((nxt >= 0xD0) & (nxt <= 0xD7)))
     end = int(marker_pos[0]) if marker_pos.size else raw.size
+    while end > 0 and raw[end - 1] == 0xFF:
+        end -= 1  # trailing fill FFs belong to the terminating marker
     body = raw[:end]
     drop = np.zeros(body.size, dtype=bool)
     ffpos = np.flatnonzero(body[:-1] == 0xFF)
     for q in ffpos:
         if body[q + 1] == 0x00:
             drop[q + 1] = True
+        elif body[q + 1] == 0xFF:
+            drop[q] = True   # fill byte before an in-scan RST marker
         elif 0xD0 <= body[q + 1] <= 0xD7:
             drop[q] = True
             drop[q + 1] = True
@@ -1107,6 +1115,9 @@ def _decode_impl(data: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             raise JpegError("bad marker sync")
         marker = data[i + 1]
+        if marker == 0xFF:                                  # fill byte
+            i += 1                                          # (B.1.1.2)
+            continue
         if marker == 0xD9:                                  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:        # bare markers

@@ -112,12 +112,9 @@ def attach_wav(batch: pa.Table, text_col: str = "text") -> pa.Table:
     buf = b"".join(parts)
     off = np.zeros(n + 1, dtype=np.int64)
     off[1:] = np.cumsum(out_lens)
-    validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
-    payload = pa.BinaryArray.from_buffers(
-        pa.binary(), n,
-        [validity, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
-        null_count=int((~valid).sum()))
-    return batch.append_column(pa.field("payload", pa.binary()), payload)
+    from .multimodal import _append_payload_column
+
+    return _append_payload_column(batch, n, off, buf, valid)
 
 
 def _wav_mask(present, hdr, lens) -> np.ndarray:

@@ -807,9 +807,15 @@ def verify_pairs_distributed(pairs: pa.Table, docs: "rd.Dataset", *,
     (the pair-filter contract).
 
     ``num_buckets`` defaults ADAPTIVELY to the candidate volume (~2k
-    pairs per bucket, capped at 256): the pair count is known
+    pairs per bucket, capped at 64): the pair count is known
     driver-side, and a fixed B wastes 3× the wall in per-task fixed
-    costs on small candidate sets while under-splitting huge ones."""
+    costs on small candidate sets while under-splitting huge ones.  The
+    cap is 64 (not the exchange's 256) because the doc_b re-route
+    creates B tasks × B returns = B² transient ObjectRefs — 64 keeps
+    that at 4k, in line with the exchange's max_objects budgeting
+    (advisor r4: 256² ≈ 65k transients blows the per-object fixed-cost
+    budget this host measures); beyond ~128k candidate pairs buckets
+    simply grow past 2k pairs, which the vectorized verify absorbs."""
     import ray
 
     from ..exchange import _split_by_pid, bucket_slices
@@ -820,7 +826,7 @@ def verify_pairs_distributed(pairs: pa.Table, docs: "rd.Dataset", *,
     if pairs.num_rows == 0:
         return empty
     B = num_buckets if num_buckets is not None else \
-        int(np.clip(pairs.num_rows // 2000 + 1, 4, 256))
+        int(np.clip(pairs.num_rows // 2000 + 1, 4, 64))
     # ray's num_returns=1 yields a bare ref (not a 1-tuple), breaking the
     # per-bucket routing below — 2 buckets is the degenerate minimum
     B = max(B, 2)
@@ -1429,16 +1435,20 @@ def _window_hashes(data: np.ndarray, starts: np.ndarray,
     """Dual Karp–Rabin hashes of every (stride-spaced) k-BYTE window of
     the docs in ``rows`` — vectorized sweeps over the contiguous span,
     per-doc positions gathered exactly (the winnow-slice pattern).
-    Returns (h1, h2, doc_row, byte_pos); ``with_h2=False`` skips the
-    second sweep (h2 is None) for the two-pass counting stage, which
-    only needs h1."""
-    from ..functions.hashing import _BASE2, _rolling_from_bytes
+    h1 wraps mod 2^64; h2 runs modulo the Mersenne prime 2^61-1 so the
+    two hashes have genuinely independent collision sets (mod-2^64
+    polynomial pairs share base-independent Thue–Morse collision
+    families — advisor r4).  Returns (h1, h2, doc_row, byte_pos);
+    ``with_h2=False`` skips the second sweep (h2 is None) for the
+    two-pass counting stage, which only needs h1."""
+    from ..functions.hashing import _rolling_from_bytes, \
+        _rolling_from_bytes_m61
 
     s0 = int(starts[rows[0]])
     e0 = int(starts[rows[-1]] + lens[rows[-1]])
     span = data[s0:e0]
     h1 = _rolling_from_bytes(span, k)
-    h2 = _rolling_from_bytes(span, k, base=_BASE2) if with_h2 else None
+    h2 = _rolling_from_bytes_m61(span, k) if with_h2 else None
     m = (lens[rows] - k) // stride + 1          # windows per doc
     total = int(m.sum())
     grp = np.concatenate(([0], np.cumsum(m)[:-1]))

@@ -131,11 +131,20 @@ def attach_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
     buf = b"".join(parts)
     off64 = np.zeros(n + 1, dtype=np.int64)
     off64[1:] = np.cumsum(out_lens)
+    return _append_payload_column(batch, n, off64, buf, valid)
+
+
+def _append_payload_column(batch: pa.Table, n: int, off64: np.ndarray,
+                           buf: bytes, valid: np.ndarray) -> pa.Table:
+    """Append a ``payload`` binary column from raw parts — shared by
+    every synthetic container writer (BMP/PNG, JPEG, AVI, WAV).  Past
+    ``_SMALL_OFFSET_LIMIT`` total bytes the int32 offsets of ``binary``
+    would wrap silently, so the column promotes to ``large_binary``
+    (all decoders handle both — advisor r4: the JPEG/AVI/WAV writers
+    cast to int32 unconditionally)."""
     validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
     nulls = int((~valid).sum())
     if off64[-1] > _SMALL_OFFSET_LIMIT:
-        # >2 GiB of container bytes in one batch: int32 offsets would wrap
-        # silently — promote to large_binary (BmpDecoder handles both)
         payload = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), n,
             [validity, pa.py_buffer(off64), pa.py_buffer(buf)],
@@ -377,12 +386,7 @@ def attach_jpeg(batch: pa.Table, text_col: str = "text",
     buf = b"".join(parts)
     off = np.zeros(n + 1, dtype=np.int64)
     off[1:] = np.cumsum(out_lens)
-    validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
-    payload = pa.BinaryArray.from_buffers(
-        pa.binary(), n,
-        [validity, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
-        null_count=int((~valid).sum()))
-    return batch.append_column(pa.field("payload", pa.binary()), payload)
+    return _append_payload_column(batch, n, off, buf, valid)
 
 
 class MetaResize:
@@ -457,12 +461,7 @@ def attach_avi(batch: pa.Table, text_col: str = "text",
     buf = b"".join(parts)
     off = np.zeros(n + 1, dtype=np.int64)
     off[1:] = np.cumsum(out_lens)
-    validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
-    payload = pa.BinaryArray.from_buffers(
-        pa.binary(), n,
-        [validity, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
-        null_count=int((~valid).sum()))
-    return batch.append_column(pa.field("payload", pa.binary()), payload)
+    return _append_payload_column(batch, n, off, buf, valid)
 
 
 def sample_frames_decoded(batch: pa.Table, stride: int = 1,

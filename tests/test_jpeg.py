@@ -366,3 +366,52 @@ def test_lm_training_survives_degenerate_blocks():
                             vocab_k=10, top_m=10, num_buckets=2)
     assert model["bigram_keys"].size == 0
     assert model["unigram"].sum() == 2   # "solo" + "x"
+
+
+def test_decode_tolerates_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before any
+    marker — including before RST markers inside the entropy stream and
+    before the scan-terminating marker.  Our own encoder never emits
+    fill, so inject it structurally (advisor r4: FF FF D0 used to
+    truncate the scan as 'truncated entropy stream')."""
+    from kafka_connect_plugins_ray.functions.jpeg import (
+        decode, encode_color, encode_progressive)
+
+    def inject(p: bytes) -> bytes:
+        out = bytearray(p[:2]) + b"\xff"  # fill right after SOI
+        i = 2
+        while i < len(p):
+            assert p[i] == 0xFF, hex(p[i])
+            m = p[i + 1]
+            if m == 0xD9:                       # EOI (fill run before it)
+                out += b"\xff\xff\xff\xd9"
+                i += 2
+                continue
+            out += p[i:i + 2]
+            ln = int.from_bytes(p[i + 2:i + 4], "big")
+            out += p[i + 2:i + 2 + ln]
+            i += 2 + ln
+            if m == 0xDA:                       # entropy-coded segment
+                while i < len(p):
+                    if p[i] == 0xFF and p[i + 1] != 0x00:
+                        if 0xD0 <= p[i + 1] <= 0xD7:
+                            out += b"\xff"      # fill before RST
+                            out += p[i:i + 2]
+                            i += 2
+                            continue
+                        out += b"\xff\xff"      # fill before terminator
+                        break
+                    out.append(p[i])
+                    i += 1
+        return bytes(out)
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (41, 27), np.uint8)
+    for enc in (encode_gray(img, 80),
+                encode_progressive(img, 80, restart_interval=3)):
+        doctored = inject(enc)
+        assert len(doctored) > len(enc)
+        assert np.array_equal(decode(enc), decode(doctored))
+    c = rng.randint(0, 256, (24, 33, 3), np.uint8)
+    enc = encode_progressive(c, 70, "420", restart_interval=2)
+    assert np.array_equal(decode(enc), decode(inject(enc)))

@@ -156,6 +156,32 @@ def test_winnow_fingerprint_deterministic():
     assert winnow_fingerprint("short") == winnow_fingerprint("short")
 
 
+def test_rolling_hash_m61_matches_python_reference():
+    # round-5 advisor fix: substring dedup's SECOND hash runs modulo the
+    # Mersenne prime 2^61-1 (mod-2^64 polynomial pairs share
+    # base-independent Thue–Morse collision families).  Pin the two-limb
+    # vectorized sweep against pure-Python modular arithmetic.
+    from kafka_connect_plugins_ray.functions.hashing import (
+        _BASE2,
+        _M61,
+        _rolling_from_bytes_m61,
+    )
+
+    rng = np.random.RandomState(9)
+    data = rng.randint(0, 256, size=3000, dtype=np.uint8)
+    p, b = int(_M61), int(_BASE2)
+    for k in (1, 2, 40, 50, 257):
+        got = _rolling_from_bytes_m61(data, k)
+        assert got.size == data.size - k + 1
+        assert int(got.max()) < p
+        for s in (0, 1, 1000, data.size - k):  # spot-check windows
+            ref = 0
+            for byte in data[s:s + k]:
+                ref = (ref * b + int(byte)) % p
+            assert int(got[s]) == ref, (k, s)
+    assert _rolling_from_bytes_m61(data[:10], 11).size == 0
+
+
 def test_hex_encode_chunked_nulls_and_offsets():
     arr = pa.chunked_array([
         pa.array(["ab", None, ""], pa.string()),
@@ -517,6 +543,19 @@ def test_attach_payload_large_binary_path(monkeypatch):
     meta = decoded.column("media_meta").to_pylist()
     assert meta[0]["width"] == 3 and meta[0]["n_frames"] == 4
     assert meta[1] is None
+    # advisor r4: the JPEG/AVI/WAV writers must take the same promotion
+    # (they used to cast offsets to int32 unconditionally — a >2 GiB
+    # batch would silently wrap and corrupt the binary column)
+    from kafka_connect_plugins_ray.pipelines import audio as au
+
+    for fn in (mm.attach_jpeg, mm.attach_avi, au.attach_wav):
+        big = fn(t)
+        assert pa.types.is_large_binary(big.column("payload").type), fn
+        assert big.column("payload").to_pylist()[1] is None
+    jd = mm.MediaDecoder(strict=True)(mm.attach_jpeg(t))
+    assert jd.column("media_meta").to_pylist()[0]["n_bytes"] > 0
+    wd = au.WavDecoder()(au.attach_wav(t))
+    assert wd.column("audio_meta").to_pylist()[0] is not None
 
 
 def test_hdr_quantiles_bounded_relative_error():
