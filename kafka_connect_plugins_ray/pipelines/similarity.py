@@ -298,9 +298,29 @@ def _bottomk_by_hash(candidates: "rd.Dataset", k_rows: int) -> "pa.Table | None"
     return tree_aggregate(per_batch, bottomk)
 
 
+def train_ivf_quantizer(candidates: "rd.Dataset", n_centroids: int = 16,
+                        train_rows: int = 4096,
+                        iters: int = 10) -> "np.ndarray | None":
+    """Train the IVF coarse quantizer ONCE over a content-stable
+    bottom-k-by-hash sample of the corpus and return the centroid matrix
+    (None on an empty corpus).  Round 5 (r4 review #4): ``knn_ivf``
+    re-trained this on EVERY call — fine for the one-shot oracle query,
+    the wrong shape for a serving path where the corpus is indexed once
+    and probed many times.  Pass the result to ``knn_ivf(centroids=)``
+    to amortize; the centroid table is tiny (n_centroids × dim × 8 B)
+    and can be persisted next to the corpus like any index artifact."""
+    sample = _bottomk_by_hash(candidates, train_rows)
+    if sample is None or sample.num_rows == 0:
+        return None
+    smat = np.stack(sample.column("embedding").to_pylist()) \
+        .astype(np.float64)
+    return train_spherical_centroids(smat, n_centroids, iters=iters)
+
+
 def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
             query_matrix: np.ndarray, k: int = 5, n_centroids: int = 16,
-            nprobe: int = 4, train_rows: int = 4096) -> pa.Table:
+            nprobe: int = 4, train_rows: int = 4096,
+            centroids: "np.ndarray | None" = None) -> pa.Table:
     """IVF-style approximate top-k: a spherical-k-means coarse quantizer
     (trained once on a bounded driver-side sample, broadcast) partitions
     the corpus into inverted lists; each query probes only its ``nprobe``
@@ -310,14 +330,18 @@ def knn_ivf(candidates: "rd.Dataset", query_ids: np.ndarray,
     query's own top-1 list, so the planted-duplicate recall gate holds by
     construction.  Training rows are drawn with a content-stable
     bottom-k-by-hash sample (not ``limit()``), so centroids are unbiased
-    even when the corpus is sorted or clustered by storage order."""
-    sample = _bottomk_by_hash(candidates, train_rows)
-    if sample is None or sample.num_rows == 0:
+    even when the corpus is sorted or clustered by storage order.
+
+    ``centroids``: a pre-trained quantizer from ``train_ivf_quantizer``
+    — skips the sample + train passes entirely (the repeat-query
+    serving shape); when None the quantizer is trained inline."""
+    cent = centroids
+    if cent is None:
+        cent = train_ivf_quantizer(candidates, n_centroids, train_rows)
+    if cent is None:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "neighbor_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    smat = np.stack(sample.column("embedding").to_pylist()).astype(np.float64)
-    cent = train_spherical_centroids(smat, n_centroids)
     qn = query_matrix.astype(np.float64)
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
     # each query's probe set: its nprobe nearest centroids

@@ -696,6 +696,18 @@ def test_knn_ivf_recall_and_self_match():
     # every query's own vector lands in its top-1 probed list
     assert all((q, 10 + q) in iq for q in qids)
     assert len(iq & bq) / len(bq) >= 0.5  # decent recall at 3/8 lists
+    # round 5: the train-once serving path — a pre-trained quantizer must
+    # reproduce the inline-trained result exactly (same seeded sample)
+    from kafka_connect_plugins_ray.pipelines.similarity import (
+        train_ivf_quantizer,
+    )
+
+    cent = train_ivf_quantizer(ds, n_centroids=8)
+    warm = knn_ivf(ds, qids, qmat, k=5, nprobe=3, centroids=cent)
+    assert warm.sort_by([("query_id", "ascending"),
+                         ("neighbor_id", "ascending")]).equals(
+        ivf.sort_by([("query_id", "ascending"),
+                     ("neighbor_id", "ascending")]))
 
 
 def test_verify_jaccard_degenerate_and_missing_texts():
