@@ -387,6 +387,17 @@ def run_lm() -> None:
     scored = allp[allp > 0]          # ppl==0 is the <2-token sentinel
     mean_ppl = float(scored.mean()) if scored.size else 0.0
     wall = time.perf_counter() - t0
+    # r5: the composed CCNet-shape prep (train -> metrics pass ->
+    # HDR-quantile ppl cut ∧ quality ∧ exact-dedup drop ∧ sample)
+    from kafka_connect_plugins_ray.pipelines.lm import ccnet_prep
+
+    t2 = time.perf_counter()
+    kept = ccnet_prep(read_table(SF_DIR, "documents",
+                                 columns=["doc_id", "text"]),
+                      ppl_quantile=0.8, min_tokens=10, max_punct=0.1,
+                      sample_frac=0.9, concurrency=8)
+    n_kept = kept.count()
+    ccnet_wall = time.perf_counter() - t2
     ray.shutdown()
     print(json.dumps({
         "metric": "lm_train_and_score_wall_sec",
@@ -397,6 +408,8 @@ def run_lm() -> None:
         "vocab": len(model["vocab"]),
         "bigrams": int(model["bigram_keys"].size),
         "mean_ppl": round(mean_ppl, 2),
+        "ccnet_prep_sec": round(ccnet_wall, 3),
+        "ccnet_kept_docs": int(n_kept),
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
     }))
 

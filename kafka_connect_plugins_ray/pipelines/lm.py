@@ -220,3 +220,96 @@ def perplexity_scores(docs, model: dict, *, batch_size: int = 4096,
     return docs.map_batches(PerplexityScorer, fn_constructor_args=(ref,),
                             batch_format="pyarrow", batch_size=batch_size,
                             concurrency=concurrency)
+
+
+class _PplQualityMetrics:
+    """Actor-pool metrics stage for ``ccnet_prep``: one pass over the
+    corpus text computes perplexity (PerplexityScorer) AND the quality
+    features (the same QualityScore kernel ``corpus_prep`` gates on),
+    emitting 24 B/doc metric rows so no later stage re-reads text."""
+
+    def __init__(self, model_ref):
+        from .text import QualityScore
+
+        self.ppl = PerplexityScorer(model_ref)
+        self.quality = QualityScore()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.ppl(batch)
+        q = self.quality(batch.select(["doc_id", "text"]).to_pandas())
+        return pa.table({
+            "doc_id": p.column("doc_id"),
+            "nll": p.column("nll"),
+            "ppl": p.column("ppl"),
+            "n_tokens": pa.array(q["n_tokens"].to_numpy(), pa.int64()),
+            "punct_ratio": pa.array(q["punct_ratio"].to_numpy(),
+                                    pa.float64()),
+        })
+
+
+def ccnet_prep(docs, *, lm_docs=None, vocab_k: int = 30000,
+               top_m: int = 200000, alpha: float = 0.1,
+               ppl_threshold: "float | None" = None,
+               ppl_quantile: float = 0.8, min_tokens: int = 5,
+               max_punct: float = 0.2, sample_frac: float = 1.0,
+               num_buckets: int = 32, concurrency: int = 4):
+    """CCNet-shape composed LLM-prep pipeline (Wenzek et al. 2020):
+    train the bigram LM on ``lm_docs`` (the clean-reference-corpus slot;
+    defaults to ``docs`` itself) → ONE metrics pass over the corpus
+    (perplexity + quality features per doc — text is never read again
+    after this pass) → keep docs that clear ALL of: perplexity at or
+    below ``ppl_threshold`` (absolute) or the corpus ``ppl_quantile``
+    (computed from the mergeable HDR sketch over nll, so the cut is
+    deterministic and distributed), quality gate (``min_tokens``,
+    ``max_punct``), exact-dedup survivorship (the O(duplicate-volume)
+    drop-set anti-filter), and a ``sample_frac`` stable hash-sample.
+    Returns a Dataset of kept (doc_id, n_tokens, ppl).
+
+    Scale shape: the LM model and the drop set are the only broadcasts
+    (both bounded by construction); the quantile moves O(distinct HDR
+    buckets) rows; the final filter streams over the metric rows, not
+    the corpus.  Trained-model scoring is not SQL-expressible, so the
+    gate is the pytest kept-set pin with planted fluent/gibberish docs
+    (tests/test_lm.py), per the SURVEY §8 BPE/LM convention."""
+    import ray
+
+    from ..functions.vhash import murmur64
+    from .dedup import _in_sorted, exact_dedup_drop
+    from .sketches import hdr_quantiles
+
+    model = train_bigram_lm(lm_docs if lm_docs is not None else docs,
+                            vocab_k=vocab_k, top_m=top_m, alpha=alpha,
+                            num_buckets=num_buckets)
+    drop_ids = exact_dedup_drop(docs, num_buckets=num_buckets)
+    drop_ref = ray.put(drop_ids)
+    model_ref = ray.put(model)
+    scored = docs.map_batches(
+        _PplQualityMetrics, fn_constructor_args=(model_ref,),
+        batch_format="pyarrow", concurrency=concurrency).materialize()
+
+    if ppl_threshold is not None:
+        nll_thr = float(np.log2(max(ppl_threshold, 1e-300)))
+    else:
+        # quantile over nll (= log2 ppl): bounded range keeps the HDR
+        # scale-100 ints tiny and the 2^-10 relative bucket error means
+        # the cut lands within ~0.7% in ppl terms; <2-token docs score
+        # nll 0 and are excluded by the sketch's positives-only rule
+        # (they fail min_tokens anyway)
+        qt = hdr_quantiles(scored, "nll", ps=(ppl_quantile,))
+        reps = qt.column("rep").to_numpy()
+        nll_thr = float(reps[0]) / 100.0 if reps.size else float("inf")
+
+    frac_thr = (np.uint64(min(int(sample_frac * 2.0**64), 2**64 - 1))
+                if sample_frac < 1.0 else None)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        m = t.column("nll").to_numpy() <= nll_thr
+        m &= t.column("n_tokens").to_numpy() >= min_tokens
+        m &= t.column("punct_ratio").to_numpy() <= max_punct
+        m &= ~_in_sorted(ids, ray.get(drop_ref))
+        if frac_thr is not None:
+            m &= murmur64(ids) < frac_thr
+        return t.filter(pa.array(m)).select(["doc_id", "n_tokens", "ppl"])
+
+    return scored.map_batches(keep, batch_format="pyarrow")

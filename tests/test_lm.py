@@ -129,3 +129,92 @@ def test_bigram_bucket_cap_keeps_heavy_pairs():
     bk, bn = bigram_counts_topm(docs, vocab, top_m=2, num_buckets=4)
     assert bk.size == 2
     assert set(bn.tolist()) == {50, 49}
+
+
+def test_ccnet_prep_kept_set_pinned_against_reference():
+    """Round-5 composed CCNet-style filter: quality ∧ ppl-threshold ∧
+    exact-dedup ∧ stable sample as ONE pipeline.  The kept-set is pinned
+    exactly against a driver-side reference (same trained model scored
+    by the pure-Python _ref_nll, same QualityScore kernel, same
+    murmur64 sample rule), and the planted fluent/gibberish docs must
+    land on the right side of the perplexity cut."""
+    import pandas as pd
+
+    from kafka_connect_plugins_ray.functions.vhash import murmur64
+    from kafka_connect_plugins_ray.pipelines.lm import ccnet_prep
+    from kafka_connect_plugins_ray.pipelines.sketches import hdr_quantiles
+    from kafka_connect_plugins_ray.pipelines.text import QualityScore
+
+    rng = np.random.RandomState(13)
+    # fluent corpus with strong bigram structure (linear chains over a
+    # small vocab -> most transitions are high-count); the LM trains on
+    # THIS slice only — the CCNet shape (clean reference corpus), and
+    # what keeps gibberish at the uniform-1/V floor instead of making
+    # unk->unk predictable
+    vocab = ["tok%02d" % i for i in range(40)]
+    fluent = []
+    for _ in range(200):
+        k = rng.randint(6, 40)
+        start = rng.randint(0, 40)
+        fluent.append(" ".join(vocab[(start + j) % 40] for j in range(k)))
+    gibberish = [" ".join("zx%dq%d" % (rng.randint(10**6), j)
+                          for j in range(12)) for _ in range(12)]
+    dups = [fluent[3], fluent[3], fluent[7]]  # non-min copies must drop
+    junk = ["one two", "", None, ".. !! ?? ,, ;; :: .. !! ?? ,,"]
+    texts = fluent + gibberish + dups + junk
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    docs = rd.from_arrow(t).repartition(4)
+    fluent_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(fluent)), pa.int64()),
+        "text": pa.array(fluent, pa.string())})).repartition(2)
+
+    # reference model: identical training params -> identical model
+    model = train_bigram_lm(fluent_ds, vocab_k=60, top_m=20000,
+                            num_buckets=8)
+    ref_nll = np.array([_ref_nll(s, model) for s in texts])
+    fl = ref_nll[:len(fluent)]
+    gb = ref_nll[len(fluent):len(fluent) + len(gibberish)]
+    assert fl.max() < gb.min()  # the planted separation is real
+    thr_nll = (fl.max() + gb.min()) / 2
+    q = QualityScore()(pd.DataFrame({"doc_id": ids, "text": texts}))
+    n_tok = q["n_tokens"].to_numpy()
+    punct = q["punct_ratio"].to_numpy()
+    seen: dict = {}
+    dropped: set = set()
+    for i, s in enumerate(texts):
+        if s is not None and s in seen:
+            dropped.add(i)
+        else:
+            seen.setdefault(s, i)
+    s_thr = np.uint64(int(0.7 * 2.0**64))
+    h = murmur64(np.asarray(ids, np.int64))
+
+    def ref_keep(thr):
+        return [i for i in ids
+                if ref_nll[i] <= thr and n_tok[i] >= 5
+                and punct[i] <= 0.2 and i not in dropped]
+
+    keep_abs = [i for i in ref_keep(thr_nll) if h[i] < s_thr]
+    out = ccnet_prep(docs, lm_docs=fluent_ds, vocab_k=60, top_m=20000,
+                     num_buckets=8,
+                     ppl_threshold=float(2.0 ** thr_nll), min_tokens=5,
+                     max_punct=0.2, sample_frac=0.7, concurrency=2)
+    got = sorted(out.to_pandas()["doc_id"].tolist())
+    assert got == sorted(keep_abs)
+    gib_ids = set(range(len(fluent), len(fluent) + len(gibberish)))
+    assert gib_ids.isdisjoint(got)          # high-ppl side excluded
+    assert len(got) > 100                   # fluent side kept
+    assert not {i for i in dropped}.intersection(got)
+
+    # quantile mode: the cut comes from the same HDR sketch over nll
+    rep = hdr_quantiles(
+        rd.from_arrow(pa.table({"nll": pa.array(ref_nll, pa.float64())})),
+        "nll", ps=(0.8,)).column("rep").to_numpy()
+    out_q = ccnet_prep(docs, lm_docs=fluent_ds, vocab_k=60, top_m=20000,
+                       num_buckets=8, ppl_quantile=0.8, min_tokens=5,
+                       max_punct=0.2, concurrency=2)
+    got_q = sorted(out_q.to_pandas()["doc_id"].tolist())
+    assert got_q == sorted(ref_keep(float(rep[0]) / 100.0))
+    assert gib_ids.isdisjoint(got_q)
