@@ -445,14 +445,17 @@ def run_codec() -> None:
                + rng.randn(h, w) * 6)
         return np.clip(img, 0, 255).astype(np.uint8)
 
+    # restart_interval=4 -> RST segments every 4 MCUs: the decoder's
+    # lane-parallel entropy path (r5) decodes them in numpy lockstep
     payloads, decoded_bytes = [], 0
     for i in range(48):                      # 48 JPEG stills, 512x512
         img = photo(512, 512)
-        payloads.append(encode_gray(img, 85))
+        payloads.append(encode_gray(img, 85, restart_interval=2))
         decoded_bytes += img.size
     for i in range(16):                      # 16 MJPEG clips, 6x128x128
         frames = [photo(128, 128) for _ in range(6)]
-        payloads.append(encode_avi(frames, quality=85))
+        payloads.append(encode_avi(frames, quality=85,
+                                   restart_interval=2))
         decoded_bytes += sum(f.size for f in frames)
     t = pa.table({
         "doc_id": pa.array(range(len(payloads)), pa.int64()),
@@ -470,6 +473,7 @@ def run_codec() -> None:
         "metric": "codec_decode_feature_wall_sec",
         "value": round(wall, 3), "unit": "sec",
         "rows": n, "jpeg_stills": 48, "mjpeg_clips": 16,
+        "restart_interval": 2,
         "decoded_mb": round(decoded_bytes / 1e6, 1),
         "decoded_mb_per_sec": round(decoded_bytes / 1e6 / wall, 1),
         "num_cpus": NUM_CPUS,

@@ -43,10 +43,13 @@ def _list(kind: bytes, data: bytes) -> bytes:
 
 
 def encode_avi(frames: "list[np.ndarray]", fps: int = 25,
-               quality: int = 85, subsample: str = "420") -> bytes:
+               quality: int = 85, subsample: str = "420",
+               restart_interval: int = 0) -> bytes:
     """Pack frames ((h, w) gray or (h, w, 3) RGB uint8 arrays, all the
     same shape) as an MJPEG AVI: one baseline JPEG per '00dc' chunk,
-    proper avih/strh/strf headers and an idx1 keyframe index."""
+    proper avih/strh/strf headers and an idx1 keyframe index.
+    ``restart_interval`` passes through to the per-frame JPEG encoder
+    (unlocks the decoder's lane-parallel entropy decode)."""
     from .jpeg import encode_color, encode_gray
 
     if not frames:
@@ -55,8 +58,12 @@ def encode_avi(frames: "list[np.ndarray]", fps: int = 25,
     if any(f.shape != shape for f in frames):
         raise AviError("all frames must share one shape")
     h, w = shape[0], shape[1]
-    jpegs = [encode_color(f, quality, subsample) if f.ndim == 3
-             else encode_gray(f, quality) for f in frames]
+    jpegs = [encode_color(f, quality, subsample,
+                          restart_interval=restart_interval)
+             if f.ndim == 3
+             else encode_gray(f, quality,
+                              restart_interval=restart_interval)
+             for f in frames]
     max_sz = max(len(j) for j in jpegs)
 
     avih = struct.pack("<10I", 1_000_000 // fps, max_sz * fps, 0,

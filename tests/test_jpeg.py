@@ -49,10 +49,14 @@ def test_entropy_layer_is_bit_exact():
         padded -= 128.0
         blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
                   .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
-        coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+        # same batched-matmul formulation as the codec: the gate is
+        # bitstream exactness, so the DCT arithmetic must be IDENTICAL
+        # op-for-op (einsum's different summation order shifts half-ULP
+        # values across .5 rounding boundaries)
+        coef = np.matmul(DCT_M, np.matmul(blocks, DCT_M.T))
         qc = np.round(coef / qt).astype(np.int64)
-        rec = np.einsum("ji,njk,kl->nil", DCT_M, (qc * qt).astype(float),
-                        DCT_M)
+        rec = np.matmul(DCT_M.T, np.matmul((qc * qt).astype(float),
+                                           DCT_M))
         rec = np.clip(np.round(rec + 128.0), 0, 255).astype(np.uint8)
         exp = (rec.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3)
                .reshape(ph, pw))[:h, :w]
@@ -415,3 +419,45 @@ def test_decode_tolerates_fill_bytes_before_markers():
     c = rng.randint(0, 256, (24, 33, 3), np.uint8)
     enc = encode_progressive(c, 70, "420", restart_interval=2)
     assert np.array_equal(decode(enc), decode(inject(enc)))
+
+
+def test_lane_parallel_restart_decode_bit_exact():
+    """Round 5: baseline streams with restart intervals route through
+    the lane-parallel entropy decoder (RST segments decoded in numpy
+    lockstep).  Output is pinned equal to the scalar path (forced via
+    _LANE_MIN) and to the no-restart encode of the same image — the
+    entropy layer is lossless either way."""
+    import kafka_connect_plugins_ray.functions.jpeg as J
+
+    rng = np.random.RandomState(7)
+    try:
+        for shape, q, ri in [((41, 27), 80, 1), ((64, 64), 85, 2),
+                             ((96, 128), 60, 3), ((57, 33), 92, 5)]:
+            img = rng.randint(0, 256, shape, np.uint8)
+            base = J.decode(J.encode_gray(img, q))
+            enc = J.encode_gray(img, q, restart_interval=ri)
+            J._LANE_MIN = 1
+            lane = J.decode(enc)
+            J._LANE_MIN = 10**9
+            scalar = J.decode(enc)
+            assert np.array_equal(base, lane), (shape, q, ri)
+            assert np.array_equal(lane, scalar), (shape, q, ri)
+        for shape, q, sub, ri in [((48, 40, 3), 75, "420", 2),
+                                  ((33, 49, 3), 85, "444", 3)]:
+            img = rng.randint(0, 256, shape, np.uint8)
+            base = J.decode(J.encode_color(img, q, sub))
+            enc = J.encode_color(img, q, sub, restart_interval=ri)
+            J._LANE_MIN = 1
+            lane = J.decode(enc)
+            J._LANE_MIN = 10**9
+            scalar = J.decode(enc)
+            assert np.array_equal(base, lane), (shape, q, sub, ri)
+            assert np.array_equal(lane, scalar), (shape, q, sub, ri)
+    finally:
+        J._LANE_MIN = 8
+    # fill bytes interact with segment splitting too: FF fill before an
+    # RST must not corrupt the lane split
+    img = rng.randint(0, 256, (64, 64), np.uint8)
+    enc = J.encode_gray(img, 80, restart_interval=2)
+    doctored = enc.replace(b"\xff\xd0", b"\xff\xff\xd0")
+    assert np.array_equal(J.decode(enc), J.decode(doctored))
