@@ -40,10 +40,12 @@ def test_jpeg_gray_entropy_exact_property(h, w, q, seed):
     padded -= 128.0
     blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
               .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
-    coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+    # same batched-matmul op order as the codec (einsum sums in a
+    # different order, shifting half-ULP values across .5 rounding)
+    coef = np.matmul(DCT_M, np.matmul(blocks, DCT_M.T))
     qc = np.round(coef / qt).astype(np.int64)
-    rec = np.einsum("ji,njk,kl->nil", DCT_M, (qc * qt).astype(float),
-                    DCT_M)
+    rec = np.matmul(DCT_M.T, np.matmul((qc * qt).astype(float),
+                                       DCT_M))
     rec = np.clip(np.round(rec + 128.0), 0, 255).astype(np.uint8)
     exp = (rec.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3)
            .reshape(ph, pw))[:h, :w]
