@@ -1484,6 +1484,7 @@ _UTF8_CONT = 0b1000_0000, 0b1100_0000  # continuation byte: (b & C0) == 80
 def substring_dedup(docs: "rd.Dataset", k: int = 50,
                     num_buckets: int = DEDUP_BUCKETS, stride: int = 1,
                     two_pass: bool = True,
+                    viral_threshold: int = 1 << 16,
                     return_refs: bool = False):
     """EXACT substring-level dedup: every k-BYTE window of text that
     occurs more than once across the whole corpus keeps only its FIRST
@@ -1514,6 +1515,16 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
        recorded in SCALE.md) →
        exchange on h1 → per-bucket global winner per (h1, h2), all
        non-first (doc, pos) occurrences re-keyed by doc bucket.
+
+       VIRAL classes (round 5 — the SCALE.md skew-audit fix): a window
+       whose pass-1 count reaches ``viral_threshold`` (web boilerplate:
+       10^8+ occurrences) would concentrate its whole class in one
+       winner-reduce task.  Such classes BYPASS the exchange entirely:
+       pass 1 already has their counts, a bounded block-min pass
+       (≤ one row per viral class per block, tree-combined) finds each
+       class's global min (doc, pos), and the rebuild exchange's map
+       side emits their drop rows block-locally against that broadcast
+       — no occurrence of a viral window ever transits exchange 1.
     2. tagged-union exchange of drop rows + doc rows on doc bucket →
        per-bucket byte-mask rebuild: span deltas → cumsum coverage →
        UTF-8 boundary snap (covered regions propagate across
@@ -1563,6 +1574,7 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
         })
 
     dup_ref = None
+    viral_min_ref = None
     if two_pass:
         # PASS 1 — hash-only duplicate detection: one 16 B (h1, count)
         # row per DISTINCT window per block (repetitive blocks
@@ -1596,14 +1608,80 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
             hh, nn = hh[order], nn[order]
             first = np.concatenate(([True], hh[1:] != hh[:-1]))
             sums = np.add.reduceat(nn, np.nonzero(first)[0])
-            dup = hh[first][sums >= 2]
-            return dup if dup.size else None
+            hu = hh[first]
+            dup = hu[sums >= 2]
+            viral = hu[sums >= viral_threshold]
+            if dup.size == 0:
+                return None
+            return dup, viral
 
         counts = docs.map_batches(explode_h1, batch_format="pyarrow")
         parts = hash_exchange(counts, "bucket", B, dup_bucket)
-        dup = (np.sort(np.concatenate(parts)) if parts
+        viral_h1 = (np.sort(np.concatenate([p[1] for p in parts]))
+                    if parts else np.empty(0, np.int64))
+        # viral classes bypass exchange 1 (drops are emitted block-
+        # locally in the rebuild's map side) — exclude them from the
+        # pass-2 dup set so their rows never ship
+        dup = (np.sort(np.concatenate([p[0] for p in parts])) if parts
                else np.empty(0, np.int64))
+        if viral_h1.size:
+            dup = dup[~_in_sorted(dup, viral_h1)]
         dup_ref = ray.put(dup)
+        if viral_h1.size:
+            viral_ref = ray.put(viral_h1)
+
+            def viral_block_mins(t: pa.Table) -> pa.Table:
+                # ≤ one row per viral (h1, h2) class per block
+                ids_v, st_v, ln_v, dt_v, rows_v = _doc_byte_view(t, k)
+                empty = pa.table({
+                    "h1": pa.array([], pa.int64()),
+                    "h2": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64())})
+                if rows_v.size == 0:
+                    return empty
+                h1v, h2v, row_v, pos_v = _window_hashes(
+                    dt_v, st_v, ln_v, rows_v, k, stride)
+                sel = _in_sorted(h1v.view(np.int64), ray.get(viral_ref))
+                if not sel.any():
+                    return empty
+                h1v, h2v = h1v[sel], h2v[sel]
+                dv, pv = ids_v[row_v[sel]], pos_v[sel]
+                order = np.lexsort((pv, dv, h2v, h1v))
+                h1o, h2o = h1v[order], h2v[order]
+                first = np.concatenate(
+                    ([True], (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
+                keep = order[first]
+                return pa.table({
+                    "h1": pa.array(h1v[keep].view(np.int64), pa.int64()),
+                    "h2": pa.array(h2v[keep].view(np.int64), pa.int64()),
+                    "doc_id": pa.array(dv[order][first], pa.int64()),
+                    "pos": pa.array(pv[order][first], pa.int64())})
+
+            def combine_mins(t: pa.Table) -> pa.Table:
+                h1c = t.column("h1").to_numpy()
+                h2c = t.column("h2").to_numpy()
+                dcn = t.column("doc_id").to_numpy()
+                pcn = t.column("pos").to_numpy()
+                order = np.lexsort((pcn, dcn, h2c, h1c))
+                h1o, h2o = h1c[order], h2c[order]
+                first = np.concatenate(
+                    ([True], (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
+                return t.take(pa.array(order[first], pa.int64()))
+
+            from ..exchange import tree_aggregate
+
+            vm = tree_aggregate(
+                docs.map_batches(viral_block_mins, batch_format="pyarrow"),
+                combine_mins)
+            if vm is not None and vm.num_rows:
+                keys = _pair_view(vm.column("h1").to_numpy(),
+                                  vm.column("h2").to_numpy())
+                vorder = np.argsort(keys, kind="stable")
+                viral_min_ref = ray.put((
+                    keys[vorder],
+                    vm.column("doc_id").to_numpy()[vorder],
+                    vm.column("pos").to_numpy()[vorder]))
 
     windows = docs.map_batches(explode, batch_format="pyarrow")
 
@@ -1640,13 +1718,40 @@ def substring_dedup(docs: "rd.Dataset", k: int = 50,
     def tag_docs(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
             np.int64)
-        return pa.table({
+        out = pa.table({
             "doc_id": pa.array(d, pa.int64()),
             "pos": pa.nulls(t.num_rows, pa.int64()),   # doc marker
             "text": pc.fill_null(pc.cast(t.column("text"), pa.string()),
                                  ""),
             "dbucket": pa.array((d % B).astype(np.int32), pa.int32()),
         })
+        if viral_min_ref is None:
+            return out
+        # viral-class drops, emitted BLOCK-LOCALLY against the broadcast
+        # (class key, global min) table — this is the only path viral
+        # occurrences take; they never transit exchange 1.  The extra
+        # hash sweep here is the same cost class as the explode sweep.
+        keys_s, min_d, min_p = ray.get(viral_min_ref)
+        ids_v, st_v, ln_v, dt_v, rows_v = _doc_byte_view(t, k)
+        if rows_v.size == 0:
+            return out
+        h1v, h2v, row_v, pos_v = _window_hashes(dt_v, st_v, ln_v,
+                                                rows_v, k, stride)
+        q = _pair_view(h1v.view(np.int64), h2v.view(np.int64))
+        at = np.clip(np.searchsorted(keys_s, q), 0, keys_s.size - 1)
+        member = keys_s[at] == q
+        dv = ids_v[row_v]
+        dropm = member & ((dv != min_d[at]) | (pos_v != min_p[at]))
+        if not dropm.any():
+            return out
+        dd, pp = dv[dropm], pos_v[dropm]
+        vd = pa.table({
+            "doc_id": pa.array(dd, pa.int64()),
+            "pos": pa.array(pp, pa.int64()),
+            "text": pa.nulls(dd.size, pa.string()),
+            "dbucket": pa.array((dd % B).astype(np.int32), pa.int32()),
+        })
+        return pa.concat_tables([out, vd])
 
     def tag_drops(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -1734,3 +1734,45 @@ def test_substring_dedup_two_pass_identical_and_degenerate_blocks():
         out = substring_dedup(rd.from_arrow(short).repartition(2), k=32,
                               two_pass=tp).to_pandas()
         assert out["n_removed"].sum() == 0
+
+
+def test_substring_dedup_viral_class_bypass_identity():
+    """Round-5 skew fix: window classes whose pass-1 count reaches
+    viral_threshold bypass exchange 1 — their drops are emitted
+    block-locally against the broadcast (class, global-min) table.
+    Output must be identical to one-pass and to two-pass without the
+    bypass; the equality IS the structural proof (with the low
+    threshold the boilerplate is only removed if the bypass path
+    produced its drops)."""
+    from kafka_connect_plugins_ray.pipelines.dedup import substring_dedup
+
+    rng = np.random.RandomState(33)
+    boiler = "COOKIE POLICY ACCEPT ALL BUTTONS NOW " * 2
+    texts = []
+    for i in range(120):
+        body = "".join(rng.choice(list("abcdefg h"),
+                                  size=rng.randint(40, 120)))
+        texts.append(body[:10] + boiler + body[10:] if i % 2 == 0
+                     else body)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def run(**kw):
+        return substring_dedup(rd.from_arrow(t).repartition(6), k=32,
+                               num_buckets=8, **kw).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    one = run(two_pass=False)
+    two = run(two_pass=True, viral_threshold=1 << 30)   # no bypass
+    viral = run(two_pass=True, viral_threshold=16)      # 60 copies/class
+    assert one["text"].tolist() == two["text"].tolist()
+    assert one["text"].tolist() == viral["text"].tolist()
+    assert one["n_removed"].tolist() == viral["n_removed"].tolist()
+    # the boilerplate core was actually removed from non-first copies
+    # (doc 0 keeps one unit — its SECOND intra-doc copy also dedups; a
+    # k-1-byte edge can never retain the full 37-byte unit elsewhere)
+    assert viral["n_removed"].sum() > 0
+    unit = "COOKIE POLICY ACCEPT ALL BUTTONS NOW"
+    kept = viral.set_index("doc_id")["text"]
+    assert unit in kept[0]
+    assert all(unit not in kept[i] for i in range(2, 120, 2))
