@@ -61,6 +61,24 @@ def main(argv: "list[str] | None" = None) -> int:
                     help="tail mode: gc versions past this keep window "
                          "after each maintenance step")
 
+    pw = sub.add_parser(
+        "watch", help="continuous tail ingest: follow a binlog dir of "
+        "parquet segments (footer-stat pruned), ingest + maintain until "
+        "stopped")
+    pw.add_argument("--lake", required=True)
+    pw.add_argument("--binlog-dir", required=True)
+    pw.add_argument("--interval", type=float, default=2.0,
+                    help="poll interval seconds")
+    pw.add_argument("--max-cycles", type=int, default=None,
+                    help="stop after N polls (default: run until Ctrl-C)")
+    pw.add_argument("--idle-exit", type=int, default=None,
+                    help="stop after N consecutive empty polls")
+    pw.add_argument("--partitions", type=int, default=32)
+    pw.add_argument("--mode", choices=["cow", "delta"], default="delta")
+    pw.add_argument("--compact-threshold", type=int, default=4)
+    pw.add_argument("--gc-keep", type=int, default=4)
+    pw.add_argument("--config", help="Connect-style transform-chain JSON")
+
     ps = sub.add_parser("show", help="print the current manifest")
     ps.add_argument("--lake", required=True)
 
@@ -174,6 +192,27 @@ def main(argv: "list[str] | None" = None) -> int:
                     report["maintenance"] = tail_maintenance(
                         args.lake, thresh, gc_keep=args.gc_keep)
                 print(json.dumps(report))
+        elif args.cmd == "watch":
+            from .pipelines.maintenance import watch_binlog
+
+            transforms = None
+            if args.config:
+                from .config import build_chain
+
+                with open(args.config) as f:
+                    transforms = [build_chain(json.load(f))]
+            try:
+                watch_binlog(
+                    args.lake, args.binlog_dir,
+                    poll_interval=args.interval,
+                    max_cycles=args.max_cycles,
+                    idle_exit=args.idle_exit,
+                    num_partitions=args.partitions, mode=args.mode,
+                    compact_threshold=args.compact_threshold,
+                    gc_keep=args.gc_keep, transforms=transforms,
+                    on_cycle=lambda r: print(json.dumps(r), flush=True))
+            except KeyboardInterrupt:
+                pass  # clean daemon stop
         elif args.cmd == "compact":
             from .pipelines.maintenance import compact_lake
 

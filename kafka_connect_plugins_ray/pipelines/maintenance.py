@@ -130,6 +130,97 @@ def tail_maintenance(lake_root: str, compact_threshold: int,
     return out
 
 
+def _segment_lsn_max(path: str, lsn_col: str) -> "int | None":
+    """Max lsn of a binlog segment from its parquet FOOTER statistics —
+    no data read.  None when statistics are absent (caller must treat
+    the file as new)."""
+    md = pq.ParquetFile(path).metadata
+    try:
+        col_idx = md.schema.names.index(lsn_col)
+    except ValueError:
+        return None
+    mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        if st is None or st.max is None:
+            return None
+        mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
+def watch_binlog(lake_root: str, binlog_dir: str, *,
+                 poll_interval: float = 2.0,
+                 max_cycles: "int | None" = None,
+                 idle_exit: "int | None" = None,
+                 num_partitions: int = 32, mode: str = "cow",
+                 compact_threshold: "int | None" = None,
+                 gc_keep: "int | None" = None,
+                 transforms=None, lsn_col: str = "lsn",
+                 on_cycle=None) -> "list[dict]":
+    """Continuous (daemonized) tail ingest — the long-running watcher
+    the round-4 review listed as the one remaining operational piece.
+    Follows a directory of changelog parquet segments (the upstream
+    connector's append pattern): each poll prunes candidate segments by
+    their parquet FOOTER lsn statistics against the committed
+    high-water (already-ingested segments are skipped without reading
+    a byte of data — the file-level resume that keeps a long-lived
+    watcher O(new data) per cycle at any history size), ingests the
+    remainder through the normal ``ingest()`` cycle (its row-level
+    high-water filter dedups the boundary segment), then runs threshold
+    compaction + gc via ``tail_maintenance``.
+
+    Termination: after ``max_cycles`` polls, or after ``idle_exit``
+    consecutive empty polls; both None = run forever (the daemon
+    shape; the CLI exposes Ctrl-C).  ``on_cycle(report)`` is called
+    after each non-empty cycle (the CLI prints one JSON line each).
+    Returns the per-cycle reports."""
+    import glob
+    import time
+
+    from .cdc_ingest import ingest
+
+    reports: list[dict] = []
+    polls = idle = 0
+    while True:
+        polls += 1
+        cur = LakeStore(lake_root).current()
+        hw = cur.high_water_lsn if cur else -1
+        fresh = []
+        for f in sorted(glob.glob(os.path.join(binlog_dir, "*.parquet"))):
+            mx = _segment_lsn_max(f, lsn_col)
+            if mx is None or mx > hw:
+                fresh.append(f)
+        if fresh:
+            import ray.data as rd
+
+            m = ingest(lake_root, rd.read_parquet(fresh),
+                       transforms=transforms,
+                       num_partitions=num_partitions, mode=mode,
+                       lsn_col=lsn_col)
+            report = {"version": m.version,
+                      "high_water_lsn": m.high_water_lsn,
+                      "segments_read": len(fresh),
+                      "partitions": len(m.files),
+                      "delta_partitions": len(m.deltas)}
+            if compact_threshold is not None or gc_keep is not None:
+                thresh = (compact_threshold
+                          if compact_threshold is not None else (1 << 62))
+                report["maintenance"] = tail_maintenance(
+                    lake_root, thresh, gc_keep=gc_keep)
+            reports.append(report)
+            if on_cycle is not None:
+                on_cycle(report)
+            idle = 0
+        else:
+            idle += 1
+        if max_cycles is not None and polls >= max_cycles:
+            break
+        if idle_exit is not None and idle >= idle_exit:
+            break
+        time.sleep(poll_interval)
+    return reports
+
+
 def compact_lake(lake_root: str) -> Manifest:
     """Small-file compaction: fold every partition's pending delta chain
     (``ingest(mode="delta")`` appends) back into ONE base file at a new

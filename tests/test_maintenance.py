@@ -409,3 +409,60 @@ def test_tail_mode_randomized_cycles_equal_oneshot_cow(tmp_path):
     # high-water advanced identically on both lakes
     assert (LakeStore(tail).current().high_water_lsn
             == LakeStore(cow).current().high_water_lsn)
+
+
+def test_watch_binlog_tail_follow(tmp_path):
+    """Round-5 continuous tail ingest (the r4 review's last operational
+    gap): the watcher follows a directory of binlog parquet segments,
+    prunes already-ingested segments by FOOTER lsn statistics (no data
+    read), ingests new ones through normal cycles with threshold
+    compaction, and converges to the same state as a one-shot sequence
+    of ingest() calls."""
+    import ray
+
+    from kafka_connect_plugins_ray.pipelines.maintenance import (
+        watch_binlog,
+    )
+
+    def seg_table(rounds, base):
+        refs = binlog_from_documents(SF, rounds=rounds,
+                                     base_lsn=base).to_arrow_refs()
+        import pyarrow as pa
+
+        return pa.concat_tables(
+            [t for t in ray.get(refs) if t.num_rows],
+            promote_options="permissive")
+
+    import pyarrow.parquet as pq
+
+    segs = [seg_table(0, 0), seg_table(1, 10_000), seg_table(2, 20_000)]
+    bdir = tmp_path / "binlog"
+    bdir.mkdir()
+    lake = _fresh(tmp_path, "watchlake")
+
+    # reference: the same three segments through plain ingest cycles
+    ref = _fresh(tmp_path, "reflake")
+    ingest(ref, binlog_from_documents(SF))
+    ingest(ref, binlog_from_documents(SF, rounds=1, base_lsn=10_000))
+    ingest(ref, binlog_from_documents(SF, rounds=2, base_lsn=20_000))
+    h_expected = _state_hash(ref)
+
+    # poll 1: only segment 0 exists
+    pq.write_table(segs[0], str(bdir / "seg0.parquet"))
+    r1 = watch_binlog(lake, str(bdir), poll_interval=0.01, max_cycles=1,
+                      mode="delta", compact_threshold=1, gc_keep=4)
+    assert len(r1) == 1 and r1[0]["segments_read"] == 1
+
+    # polls 2..4: segments 1+2 appear, then the dir goes quiet —
+    # idle_exit stops the daemon; footer-stat pruning must SKIP seg0
+    pq.write_table(segs[1], str(bdir / "seg1.parquet"))
+    pq.write_table(segs[2], str(bdir / "seg2.parquet"))
+    r2 = watch_binlog(lake, str(bdir), poll_interval=0.01, idle_exit=2,
+                      mode="delta", compact_threshold=1, gc_keep=4)
+    assert len(r2) == 1 and r2[0]["segments_read"] == 2
+    assert _state_hash(lake) == h_expected
+
+    # a quiet dir commits nothing
+    v = LakeStore(lake).current_version()
+    r3 = watch_binlog(lake, str(bdir), poll_interval=0.01, idle_exit=1)
+    assert r3 == [] and LakeStore(lake).current_version() == v
