@@ -159,7 +159,40 @@ _BAND_EXPLODE_EMPTY = pa.table({
 })
 
 
-def band_explode(t: pa.Table, num_bands: int, num_buckets: int) -> pa.Table:
+def _cap_band_rows(run_keys: "tuple[np.ndarray, ...]",
+                   tiebreak: np.ndarray,
+                   cap: "int | None") -> "np.ndarray | None":
+    """Boolean keep-mask limiting each equal-``run_keys`` group to
+    ``cap + 1`` rows — the free map-side guard for viral LSH buckets: a
+    single block holding more than ``cap`` rows of one bucket
+    GUARANTEES the global bucket exceeds the reduce's skip threshold,
+    so rows beyond cap+1 can never contribute pairs and need not ship
+    (the cap+1 survivors still trigger the skip).  Buckets oversized
+    only GLOBALLY still ship fully — the counting-pass refinement in
+    SCALE.md is the complete fix.  ``run_keys`` order: last = primary
+    (np.lexsort convention).  None = keep all."""
+    if cap is None:
+        return None
+    order = np.lexsort((tiebreak,) + run_keys)
+    n = order.size
+    key_cols = [k[order] for k in run_keys]
+    newrun = np.zeros(n, dtype=bool)
+    if n:
+        newrun[0] = True
+        for k in key_cols:
+            newrun[1:] |= k[1:] != k[:-1]
+    run_id = np.cumsum(newrun) - 1
+    starts = np.nonzero(newrun)[0]
+    rank = np.arange(n) - starts[run_id]
+    if not (rank > cap).any():
+        return None
+    keep = np.ones(n, dtype=bool)
+    keep[order[rank > cap]] = False
+    return keep
+
+
+def band_explode(t: pa.Table, num_bands: int, num_buckets: int,
+                 max_bucket_size: "int | None" = None) -> pa.Table:
     """Arrow-native LSH banding (round 5 — removes the pandas copy of the
     widest minhash intermediate, the r4 review's #3): the signature
     column's bytes are read straight from the Arrow buffer (zero-copy
@@ -167,7 +200,9 @@ def band_explode(t: pa.Table, num_bands: int, num_buckets: int) -> pa.Table:
     row hashes with the numpy murmur chain salted by band_id (identical
     values in different bands never collide into one bucket), and the
     (doc_id, band_id, band_hash, bucket) rows emit via np.repeat/tile —
-    no per-row Python, band hashes travel as int64."""
+    no per-row Python, band hashes travel as int64.
+    ``max_bucket_size`` enables the map-side viral-bucket cap
+    (``_cap_band_rows``)."""
     n = t.num_rows
     if n == 0:
         return _BAND_EXPLODE_EMPTY
@@ -194,11 +229,15 @@ def band_explode(t: pa.Table, num_bands: int, num_buckets: int) -> pa.Table:
     flat = bands.reshape(n * num_bands, rows)
     band_ids = np.tile(np.arange(num_bands, dtype=np.uint64), n)
     h = mix_columns_u64([band_ids] + [flat[:, r] for r in range(rows)])
+    doc = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False)
+                    .astype(np.int64), num_bands)
+    bid = band_ids.astype(np.int64)
+    keep = _cap_band_rows((h, bid), doc, max_bucket_size)
+    if keep is not None:
+        doc, h, bid = doc[keep], h[keep], bid[keep]
     return pa.table({
-        "doc_id": pa.array(
-            np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False)
-                      .astype(np.int64), num_bands), pa.int64()),
-        "band_id": pa.array(band_ids.astype(np.int32), pa.int32()),
+        "doc_id": pa.array(doc, pa.int64()),
+        "band_id": pa.array(bid.astype(np.int32), pa.int32()),
         "band_hash": pa.array(h.view(np.int64), pa.int64()),
         "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32),
                            pa.int32()),
@@ -408,7 +447,8 @@ def minhash_lsh_pairs(docs: "rd.Dataset", *, num_perm: int = 64,
     sigs = docs.map_batches(MinHasher(num_perm, shingle_k=shingle_k),
                             batch_format="pyarrow", batch_size=2048)
     exploded = sigs.map_batches(
-        lambda t: band_explode(t, num_bands, num_buckets),
+        lambda t: band_explode(t, num_bands, num_buckets,
+                               max_bucket_size=max_bucket_size),
         batch_format="pyarrow")
 
     def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
@@ -1180,6 +1220,10 @@ def simhash_near_dups(docs: "rd.Dataset", max_hamming: int = 3,
         chunk = ((sig4.view(np.uint64) >> (band_ids.astype(np.uint64)
                                            * np.uint64(16)))
                  & np.uint64(0xFFFF)).astype(np.int64)
+        keep = _cap_band_rows((chunk, band_ids), doc4, max_bucket_size)
+        if keep is not None:
+            band_ids, sig4 = band_ids[keep], sig4[keep]
+            doc4, chunk = doc4[keep], chunk[keep]
         bucket = ((band_ids * 65536 + chunk) % num_buckets) \
             .astype(np.int32)
         return pa.table({

@@ -1736,6 +1736,31 @@ def test_substring_dedup_two_pass_identical_and_degenerate_blocks():
         assert out["n_removed"].sum() == 0
 
 
+def test_band_explode_map_side_viral_cap():
+    # round-5 free skew guard: a block holding more than max_bucket_size
+    # rows of one LSH bucket ships only cap+1 of them (still above the
+    # reduce's skip threshold, so behavior is identical — the bucket is
+    # skipped either way — but the viral class's rows never flood the
+    # exchange)
+    from kafka_connect_plugins_ray.pipelines.dedup import (
+        MinHasher,
+        band_explode,
+    )
+
+    t = pa.table({"doc_id": pa.array(range(500), pa.int64()),
+                  "text": pa.array(["the same viral page body here"] * 500,
+                                   pa.string())})
+    sigs = MinHasher(num_perm=64)(t)
+    full = band_explode(sigs, 16, 32)
+    capped = band_explode(sigs, 16, 32, max_bucket_size=50)
+    assert full.num_rows == 500 * 16
+    assert capped.num_rows == 16 * 51          # cap+1 per band bucket
+    # survivors still exceed the skip threshold per bucket
+    bh = capped.column("band_hash").to_numpy()
+    _, counts = np.unique(bh, return_counts=True)
+    assert (counts == 51).all()
+
+
 def test_substring_dedup_viral_class_bypass_identity():
     """Round-5 skew fix: window classes whose pass-1 count reaches
     viral_threshold bypass exchange 1 — their drops are emitted
