@@ -507,6 +507,16 @@ def run_bpe() -> None:
     n_docs = out.count()
     total = int(out.sum("n_bpe_tokens"))
     wall = time.perf_counter() - t0
+    # r5: sequence packing over the same corpus (whitespace counts) —
+    # the distributed ordered prefix scan + span emission
+    from kafka_connect_plugins_ray.pipelines.packing import pack_sequences
+
+    t3 = time.perf_counter()
+    spans, pstats = pack_sequences(
+        read_table(SF_DIR, "documents", columns=["doc_id", "text"]),
+        ctx_len=2048)
+    n_spans = spans.count()
+    pack_wall = time.perf_counter() - t3
     ray.shutdown()
     print(json.dumps({
         "metric": "bpe_train_and_count_wall_sec",
@@ -517,6 +527,9 @@ def run_bpe() -> None:
         "n_merges": len(merges), "distinct_words": int(len(wc)),
         "docs": n_docs, "bpe_tokens": total,
         "tokens_per_sec": round(total / wall),
+        "pack_sec": round(pack_wall, 3), "pack_spans": n_spans,
+        "pack_sequences": pstats["n_sequences"],
+        "pack_total_tokens": pstats["total_tokens"],
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
     }))
 

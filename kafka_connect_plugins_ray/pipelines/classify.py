@@ -1,0 +1,232 @@
+"""Multinomial Naive-Bayes text classifier — the classifier-filter
+component of web-scale LLM data pipelines (CCNet filters by LM
+perplexity; GPT-3/PaLM-style pipelines ADDITIONALLY keep documents a
+quality/domain classifier scores as reference-like.  A linear
+bag-of-words classifier is the public-knowledge shape; multinomial NB
+is its exactly-trainable instance — training is pure counting, so the
+distributed model is BIT-IDENTICAL to a single-machine one, which is
+what makes the pytest gate exact rather than approximate).
+
+Scale shape (mirrors the bigram-LM trainer):
+
+- TRAINING is capped count summaries through the hash exchange:
+  vocabulary = global top-K words over the labeled set (the shared
+  ``corpus_word_counts_topk``), then per-(class, word) counts — per
+  batch one arrow split + dictionary-encode + bincount, one (class,
+  word, count) row per distinct pair per block, exchange on word hash
+  (a word's global counts live wholly in one bucket, so per-bucket
+  sums are exact), driver assembles the (classes × V+1) matrix.
+  Driver/broadcast cost is O(classes × vocab_k) — megabytes —
+  independent of corpus size.  Labeled sets are small in practice
+  (classifier-filter training uses ~10^5-10^6 reference docs), but
+  nothing here materializes the corpus regardless.
+- SCORING is an actor-pool ``map_batches`` stage: model ships once via
+  ``ray.put``; per batch one split, one dictionary-encode, one
+  searchsorted-free vocab map, and ONE weighted bincount per class
+  (classes are few) — no per-doc Python.
+
+Smoothing: add-alpha over vocab+<unk>; score(c|d) = log prior(c) +
+Σ_tokens log p(token|c).  Returns per-class log scores, the argmax
+label, and the margin (top1 − top2) for threshold filtering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+UNK_ID = -1  # sentinel before shifting into the count matrix
+
+
+def _vocab_ids(texts, vocab: "dict[str, int]", unk: int):
+    """(token ids mapped through vocab (OOV→unk), tokens-per-doc) for a
+    string column — the shared tokenize+map kernel (one arrow split,
+    one dictionary-encode, per-DISTINCT-word dict lookups only)."""
+    from ..functions.tokenize import flat_tokens
+
+    flat, counts = flat_tokens(texts)
+    if len(flat) == 0:
+        return np.zeros(0, np.int64), counts
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    distinct = enc.dictionary.to_pylist()
+    dmap = np.fromiter((vocab.get(w, unk) for w in distinct),
+                       dtype=np.int64, count=len(distinct))
+    return dmap[np.asarray(enc.indices, dtype=np.int64)], counts
+
+
+def train_nb_classifier(docs, *, label_col: str = "label",
+                        text_col: str = "text", vocab_k: int = 30000,
+                        alpha: float = 1.0,
+                        num_buckets: int = 32) -> dict:
+    """Train on a labeled Dataset (string ``label_col`` + ``text_col``);
+    returns a small broadcastable model dict: ``{vocab, classes,
+    log_cond (C × V+1), log_prior, alpha}``.  Exactly equal to
+    single-machine counting by construction."""
+    from ..exchange import hash_exchange, tree_aggregate
+    from ..functions.bpe import corpus_word_counts_topk
+    from ..functions.vhash import hash64_column
+
+    wc = corpus_word_counts_topk(
+        docs.map_batches(lambda t: t.select([text_col]),
+                         batch_format="pyarrow"),
+        top_k=vocab_k, num_buckets=num_buckets)
+    words = list(wc.index)
+    vocab = {w: i for i, w in enumerate(words)}
+    V = len(words)
+
+    # class priors + per-class token totals ride a tiny tree aggregate
+    def class_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "label": pc.cast(t.column(label_col), pa.string()),
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        }).group_by("label").aggregate([("n_docs", "sum")])
+        return g.rename_columns(["label", "n_docs"])
+
+    def class_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("label").aggregate([("n_docs", "sum")])
+        return g.rename_columns(["label", "n_docs"])
+
+    cl = tree_aggregate(docs.map_batches(class_partial,
+                                         batch_format="pyarrow"),
+                        class_combine)
+    if cl is None or cl.num_rows == 0:
+        raise ValueError("cannot train a classifier on an empty corpus")
+    cl = cl.sort_by("label")
+    classes = cl.column("label").to_pylist()
+    n_docs = cl.column("n_docs").to_numpy().astype(np.float64)
+    cidx = {c: i for i, c in enumerate(classes)}
+    C = len(classes)
+
+    import ray
+
+    vocab_ref = ray.put(vocab)
+    cidx_ref = ray.put(cidx)
+
+    empty = pa.table({"word_id": pa.array([], pa.int64()),
+                      "class_id": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int32())})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        cm = ray.get(cidx_ref)
+        ids, counts = _vocab_ids(t.column(text_col), v, V)  # OOV -> V
+        if ids.size == 0:
+            return empty
+        labels = pc.cast(t.column(label_col), pa.string()).to_pylist()
+        lab_ids = np.fromiter((cm[x] for x in labels), dtype=np.int64,
+                              count=len(labels))
+        tok_class = np.repeat(lab_ids, counts)
+        key = ids * C + tok_class           # (word, class) packed
+        uniq, cnt = np.unique(key, return_counts=True)
+        wid = uniq // C
+        return pa.table({
+            "word_id": pa.array(wid, pa.int64()),
+            "class_id": pa.array(uniq % C, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            # bucket by WORD so per-bucket sums are exact per pair
+            "bucket": pa.array((wid % num_buckets).astype(np.int32),
+                               pa.int32()),
+        })
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        key = (t.column("word_id").to_numpy() * C
+               + t.column("class_id").to_numpy())
+        n = t.column("n").to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, n = key[order], n[order]
+        first = np.concatenate(([True], key[1:] != key[:-1]))
+        sums = np.add.reduceat(n, np.nonzero(first)[0])
+        ku = key[first]
+        return pa.table({"key": pa.array(ku, pa.int64()),
+                         "n": pa.array(sums, pa.int64())})
+
+    shards = hash_exchange(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        "bucket", num_buckets, reduce_bucket)
+    cond = np.zeros((C, V + 1), dtype=np.float64)  # +1 = <unk>
+    for s in shards:
+        key = s.column("key").to_numpy()
+        n = s.column("n").to_numpy()
+        cond[key % C, key // C] += n
+    log_cond = np.log((cond + alpha)
+                      / (cond.sum(axis=1, keepdims=True)
+                         + alpha * (V + 1)))
+    log_prior = np.log(n_docs / n_docs.sum())
+    return {"vocab": vocab, "classes": classes, "log_cond": log_cond,
+            "log_prior": log_prior, "alpha": float(alpha)}
+
+
+class NBScorer:
+    """Actor-pool scoring stage: per batch one tokenize/map pass + one
+    weighted bincount per class.  Output: (doc_id, label, margin,
+    score_<class>…); empty docs get the prior-argmax with margin from
+    priors alone (the honest no-evidence answer)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        m = ray.get(model_ref) if not isinstance(model_ref, dict) \
+            else model_ref
+        self.vocab = m["vocab"]
+        self.classes = m["classes"]
+        self.log_cond = m["log_cond"]
+        self.log_prior = m["log_prior"]
+        self.V = self.log_cond.shape[1] - 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids, counts = _vocab_ids(batch.column("text"), self.vocab,
+                                 self.V)
+        C = len(self.classes)
+        scores = np.tile(self.log_prior, (n, 1))
+        if ids.size:
+            doc_of = np.repeat(np.arange(n), counts)
+            for c in range(C):
+                scores[:, c] += np.bincount(
+                    doc_of, weights=self.log_cond[c, ids], minlength=n)
+        order = np.argsort(-scores, axis=1)
+        top = order[:, 0]
+        margin = (scores[np.arange(n), top]
+                  - scores[np.arange(n), order[:, 1]]) if C > 1 \
+            else np.zeros(n)
+        cols = {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "label": pa.array([self.classes[i] for i in top],
+                              pa.string()),
+            "margin": pa.array(margin, pa.float64()),
+        }
+        for c, name in enumerate(self.classes):
+            cols[f"score_{name}"] = pa.array(scores[:, c], pa.float64())
+        return pa.table(cols)
+
+
+def nb_scores(docs, model: dict, *, batch_size: int = 4096,
+              concurrency: int = 4):
+    """documents → (doc_id, label, margin, per-class scores)."""
+    import ray
+
+    ref = ray.put(model)
+    return docs.map_batches(NBScorer, fn_constructor_args=(ref,),
+                            batch_format="pyarrow",
+                            batch_size=batch_size,
+                            concurrency=concurrency)
+
+
+def classifier_filter(docs, model: dict, *, keep_label: str,
+                      min_margin: float = 0.0, concurrency: int = 4):
+    """The GPT-3-style classifier-filter: keep documents the model
+    labels ``keep_label`` with at least ``min_margin`` log-odds over
+    the runner-up.  One streaming pass; scores and the kept (doc_id,
+    margin) stream on — nothing corpus-sized on the driver."""
+    scored = nb_scores(docs, model, concurrency=concurrency)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("label"), keep_label),
+                    pc.greater_equal(t.column("margin"), min_margin))
+        return t.filter(m).select(["doc_id", "margin"])
+
+    return scored.map_batches(keep, batch_format="pyarrow")

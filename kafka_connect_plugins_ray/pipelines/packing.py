@@ -1,0 +1,158 @@
+"""Sequence packing for LLM pretraining — the concat-and-chunk shape
+(GPT-style): documents' tokens, taken in doc_id order, form one global
+token stream that is sliced into fixed ``ctx_len`` training sequences;
+a document contributes a SPAN (doc_tok_start, doc_tok_end) to every
+sequence it overlaps.  Emitting spans instead of token ids keeps the
+operator text-free after one counting pass: a trainer materializes
+sequence i by gathering its spans' tokens.
+
+This is a distributed ORDERED PREFIX SUM — the one primitive the hash
+exchange can't express directly (hashing destroys order), so it runs
+over RANGE partitions instead (documented per the SURVEY §2
+custom-operator rule):
+
+1. counting pass: one (doc_id, n_tokens, range_id) row per doc
+   (range_id = doc_id // range_width — fixed-width ranges, so a reduce
+   task's input is bounded by construction, never by skew);
+2. per-range reduce: sort by doc_id, local exclusive prefix sums —
+   shards stay in the object store;
+3. driver folds the per-range TOTALS (one int per range) into range
+   base offsets — O(num_ranges) driver state, never O(docs);
+4. span emission per range: global offset = base + local prefix; each
+   doc vectorized-expands to its overlapped sequences.
+
+Deterministic given (corpus, ctx_len): output is pinned against a
+pure-Python reference in tests.  Null/empty docs occupy no stream
+space and emit no spans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SPAN_SCHEMA = pa.schema([
+    ("seq_id", pa.int64()),
+    ("doc_id", pa.int64()),
+    ("doc_tok_start", pa.int64()),
+    ("doc_tok_end", pa.int64()),      # exclusive
+    ("seq_tok_start", pa.int64()),    # span's offset within the sequence
+])
+
+
+def pack_sequences(docs, ctx_len: int = 2048, *, text_col: str = "text",
+                   range_width: int = 4096,
+                   token_counts_fn=None) -> "tuple":
+    """Returns ``(spans_dataset, stats)`` where spans follow
+    ``SPAN_SCHEMA`` and stats = {total_tokens, n_sequences,
+    last_seq_fill}.  ``token_counts_fn(batch) -> int64 array`` overrides
+    the default whitespace token count (e.g. a BPE counter)."""
+    import ray
+
+    from ..exchange import hash_exchange, refs_to_dataset
+
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if ids.size and ids.min() < 0:
+            raise ValueError("pack_sequences requires non-negative "
+                             "doc_ids (range partitioning)")
+        if token_counts_fn is not None:
+            n = np.asarray(token_counts_fn(t), dtype=np.int64)
+        else:
+            from ..functions.tokenize import flat_tokens
+
+            _, n = flat_tokens(t.column(text_col))
+            n = n.astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tok": pa.array(n, pa.int64()),
+            "range_id": pa.array((ids // range_width).astype(np.int32),
+                                 pa.int32()),
+        })
+
+    # range count: one id-only max (no tokenize work in this aggregate)
+    max_id = docs.map_batches(
+        lambda t: t.select(["doc_id"]),
+        batch_format="pyarrow").max("doc_id")
+    if max_id is None:
+        return (refs_to_dataset([], SPAN_SCHEMA),
+                {"total_tokens": 0, "n_sequences": 0,
+                 "last_seq_fill": 0.0})
+    num_ranges = int(max_id) // range_width + 1
+
+    def range_prefix(pid: int, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        n = t.column("n_tok").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        prefix = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tok": pa.array(n, pa.int64()),
+            "local_prefix": pa.array(prefix, pa.int64()),
+        })
+
+    # recompute the counting pass output into range shards (the shards
+    # hold one row per doc of their fixed-width range — bounded by
+    # range_width, not by any data property)
+    shard_refs = hash_exchange(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        "range_id", num_ranges, range_prefix, materialize=False)
+
+    @ray.remote
+    def shard_total(t) -> int:
+        if t is None or t.num_rows == 0:
+            return 0
+        return int(pc.sum(t.column("n_tok")).as_py())
+
+    totals = ray.get([shard_total.remote(r) for r in shard_refs])
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+    total_tokens = int(sum(totals))
+
+    @ray.remote
+    def emit_spans(base: int, t) -> "pa.Table | None":
+        if t is None or t.num_rows == 0:
+            return None
+        ids = t.column("doc_id").to_numpy()
+        n = t.column("n_tok").to_numpy()
+        o = base + t.column("local_prefix").to_numpy()
+        live = n > 0
+        ids, n, o = ids[live], n[live], o[live]
+        if ids.size == 0:
+            return None
+        s0 = o // ctx_len
+        s1 = (o + n - 1) // ctx_len
+        reps = (s1 - s0 + 1).astype(np.int64)
+        total = int(reps.sum())
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        k = np.arange(total) - np.repeat(starts, reps)   # span index
+        seq = np.repeat(s0, reps) + k
+        d = np.repeat(ids, reps)
+        od = np.repeat(o, reps)
+        nd = np.repeat(n, reps)
+        span_lo = np.maximum(seq * ctx_len, od)
+        span_hi = np.minimum((seq + 1) * ctx_len, od + nd)
+        return pa.table({
+            "seq_id": pa.array(seq, pa.int64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "doc_tok_start": pa.array(span_lo - od, pa.int64()),
+            "doc_tok_end": pa.array(span_hi - od, pa.int64()),
+            "seq_tok_start": pa.array(span_lo - seq * ctx_len,
+                                      pa.int64()),
+        })
+
+    span_refs = [emit_spans.remote(int(bases[i]), shard_refs[i])
+                 for i in range(num_ranges)]
+    n_seq = -(-total_tokens // ctx_len) if total_tokens else 0
+    stats = {
+        "total_tokens": total_tokens,
+        "n_sequences": n_seq,
+        "last_seq_fill": ((total_tokens - (n_seq - 1) * ctx_len) / ctx_len
+                          if n_seq else 0.0),
+    }
+    return refs_to_dataset(span_refs, SPAN_SCHEMA), stats

@@ -1,0 +1,104 @@
+"""Naive-Bayes classifier-filter tests: the distributed trained model
+must equal driver-side counting EXACTLY (training is pure counting),
+scoring must match a per-doc Python reference, and the end-to-end
+filter must separate planted reference-like from junk-like docs."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.classify import (
+    classifier_filter,
+    nb_scores,
+    train_nb_classifier,
+)
+
+WIKI = ["the", "history", "of", "science", "records", "that", "early",
+        "astronomers", "measured", "planetary", "orbits", "with",
+        "remarkable", "precision"]
+WEB = ["click", "here", "buy", "now", "free", "offer", "limited",
+       "deal", "subscribe", "winner", "prize", "cash", "bonus", "the"]
+
+
+def _doc(rng, words, k):
+    return " ".join(words[rng.randint(0, len(words))] for _ in range(k))
+
+
+def _corpus(rng, n_per_class):
+    rows = []
+    for i in range(n_per_class):
+        rows.append(("wiki", _doc(rng, WIKI, rng.randint(8, 30))))
+        rows.append(("web", _doc(rng, WEB, rng.randint(8, 30))))
+    return rows
+
+
+def test_nb_training_matches_driver_counting_exactly():
+    rng = np.random.RandomState(3)
+    rows = _corpus(rng, 150) + [("wiki", ""), ("web", None)]
+    t = pa.table({
+        "label": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+    })
+    model = train_nb_classifier(rd.from_arrow(t).repartition(5),
+                                vocab_k=1000, alpha=0.5, num_buckets=8)
+    vocab = model["vocab"]
+    V = len(vocab)
+    C = len(model["classes"])
+    cidx = {c: i for i, c in enumerate(model["classes"])}
+    cond = np.zeros((C, V + 1))
+    n_docs = np.zeros(C)
+    for lab, text in rows:
+        n_docs[cidx[lab]] += 1
+        for w in (text or "").split():
+            cond[cidx[lab], vocab.get(w, V)] += 1
+    log_cond = np.log((cond + 0.5)
+                      / (cond.sum(axis=1, keepdims=True) + 0.5 * (V + 1)))
+    assert np.allclose(model["log_cond"], log_cond, atol=0, rtol=0)
+    assert np.allclose(model["log_prior"],
+                       np.log(n_docs / n_docs.sum()), atol=0, rtol=0)
+
+
+def test_nb_scoring_matches_reference_and_filter_separates():
+    rng = np.random.RandomState(7)
+    rows = _corpus(rng, 200)
+    train = pa.table({
+        "label": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    model = train_nb_classifier(rd.from_arrow(train).repartition(4),
+                                vocab_k=1000, num_buckets=8)
+    # held-out docs: 40 wiki-like, 40 web-like, 2 degenerate
+    held = ([(i, _doc(rng, WIKI, rng.randint(8, 25))) for i in range(40)]
+            + [(100 + i, _doc(rng, WEB, rng.randint(8, 25)))
+               for i in range(40)]
+            + [(900, ""), (901, None)])
+    ht = pa.table({
+        "doc_id": pa.array([h[0] for h in held], pa.int64()),
+        "text": pa.array([h[1] for h in held], pa.string()),
+    })
+    scored = nb_scores(rd.from_arrow(ht).repartition(3), model,
+                       concurrency=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # per-doc Python reference score, exact
+    vocab, V = model["vocab"], len(model["vocab"])
+    for did, text in held:
+        for c, name in enumerate(model["classes"]):
+            ref = model["log_prior"][c] + sum(
+                model["log_cond"][c, vocab.get(w, V)]
+                for w in (text or "").split())
+            assert math.isclose(scored.loc[did, f"score_{name}"], ref,
+                                rel_tol=1e-12), (did, name)
+    # planted separation: >= 95% of held-out docs classified right
+    wiki_ok = (scored.loc[:40, "label"] == "wiki").mean()
+    web_ok = (scored.loc[100:140, "label"] == "web").mean()
+    assert wiki_ok >= 0.95 and web_ok >= 0.95
+    # the GPT-3-shape filter keeps confident wiki docs only
+    kept = classifier_filter(rd.from_arrow(ht).repartition(3), model,
+                             keep_label="wiki", min_margin=1.0,
+                             concurrency=2).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    assert kept_ids and kept_ids <= set(range(41))
+    assert len(kept_ids) >= 36                    # high recall on wiki

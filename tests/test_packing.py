@@ -1,0 +1,96 @@
+"""Sequence-packing tests: the distributed range-partitioned prefix
+scan must reproduce a pure-Python concat-and-chunk reference exactly,
+sequences must tile the global token stream, and degenerate docs must
+occupy no stream space."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.packing import pack_sequences
+
+
+def _reference_spans(rows, ctx):
+    """(seq_id, doc_id, doc_tok_start, doc_tok_end, seq_tok_start) from
+    a driver-side walk of the doc_id-ordered token stream."""
+    spans = []
+    o = 0
+    for did, text in sorted(rows):
+        n = len((text or "").split())
+        if n == 0:
+            continue
+        pos = 0
+        while pos < n:
+            seq = (o + pos) // ctx
+            take = min(n - pos, (seq + 1) * ctx - (o + pos))
+            spans.append((seq, did, pos, pos + take,
+                          (o + pos) - seq * ctx))
+            pos += take
+        o += n
+    return sorted(spans)
+
+
+def test_pack_sequences_matches_reference_exactly():
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(400):
+        k = int(rng.randint(0, 90))           # incl. zero-token docs
+        rows.append((i * 7, " ".join("w%d" % j for j in range(k))))
+    rows += [(4000, ""), (4001, None)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    ctx = 64
+    spans, stats = pack_sequences(rd.from_arrow(t).repartition(5),
+                                  ctx_len=ctx, range_width=300)
+    got = sorted(zip(*[spans.to_pandas()[c] for c in
+                       ("seq_id", "doc_id", "doc_tok_start",
+                        "doc_tok_end", "seq_tok_start")]))
+    ref = _reference_spans(rows, ctx)
+    assert [tuple(map(int, g)) for g in got] == ref
+    total = sum(len((x or "").split()) for _, x in rows)
+    assert stats["total_tokens"] == total
+    assert stats["n_sequences"] == -(-total // ctx)
+    # every sequence except the last is tiled exactly: span lengths per
+    # seq sum to ctx, and spans within a seq are contiguous from 0
+    import collections
+    per_seq = collections.defaultdict(list)
+    for s in ref:
+        per_seq[s[0]].append(s)
+    for sid, ss in per_seq.items():
+        ss.sort(key=lambda x: x[4])
+        assert ss[0][4] == 0
+        acc = 0
+        for _, _, a, b, st in ss:
+            assert st == acc
+            acc += b - a
+        if sid < stats["n_sequences"] - 1:
+            assert acc == ctx
+    # stream reconstruction: concatenating spans in (seq, offset) order
+    # yields the doc_id-ordered token stream
+    stream = []
+    for s in sorted(ref):
+        stream.extend((s[1], k) for k in range(s[2], s[3]))
+    expect = []
+    for did, text in sorted(rows):
+        expect.extend((did, k)
+                      for k in range(len((text or "").split())))
+    assert stream == expect
+
+
+def test_pack_sequences_empty_and_custom_counts():
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([None, ""], pa.string())})
+    spans, stats = pack_sequences(rd.from_arrow(t), ctx_len=16)
+    assert spans.count() == 0 and stats["n_sequences"] == 0
+    # custom token counter (e.g. a BPE counter): 5 tokens per doc
+    t2 = pa.table({"doc_id": pa.array([3, 9, 21], pa.int64()),
+                   "text": pa.array(["a", "b", "c"], pa.string())})
+    spans2, stats2 = pack_sequences(
+        rd.from_arrow(t2), ctx_len=8, range_width=10,
+        token_counts_fn=lambda t: np.full(t.num_rows, 5, np.int64))
+    df = spans2.to_pandas().sort_values(["seq_id", "seq_tok_start"])
+    assert stats2["total_tokens"] == 15 and stats2["n_sequences"] == 2
+    # 5+3 | 2+5 split across the ctx=8 boundary
+    assert df[["seq_id", "doc_id", "doc_tok_start",
+               "doc_tok_end"]].values.tolist() == [
+        [0, 3, 0, 5], [0, 9, 0, 3], [1, 9, 3, 5], [1, 21, 0, 5]]
