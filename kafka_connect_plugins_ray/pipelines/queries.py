@@ -60,6 +60,26 @@ def cdc_lww_state(sf_dir: str) -> "rd.Dataset":
     return read_lake(lake)
 
 
+def cdc_debezium_state(sf_dir: str) -> "rd.Dataset":
+    """The Debezium round trip, driver-gated: dump the binlog as a
+    Debezium-shaped JSONL topic (vectorized struct encode +
+    distributed JSON writer), re-read it through the Debezium source
+    adapter, ingest, and read the lake — the final state must equal
+    the direct-binlog flagship's SQL oracle exactly, which gates the
+    envelope mapping (c/u/d ops, before-image delete keys, source.lsn
+    extraction) end to end."""
+    from ..sources.debezium import debezium_topic_dump, read_debezium_jsonl
+
+    topic = tempfile.mkdtemp(prefix="kcp_dbz_topic_")
+    debezium_topic_dump(binlog_from_documents(sf_dir), topic,
+                        columns=("repo", "path", "commit", "lang",
+                                 "content"))
+    lake = tempfile.mkdtemp(prefix="kcp_lake_dbz_")
+    ingest(lake, read_debezium_jsonl(
+        topic, columns=("repo", "path", "commit", "lang", "content")))
+    return read_lake(lake)
+
+
 def cdc_full_state(sf_dir: str) -> "rd.Dataset":
     """The full envelope+SMT-chain pipeline (cdc_full.py) must converge to
     the SAME final table as the pre-projected flagship — deletes travel as
@@ -1843,6 +1863,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship CDC family (incl. the r3-new delta+compaction gate)
         "cdc_lww_state": cdc_lww_state,
+        "cdc_debezium_state": cdc_debezium_state,
         "cdc_incremental_state": cdc_incremental_state,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -1903,6 +1924,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 def build_oracles() -> dict[str, str]:
     return {
         "cdc_lww_state": CDC_ORACLE,
+        "cdc_debezium_state": CDC_ORACLE,
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,

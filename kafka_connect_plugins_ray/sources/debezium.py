@@ -92,3 +92,39 @@ def read_debezium_jsonl(paths, *, columns, lsn_path=("source", "lsn"),
 
     return debezium_events(rd.read_json(paths, **read_kwargs),
                            columns=columns, lsn_path=lsn_path)
+
+
+def debezium_topic_dump(events, out_dir, *, columns, op_col="op",
+                        lsn_col="lsn"):
+    """Inverse adapter: engine change events → a Debezium-shaped JSONL
+    topic dump (bare layout) under ``out_dir``.  Fully vectorized —
+    struct columns are built with Arrow null masks and serialized by the
+    distributed JSON writer; no per-row Python.  Used to drive the
+    roundtrip gate (dump → ``read_debezium_jsonl`` → ingest must equal
+    direct ingest) and as a demo sink for downstream Debezium consumers.
+    """
+
+    def encode(t: pa.Table) -> pa.Table:
+        def col(name):
+            c = t.column(name)
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) \
+                else c
+
+        op_raw = col(op_col)
+        is_del = pc.equal(op_raw, "delete")
+        rows = [col(c) for c in columns]
+        after = pa.StructArray.from_arrays(rows, names=list(columns),
+                                           mask=is_del)
+        before = pa.StructArray.from_arrays(rows, names=list(columns),
+                                            mask=pc.invert(is_del))
+        dbz_op = pc.if_else(
+            is_del, pa.scalar("d"),
+            pc.if_else(pc.equal(op_raw, "insert"), pa.scalar("c"),
+                       pa.scalar("u")))
+        source = pa.StructArray.from_arrays(
+            [pc.cast(col(lsn_col), pa.int64())], names=["lsn"])
+        return pa.table({"before": before, "after": after, "op": dbz_op,
+                         "source": source})
+
+    events.map_batches(encode, batch_format="pyarrow").write_json(out_dir)
+    return out_dir

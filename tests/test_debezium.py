@@ -83,6 +83,23 @@ def test_debezium_lake_matches_binlog_lake(tmp_path):
     assert _state_hash(ref2) == _state_hash(dbz_lake)
 
 
+def test_debezium_topic_dump_roundtrip(tmp_path):
+    """dump (vectorized encode + distributed JSON writer) -> read back
+    through the source adapter -> ingest == direct binlog ingest."""
+    from kafka_connect_plugins_ray.sources.debezium import (
+        debezium_topic_dump,
+    )
+
+    topic = str(tmp_path / "topic")
+    debezium_topic_dump(binlog_from_documents(SF), topic, columns=COLS)
+    dbz_lake = str(tmp_path / "dbz_lake")
+    ingest(dbz_lake, read_debezium_jsonl(topic, columns=COLS),
+           num_partitions=8)
+    ref_lake = str(tmp_path / "ref_lake")
+    ingest(ref_lake, binlog_from_documents(SF), num_partitions=8)
+    assert _state_hash(dbz_lake) == _state_hash(ref_lake)
+
+
 def test_debezium_events_from_inline_dataset():
     rows = [
         {"before": None, "after": {"repo": "r", "path": "p", "commit": "c1",
