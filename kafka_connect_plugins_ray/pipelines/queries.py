@@ -776,6 +776,99 @@ FROM events
 """
 
 
+def q_hoist_field(sf_dir: str) -> "rd.Dataset":
+    """Kafka HoistField: wrap a primitive value into a named struct."""
+    from ..stages.field_ops import HoistField
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def build(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "value": t["p_name"]})
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(HoistField("line"), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "line": pc.struct_field(t["value"], ["line"])})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+HOIST_FIELD_ORACLE = """
+SELECT p_partkey, p_name AS line FROM part
+"""
+
+
+def q_flatten_struct(sf_dir: str) -> "rd.Dataset":
+    """Kafka Flatten: recursive dot-delimited flatten of nested structs."""
+    from ..stages.field_ops import FlattenStruct
+
+    ds = read_table(sf_dir, "orders", columns=[
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
+
+    def build(t: pa.Table) -> pa.Table:
+        order = pa.StructArray.from_arrays(
+            [t["o_orderkey"].combine_chunks(),
+             t["o_totalprice"].combine_chunks()],
+            names=["key", "total"])
+        cust = pa.StructArray.from_arrays(
+            [t["o_custkey"].combine_chunks()], names=["key"])
+        value = pa.StructArray.from_arrays(
+            [order, cust, t["o_orderstatus"].combine_chunks()],
+            names=["order", "cust", "status"])
+        return pa.table({"o_orderkey": t["o_orderkey"], "value": value})
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(FlattenStruct(), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "order.key": pc.struct_field(v, ["order.key"]),
+            "order.total": pc.struct_field(v, ["order.total"]),
+            "cust.key": pc.struct_field(v, ["cust.key"]),
+            "status": pc.struct_field(v, ["status"]),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+FLATTEN_STRUCT_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey AS "order.key",
+       o_totalprice AS "order.total",
+       o_custkey AS "cust.key",
+       o_orderstatus AS status
+FROM orders
+"""
+
+
+def q_timestamp_router(sf_dir: str) -> "rd.Dataset":
+    """Kafka TimestampRouter: topic = '${topic}-${timestamp}' with the
+    record timestamp rendered as yyyyMMdd (strftime %Y%m%d)."""
+    from ..stages.field_ops import TimestampRouter
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type",
+                                               "ts"])
+
+    def build(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "topic": t["event_type"], "ts": t["ts"]})
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = built.map_batches(TimestampRouter(), batch_format="pyarrow")
+    return out.select_columns(["event_id", "topic"])
+
+
+TIMESTAMP_ROUTER_ORACLE = """
+SELECT event_id, event_type || '-' || strftime(ts, '%Y%m%d') AS topic
+FROM events
+"""
+
+
 def q_timestamp_converter(sf_dir: str) -> "rd.Dataset":
     from ..stages.timestamp_converter import TimestampConverter
 
@@ -1864,6 +1957,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # flagship CDC family (incl. the r3-new delta+compaction gate)
         "cdc_lww_state": cdc_lww_state,
         "cdc_debezium_state": cdc_debezium_state,
+        # r5-new standard-Connect SMTs (ordered early: never driver-verified)
+        "hoist_field": q_hoist_field,
+        "flatten_struct": q_flatten_struct,
+        "timestamp_router": q_timestamp_router,
         "cdc_incremental_state": cdc_incremental_state,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -1925,6 +2022,9 @@ def build_oracles() -> dict[str, str]:
     return {
         "cdc_lww_state": CDC_ORACLE,
         "cdc_debezium_state": CDC_ORACLE,
+        "hoist_field": HOIST_FIELD_ORACLE,
+        "flatten_struct": FLATTEN_STRUCT_ORACLE,
+        "timestamp_router": TIMESTAMP_ROUTER_ORACLE,
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,

@@ -1,13 +1,14 @@
 """Generic field-level SMTs: ReplaceField (drop/rename), MaskField
-(redaction), ExtractField (key extraction), InsertField, RegexRouter
-(topic routing).
+(redaction), ExtractField (key extraction), InsertField, HoistField,
+FlattenStruct, RegexRouter and TimestampRouter (topic routing).
 
 The reference repo chains its custom SMTs with Kafka Connect's standard
 transforms (README.md:27-31 shows the `transforms` chain mechanism); the
 north star names redaction / drop / rename / route / key-extraction as the
 transform cases to cover.  Semantics follow the public Apache Kafka Connect
 SMT contracts (org.apache.kafka.connect.transforms.{ReplaceField,
-MaskField, ExtractField, InsertField, RegexRouter}), vectorized over the
+MaskField, ExtractField, InsertField, HoistField, Flatten, RegexRouter,
+TimestampRouter}), vectorized over the
 ``value`` struct column (or, with ``scope="columns"``, over flat table
 columns).
 """
@@ -226,6 +227,103 @@ class InsertField:
         new_value = _rebuild_struct(value, fields, arrays)
         i = batch.column_names.index(self.value_col)
         return batch.set_column(i, pa.field(self.value_col, new_value.type), new_value)
+
+
+class HoistField:
+    """Wrap the entire value (or key) into a single-field struct —
+    Kafka's HoistField SMT.  Like the Connect transform, a null input
+    still hoists (the wrapper struct is non-null with a null field)."""
+
+    def __init__(self, field: str, apply_to: str = "value",
+                 key_col: str = KEY, value_col: str = VALUE):
+        self.field = field
+        self.apply_to = apply_to
+        self.key_col = key_col
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col_name = self.key_col if self.apply_to == "key" else self.value_col
+        col = batch.column(col_name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hoisted = pa.StructArray.from_arrays([col], names=[self.field])
+        i = batch.column_names.index(col_name)
+        return batch.set_column(i, pa.field(col_name, hoisted.type), hoisted)
+
+
+class FlattenStruct:
+    """Recursively flatten nested value structs into one flat struct with
+    delimiter-joined names — Kafka's Flatten SMT (default delimiter
+    ``.``).  A null parent struct yields null leaf fields (the optional-
+    schema Connect behavior); field order is a depth-first walk, matching
+    Connect's ``buildUpdatedSchema`` recursion."""
+
+    def __init__(self, delimiter: str = ".", value_col: str = VALUE):
+        self.delimiter = delimiter
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        value = batch.column(self.value_col)
+        if not pa.types.is_struct(value.type):
+            return batch
+        fields: list[pa.Field] = []
+        arrays: list = []
+
+        def walk(arr, arr_type, prefix):
+            for idx in range(arr_type.num_fields):
+                f = arr_type.field(idx)
+                name = f"{prefix}{self.delimiter}{f.name}" if prefix \
+                    else f.name
+                child = pc.struct_field(arr, [f.name])
+                if pa.types.is_struct(f.type):
+                    walk(child, f.type, name)
+                else:
+                    fields.append(pa.field(name, f.type, f.nullable))
+                    arrays.append(child)
+
+        walk(value, value.type, "")
+        new_value = _rebuild_struct(value, fields, arrays)
+        i = batch.column_names.index(self.value_col)
+        return batch.set_column(
+            i, pa.field(self.value_col, new_value.type), new_value)
+
+
+class TimestampRouter:
+    """Route by record timestamp — Kafka's TimestampRouter SMT: the topic
+    becomes ``topic_format`` with ``${topic}`` and ``${timestamp}``
+    substituted; the timestamp renders through a strftime pattern (the
+    public Connect transform uses SimpleDateFormat — callers translate,
+    e.g. ``yyyyMMdd`` → ``%Y%m%d``).  Fully vectorized: one strftime +
+    one element-wise join."""
+
+    def __init__(self, topic_format: str = "${topic}-${timestamp}",
+                 ts_format: str = "%Y%m%d", topic_col: str = TOPIC,
+                 ts_col: str = TS):
+        self.topic_format = topic_format
+        self.ts_format = ts_format
+        self.topic_col = topic_col
+        self.ts_col = ts_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        topic = batch.column(self.topic_col)
+        stamp = pc.strftime(batch.column(self.ts_col),
+                            format=self.ts_format)
+        parts: list = []
+        for piece in re.split(r"(\$\{topic\}|\$\{timestamp\})",
+                              self.topic_format):
+            if piece == "${topic}":
+                parts.append(topic)
+            elif piece == "${timestamp}":
+                parts.append(stamp)
+            elif piece:
+                parts.append(piece)
+        routed = (pc.binary_join_element_wise(*parts, "")
+                  if len(parts) > 1 else parts[0])
+        if isinstance(routed, str):
+            routed = pa.array([routed] * batch.num_rows)
+        i = batch.column_names.index(self.topic_col)
+        return batch.set_column(
+            i, pa.field(self.topic_col, pa.string()), routed)
 
 
 class RegexRouter:

@@ -272,3 +272,50 @@ def test_value_to_key():
     assert out.column("key").to_pylist() == [{"id": "a", "n": 1}, None]
     with pytest.raises(KeyError):
         ValueToKey(["nope"])(t)
+
+
+def test_hoist_field():
+    from kafka_connect_plugins_ray.stages.field_ops import HoistField
+    t = pa.table({"value": pa.array(["x", None, "z"])})
+    out = HoistField("line")(t)
+    # nulls still hoist: wrapper struct is non-null with a null field
+    assert out.column("value").to_pylist() == [
+        {"line": "x"}, {"line": None}, {"line": "z"}]
+    k = pa.table({"key": pa.array([1, 2], pa.int64())})
+    assert HoistField("id", apply_to="key")(k).column("key").to_pylist() \
+        == [{"id": 1}, {"id": 2}]
+
+
+def test_flatten_struct_nested_null_parent_and_delimiter():
+    from kafka_connect_plugins_ray.stages.field_ops import FlattenStruct
+    inner = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    t = pa.table({"value": pa.array(
+        [{"top": {"a": 1, "b": "x"}, "flat": 7.0},
+         {"top": None, "flat": 8.0},
+         None],
+        type=pa.struct([("top", inner), ("flat", pa.float64())]))})
+    out = FlattenStruct()(t).column("value")
+    assert out.type == pa.struct([("top.a", pa.int64()),
+                                  ("top.b", pa.string()),
+                                  ("flat", pa.float64())])
+    rows = out.to_pylist()
+    assert rows[0] == {"top.a": 1, "top.b": "x", "flat": 7.0}
+    # null parent struct -> null leaves; null record stays null
+    assert rows[1] == {"top.a": None, "top.b": None, "flat": 8.0}
+    assert rows[2] is None
+    und = FlattenStruct(delimiter="_")(t).column("value")
+    assert und.type.field(0).name == "top_a"
+
+
+def test_timestamp_router():
+    from kafka_connect_plugins_ray.stages.field_ops import TimestampRouter
+    t = pa.table({
+        "topic": pa.array(["orders", "users"]),
+        "ts": pa.array([1700000000000000, 1700086400000000],
+                       pa.timestamp("us")),
+    })
+    out = TimestampRouter()(t).column("topic").to_pylist()
+    assert out == ["orders-20231114", "users-20231115"]
+    fixed = TimestampRouter(topic_format="t-${timestamp}",
+                            ts_format="%Y")(t)
+    assert fixed.column("topic").to_pylist() == ["t-2023", "t-2023"]
