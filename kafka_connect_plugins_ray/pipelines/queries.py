@@ -869,6 +869,46 @@ FROM events
 """
 
 
+def q_header_ops(sf_dir: str) -> "rd.Dataset":
+    """Kafka header SMT chain (InsertHeader -> HeaderFrom(copy) ->
+    DropHeaders) over the map<string,string> headers column; the final
+    headers render through the canonical k=v;k=v projection so the SQL
+    oracle can mirror them as a string."""
+    from ..stages.header_ops import (
+        DropHeaders,
+        HeaderFrom,
+        InsertHeader,
+        headers_to_string,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def build(t: pa.Table) -> pa.Table:
+        value = pa.StructArray.from_arrays(
+            [t["event_type"].combine_chunks()], names=["ty"])
+        return pa.table({"event_id": t["event_id"], "value": value})
+
+    chain = [InsertHeader("src", "events"),
+             HeaderFrom(["ty"], ["type"], operation="copy"),
+             DropHeaders(["src"])]
+
+    def apply_chain(t: pa.Table) -> pa.Table:
+        for smt in chain:
+            t = smt(t)
+        return pa.table({
+            "event_id": t["event_id"],
+            "headers": headers_to_string(t.column("headers")),
+        })
+
+    return ds.map_batches(build, batch_format="pyarrow") \
+        .map_batches(apply_chain, batch_format="pyarrow")
+
+
+HEADER_OPS_ORACLE = """
+SELECT event_id, 'type=' || event_type AS headers FROM events
+"""
+
+
 def q_timestamp_converter(sf_dir: str) -> "rd.Dataset":
     from ..stages.timestamp_converter import TimestampConverter
 
@@ -1961,6 +2001,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "hoist_field": q_hoist_field,
         "flatten_struct": q_flatten_struct,
         "timestamp_router": q_timestamp_router,
+        "header_ops": q_header_ops,
         "cdc_incremental_state": cdc_incremental_state,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -2025,6 +2066,7 @@ def build_oracles() -> dict[str, str]:
         "hoist_field": HOIST_FIELD_ORACLE,
         "flatten_struct": FLATTEN_STRUCT_ORACLE,
         "timestamp_router": TIMESTAMP_ROUTER_ORACLE,
+        "header_ops": HEADER_OPS_ORACLE,
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,

@@ -1,0 +1,183 @@
+"""Header SMTs: InsertHeader, HeaderFrom (copy/move), DropHeaders —
+the remaining public Kafka Connect header transforms
+(org.apache.kafka.connect.transforms.{InsertHeader, HeaderFrom,
+DropHeaders}); the reference's users chain these with its custom SMTs
+(reference README.md:27-31 shows the `transforms` chain mechanism).
+
+Headers ride the envelope as a ``map<string, string>`` column (the same
+shape FilterRecords' ``has_header_key`` consumes).  All three transforms
+are vectorized over the map's flattened child arrays — per-row entry
+lists are never materialized in Python:
+
+- inserts build one gather-index array over ``concat(old_children,
+  appended_values)`` with the insert slots pointing past the old data;
+- drops filter the flattened children once and rebuild offsets from a
+  cumulative-sum of the keep mask.
+
+Null header maps behave like Connect's null ``Headers``: inserting into
+them creates the map (null → empty → one entry).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import VALUE
+
+HEADERS = "headers"
+
+_MAP_T = pa.map_(pa.string(), pa.string())
+
+
+def _map_parts(col):
+    """Normalize a headers column to (raw offsets int64[n+1], keys, items)
+    where children are indexed by the RAW offsets (pyarrow keeps child
+    arrays whole under slicing; offsets stay absolute)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        off = np.zeros(len(col) + 1, np.int64)
+        empty = pa.array([], pa.string())
+        return off, empty, empty
+    off = np.asarray(col.offsets, dtype=np.int64)
+    return off, col.keys, col.items
+
+
+def _rebuild(new_off, keys, items):
+    return pa.MapArray.from_arrays(pa.array(new_off, pa.int32()),
+                                   keys.cast(pa.string()),
+                                   items.cast(pa.string()))
+
+
+def _one(arr):
+    arr = arr.cast(pa.string())
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _append_entries(col, new_keys, new_items):
+    """Append one (key, item) entry per row to a headers map column.
+    ``new_keys``/``new_items`` are length-n arrays (item may be null)."""
+    new_keys, new_items = _one(new_keys), _one(new_items)
+    off, k_old, v_old = _map_parts(col)
+    n = len(off) - 1
+    counts = np.diff(off)
+    new_off = np.concatenate([[0], np.cumsum(counts + 1)])
+    total = int(new_off[-1])
+    ins_pos = new_off[1:] - 1
+    mask = np.ones(total, bool)
+    mask[ins_pos] = False
+    take = np.empty(total, np.int64)
+    take[mask] = np.arange(off[0], off[-1])
+    base = len(k_old)
+    take[ins_pos] = base + np.arange(n)
+    k_all = pa.concat_arrays([_one(k_old), new_keys])
+    v_all = pa.concat_arrays([_one(v_old), new_items])
+    return _rebuild(new_off, k_all.take(pa.array(take)),
+                    v_all.take(pa.array(take)))
+
+
+class InsertHeader:
+    """Add a literal header to every record — Kafka's InsertHeader SMT."""
+
+    def __init__(self, header: str, value: str,
+                 headers_col: str = HEADERS):
+        self.header = header
+        self.value = value
+        self.headers_col = headers_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        col = (batch.column(self.headers_col)
+               if self.headers_col in batch.column_names
+               else pa.nulls(n, _MAP_T))
+        new = _append_entries(
+            col, pa.array([self.header] * n), pa.array([self.value] * n))
+        if self.headers_col in batch.column_names:
+            i = batch.column_names.index(self.headers_col)
+            return batch.set_column(i, pa.field(self.headers_col, new.type),
+                                    new)
+        return batch.append_column(self.headers_col, new)
+
+
+class HeaderFrom:
+    """Copy or move value-struct fields into headers — Kafka's HeaderFrom
+    SMT.  Header values render as strings (the headers column is
+    ``map<string,string>``); null fields become null header values."""
+
+    def __init__(self, fields: "list[str]", headers: "list[str]",
+                 operation: str = "copy", value_col: str = VALUE,
+                 headers_col: str = HEADERS):
+        if len(fields) != len(headers):
+            raise ValueError("fields and headers must align")
+        if operation not in ("copy", "move"):
+            raise ValueError(f"operation must be copy|move, got {operation}")
+        self.fields = list(fields)
+        self.headers = list(headers)
+        self.operation = operation
+        self.value_col = value_col
+        self.headers_col = headers_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        value = batch.column(self.value_col)
+        if not pa.types.is_struct(value.type):
+            raise TypeError("HeaderFrom requires a struct value")
+        col = (batch.column(self.headers_col)
+               if self.headers_col in batch.column_names
+               else pa.nulls(n, _MAP_T))
+        for f, h in zip(self.fields, self.headers):
+            if value.type.get_field_index(f) < 0:
+                raise KeyError(f"field '{f}' not in value schema")
+            col = _append_entries(
+                col, pa.array([h] * n),
+                pc.cast(pc.struct_field(value, [f]), pa.string()))
+        out = (batch.set_column(
+            batch.column_names.index(self.headers_col),
+            pa.field(self.headers_col, col.type), col)
+            if self.headers_col in batch.column_names
+            else batch.append_column(self.headers_col, col))
+        if self.operation == "move":
+            from .field_ops import ReplaceField
+            out = ReplaceField(exclude=self.fields,
+                               value_col=self.value_col)(out)
+        return out
+
+
+class DropHeaders:
+    """Remove headers by name — Kafka's DropHeaders SMT."""
+
+    def __init__(self, headers: "list[str]", headers_col: str = HEADERS):
+        self.drop = list(headers)
+        self.headers_col = headers_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.headers_col)
+        off, k, v = _map_parts(col)
+        lo, hi = int(off[0]), int(off[-1])
+        k_used = k.slice(lo, hi - lo)
+        v_used = v.slice(lo, hi - lo)
+        keep = np.asarray(pc.invert(pc.is_in(
+            k_used, value_set=pa.array(self.drop, pa.string()))))
+        cs = np.concatenate([[0], np.cumsum(keep)])
+        new_off = cs[off - lo]
+        new = _rebuild(new_off, k_used.filter(pa.array(keep)),
+                       v_used.filter(pa.array(keep)))
+        i = batch.column_names.index(self.headers_col)
+        return batch.set_column(i, pa.field(self.headers_col, new.type), new)
+
+
+def headers_to_string(col, *, entry_sep: str = ";",
+                      kv_sep: str = "=") -> pa.Array:
+    """Canonical ``k=v;k=v`` rendering (insertion order) — the
+    deterministic projection the SQL oracle can mirror; null header
+    values render as empty strings."""
+    off, k, v = _map_parts(col)
+    lo, hi = int(off[0]), int(off[-1])
+    entries = pc.binary_join_element_wise(
+        k.slice(lo, hi - lo).cast(pa.string()),
+        v.slice(lo, hi - lo).cast(pa.string()), kv_sep,
+        null_handling="replace", null_replacement="")
+    lst = pa.ListArray.from_arrays(pa.array(off - lo, pa.int32()), entries)
+    return pc.binary_join(lst, entry_sep)

@@ -1,0 +1,91 @@
+"""Header SMTs: Connect InsertHeader / HeaderFrom / DropHeaders contracts
+over the map<string,string> headers column, all vectorized."""
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.stages.header_ops import (
+    DropHeaders,
+    HeaderFrom,
+    InsertHeader,
+    headers_to_string,
+)
+
+MAP_T = pa.map_(pa.string(), pa.string())
+
+
+def _t(headers, value=None):
+    cols = {"headers": pa.array(headers, MAP_T)}
+    if value is not None:
+        cols["value"] = value
+    return pa.table(cols)
+
+
+def test_insert_header_appends_and_creates():
+    t = _t([[("a", "1")], None, []])
+    out = InsertHeader("src", "cdc")(t).column("headers").to_pylist()
+    assert out == [[("a", "1"), ("src", "cdc")], [("src", "cdc")],
+                   [("src", "cdc")]]
+    # no headers column at all -> created
+    bare = pa.table({"x": pa.array([1, 2])})
+    out2 = InsertHeader("k", "v")(bare).column("headers").to_pylist()
+    assert out2 == [[("k", "v")], [("k", "v")]]
+
+
+def test_insert_header_sliced_and_chunked_input():
+    base = pa.array([[("a", "1")], [("b", "2")], [("c", "3")]], MAP_T)
+    chunked = pa.chunked_array([base.slice(1), base])
+    t = pa.table({"headers": chunked})
+    out = InsertHeader("k", "v")(t).column("headers").to_pylist()
+    assert out[0] == [("b", "2"), ("k", "v")]
+    assert out[-1] == [("c", "3"), ("k", "v")]
+    assert len(out) == 5
+
+
+def test_header_from_copy_and_move():
+    value = pa.array(
+        [{"id": 7, "name": "x"}, {"id": None, "name": "y"}],
+        pa.struct([("id", pa.int64()), ("name", pa.string())]))
+    t = _t([[], [("h", "0")]], value)
+    out = HeaderFrom(["id"], ["rec-id"], operation="copy")(t)
+    assert out.column("headers").to_pylist() == [
+        [("rec-id", "7")], [("h", "0"), ("rec-id", None)]]
+    assert out.column("value").type.num_fields == 2  # copy keeps field
+
+    moved = HeaderFrom(["id"], ["rec-id"], operation="move")(t)
+    assert moved.column("value").type.num_fields == 1
+    assert moved.column("value").to_pylist() == [{"name": "x"},
+                                                 {"name": "y"}]
+    with pytest.raises(KeyError):
+        HeaderFrom(["nope"], ["h"])(t)
+    with pytest.raises(ValueError):
+        HeaderFrom(["a"], ["x", "y"])
+    with pytest.raises(ValueError):
+        HeaderFrom(["a"], ["x"], operation="rename")
+
+
+def test_drop_headers():
+    t = _t([[("a", "1"), ("b", "2"), ("a", "3")], [("b", "2")], None, []])
+    out = DropHeaders(["a"])(t).column("headers").to_pylist()
+    assert out == [[("b", "2")], [("b", "2")], [], []]
+    # drop everything
+    gone = DropHeaders(["a", "b"])(t).column("headers").to_pylist()
+    assert gone == [[], [], [], []]
+
+
+def test_headers_to_string_canonical():
+    col = pa.array([[("a", "1"), ("b", None)], [], None], MAP_T)
+    s = headers_to_string(col).to_pylist()
+    assert s == ["a=1;b=", "", ""]
+
+
+def test_header_chain_roundtrip():
+    """insert -> from(copy) -> drop composes like a Connect chain."""
+    value = pa.array([{"ty": "click"}, {"ty": "view"}],
+                     pa.struct([("ty", pa.string())]))
+    t = pa.table({"value": value})
+    t = InsertHeader("src", "events")(t)
+    t = HeaderFrom(["ty"], ["type"], operation="copy")(t)
+    t = DropHeaders(["src"])(t)
+    assert headers_to_string(t.column("headers")).to_pylist() == [
+        "type=click", "type=view"]
