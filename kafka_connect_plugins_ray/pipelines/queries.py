@@ -869,6 +869,34 @@ FROM events
 """
 
 
+def q_budget_select(sf_dir: str) -> "rd.Dataset":
+    """Token-budget data selection (select.py): keep the cleanest docs
+    (punct_ratio asc, doc_id asc) until half the corpus tokens are
+    spent — exact window-function semantics without a global sort."""
+    from .select import budget_select
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    kept, _ = budget_select(docs, budget_fraction=0.5)
+    return kept
+
+
+BUDGET_SELECT_ORACLE = """
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens,
+         round(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+               / greatest(length(text), 1), 4) AS punct_ratio
+  FROM documents),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (ORDER BY punct_ratio, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum FROM q),
+b AS (SELECT CAST(floor(SUM(n_tokens) * 0.5) AS BIGINT) AS budget FROM q)
+SELECT doc_id, n_tokens, punct_ratio FROM c, b WHERE cum <= budget
+"""
+
+
 def q_header_ops(sf_dir: str) -> "rd.Dataset":
     """Kafka header SMT chain (InsertHeader -> HeaderFrom(copy) ->
     DropHeaders) over the map<string,string> headers column; the final
@@ -2002,6 +2030,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "flatten_struct": q_flatten_struct,
         "timestamp_router": q_timestamp_router,
         "header_ops": q_header_ops,
+        "budget_select": q_budget_select,
         "cdc_incremental_state": cdc_incremental_state,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -2067,6 +2096,7 @@ def build_oracles() -> dict[str, str]:
         "flatten_struct": FLATTEN_STRUCT_ORACLE,
         "timestamp_router": TIMESTAMP_ROUTER_ORACLE,
         "header_ops": HEADER_OPS_ORACLE,
+        "budget_select": BUDGET_SELECT_ORACLE,
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,

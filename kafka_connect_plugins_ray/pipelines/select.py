@@ -1,0 +1,194 @@
+"""Token-budget data selection — keep the cleanest documents until a
+global token budget is exhausted (the data-selection step of an LLM
+pretraining pipeline: order the corpus by a quality key, take the prefix
+whose cumulative token count fits the budget).
+
+Exact SQL semantics (the oracle is a single window function):
+
+    keep doc  <=>  SUM(n_tokens) OVER (ORDER BY punct_ratio, doc_id
+                                       ROWS UNBOUNDED PRECEDING) <= budget
+
+but computed WITHOUT a global sort — a total sort of 10^10 rows is the
+one all-to-all this engine refuses on principle.  Instead:
+
+1. one metrics pass over the text (vectorized: token counts via
+   ``flat_tokens``, punct ratio exactly as the SQL rounds it); the
+   24 B/doc metrics rows are materialized in the object store — two
+   passes over THEM beat two passes over the 100 TB of text;
+2. the quality key is 4-dp-rounded, so its image is <= 10,001 distinct
+   values: an EXACT histogram (key -> token sum) folds through
+   ``tree_aggregate`` in one pass — O(10k) driver state;
+3. the driver walks the cumulative histogram to the boundary key: every
+   key strictly below is kept outright, and only the boundary class
+   needs per-document resolution;
+4. the boundary class resolves by doc_id order via the same
+   fixed-width-range ordered prefix scan ``pack_sequences`` uses (one
+   range-partitioned exchange over the boundary docs only, per-task
+   input bounded by range_width — never by how hot the boundary is).
+
+Output: (doc_id, n_tokens, punct_ratio) of the kept documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KEY_SCALE = 10_000  # punct_ratio is rounded to 4 decimals
+
+OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("punct_ratio", pa.float64()),
+])
+
+
+def _metrics(t: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, punct_ratio, pr_key) — identical arithmetic to
+    the SQL oracle (round half away from zero at 4 decimals)."""
+    from ..functions.tokenize import flat_tokens
+
+    txt = t.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    _, n_tok = flat_tokens(txt)
+    n_char = np.asarray(pc.utf8_length(txt), dtype=np.float64)
+    n_punct = np.asarray(
+        pc.count_substring_regex(txt, pattern=r"[.!?,;:]"),
+        dtype=np.float64)
+    ratio = n_punct / np.maximum(n_char, 1.0)
+    pr = np.floor(ratio * _KEY_SCALE + 0.5) / _KEY_SCALE  # ratio >= 0
+    key = np.rint(pr * _KEY_SCALE).astype(np.int32)
+    return pa.table({
+        "doc_id": t.column("doc_id").cast(pa.int64()),
+        "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+        "punct_ratio": pa.array(pr, pa.float64()),
+        "pr_key": pa.array(key, pa.int32()),
+    })
+
+
+def _hist_partial(t: pa.Table) -> pa.Table:
+    key = t.column("pr_key").to_numpy()
+    tok = t.column("n_tokens").to_numpy()
+    ids = t.column("doc_id").to_numpy()
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, tok)
+    mx = np.full(len(uniq), ids.max() if ids.size else -1, np.int64)
+    return pa.table({"pr_key": pa.array(uniq, pa.int32()),
+                     "tok_sum": pa.array(sums, pa.int64()),
+                     "max_doc": pa.array(mx, pa.int64())})
+
+
+def _hist_combine(t: pa.Table) -> pa.Table:
+    key = t.column("pr_key").to_numpy()
+    tok = t.column("tok_sum").to_numpy()
+    mx = t.column("max_doc").to_numpy()
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, tok)
+    gmax = np.full(len(uniq), mx.max() if mx.size else -1, np.int64)
+    return pa.table({"pr_key": pa.array(uniq, pa.int32()),
+                     "tok_sum": pa.array(sums, pa.int64()),
+                     "max_doc": pa.array(gmax, pa.int64())})
+
+
+def budget_select(docs, *, token_budget: "int | None" = None,
+                  budget_fraction: float = 0.5,
+                  range_width: int = 4096) -> "tuple":
+    """Returns ``(kept_dataset, stats)``; ``kept_dataset`` follows
+    ``OUT_SCHEMA``.  With ``token_budget=None`` the budget is
+    ``floor(total_tokens * budget_fraction)`` (the SQL mirror uses the
+    same total, so both sides derive the identical budget)."""
+    import ray
+
+    from ..exchange import hash_exchange, refs_to_dataset, tree_aggregate
+
+    metrics = docs.map_batches(_metrics, batch_format="pyarrow") \
+        .materialize()
+
+    hist = tree_aggregate(
+        metrics.map_batches(_hist_partial, batch_format="pyarrow"),
+        _hist_combine)
+    if hist is None or hist.num_rows == 0:
+        return (refs_to_dataset([], OUT_SCHEMA),
+                {"total_tokens": 0, "budget": 0, "boundary_key": None})
+
+    keys = hist.column("pr_key").to_numpy()
+    sums = hist.column("tok_sum").to_numpy()
+    order = np.argsort(keys)
+    keys, sums = keys[order], sums[order]
+    cum = np.cumsum(sums)
+    total = int(cum[-1])
+    budget = int(token_budget) if token_budget is not None \
+        else int(total * budget_fraction)
+
+    over = np.nonzero(cum > budget)[0]
+    stats = {"total_tokens": total, "budget": budget}
+    if over.size == 0:
+        # everything fits
+        stats["boundary_key"] = None
+        return metrics.select_columns(
+            ["doc_id", "n_tokens", "punct_ratio"]), stats
+    b = int(over[0])
+    boundary_key = int(keys[b])
+    remaining = budget - (int(cum[b - 1]) if b else 0)
+    stats["boundary_key"] = boundary_key
+
+    below = metrics.filter(
+        expr=f"pr_key < {boundary_key}").select_columns(
+        ["doc_id", "n_tokens", "punct_ratio"])
+
+    # boundary class: ordered prefix scan over fixed-width doc_id ranges
+    max_doc = int(hist.column("max_doc").to_numpy().max())
+    num_ranges = max_doc // range_width + 1
+
+    def add_range(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.append_column(
+            "range_id", pa.array((ids // range_width).astype(np.int32),
+                                 pa.int32()))
+
+    def range_prefix(pid: int, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        n = t.column("n_tokens").to_numpy()
+        pr = t.column("punct_ratio").to_numpy()
+        o = np.argsort(ids, kind="stable")
+        ids, n, pr = ids[o], n[o], pr[o]
+        prefix = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "punct_ratio": pa.array(pr, pa.float64()),
+                         "local_prefix": pa.array(prefix, pa.int64())})
+
+    shard_refs = hash_exchange(
+        metrics.filter(expr=f"pr_key == {boundary_key}")
+        .map_batches(add_range, batch_format="pyarrow"),
+        "range_id", num_ranges, range_prefix, materialize=False)
+
+    @ray.remote
+    def shard_total(t) -> int:
+        if t is None or t.num_rows == 0:
+            return 0
+        return int(pc.sum(t.column("n_tokens")).as_py())
+
+    totals = ray.get([shard_total.remote(r) for r in shard_refs])
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+
+    @ray.remote
+    def emit_kept(base: int, limit: int, t) -> "pa.Table | None":
+        if t is None or t.num_rows == 0:
+            return None
+        n = t.column("n_tokens").to_numpy()
+        prefix = base + t.column("local_prefix").to_numpy()
+        keep = prefix + n <= limit
+        if not keep.any():
+            return None
+        return t.select(["doc_id", "n_tokens", "punct_ratio"]) \
+            .filter(pa.array(keep))
+
+    kept_refs = [emit_kept.remote(int(bases[i]), remaining, shard_refs[i])
+                 for i in range(len(shard_refs))]
+    boundary_kept = refs_to_dataset(kept_refs, OUT_SCHEMA)
+    return below.union(boundary_kept), stats

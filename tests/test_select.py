@@ -1,0 +1,89 @@
+"""budget_select: exact window-function semantics without a global sort,
+pinned against a pure-Python reference — including a viral boundary
+class (half the corpus shares the boundary quality key) and edge
+budgets."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.select import budget_select
+
+
+def _corpus():
+    """400 docs: 200 unique-ratio docs + a 200-doc viral class sharing
+    one punct ratio (identical text), token counts varied; doc_ids
+    shuffled across blocks so ordered resolution is non-trivial."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        words = ["w"] * int(rng.integers(1, 40))
+        # i dots over ~100 chars -> distinct ratios
+        body = " ".join(words) + "." * (i % 23)
+        rows.append({"doc_id": i, "text": body})
+    viral = "same same same text. " * 3
+    for i in range(200, 400):
+        rows.append({"doc_id": i, "text": viral})
+    # a couple of empty/whitespace docs (0 tokens)
+    rows.append({"doc_id": 400, "text": ""})
+    rows.append({"doc_id": 401, "text": "   "})
+    rng.shuffle(rows)
+    return rows
+
+
+def _reference(rows, budget):
+    import re
+
+    def metrics(r):
+        text = r["text"]
+        toks = len(text.split())
+        n_punct = len(re.sub(r"[^.!?,;:]", "", text))
+        ratio = n_punct / max(len(text), 1)
+        pr = np.floor(ratio * 10000 + 0.5) / 10000
+        return (pr, r["doc_id"], toks)
+
+    m = sorted(metrics(r) for r in rows)
+    kept, cum = set(), 0
+    for pr, doc_id, toks in m:
+        cum += toks
+        if cum <= budget:
+            kept.add(doc_id)
+    return kept
+
+
+def _run(rows, **kw):
+    ds = rd.from_items(rows).repartition(9)
+    kept, stats = budget_select(ds, range_width=64, **kw)
+    out = kept.to_pandas()
+    ids = set(out["doc_id"].tolist()) if len(out) else set()
+    return ids, out, stats
+
+
+def test_budget_select_matches_reference_viral_boundary():
+    rows = _corpus()
+    total = sum(len(r["text"].split()) for r in rows)
+    for budget in (0, 1, total // 3, total // 2, total - 1, total + 10):
+        got, out, stats = _run(rows, token_budget=budget)
+        want = _reference(rows, budget)
+        assert got == want, f"budget={budget}"
+        assert stats["total_tokens"] == total
+    # keep-all path returns every doc (incl. zero-token docs)
+    got, out, _ = _run(rows, token_budget=total)
+    assert len(got) == len(rows)
+
+
+def test_budget_select_fraction_and_schema():
+    rows = _corpus()
+    got, out, stats = _run(rows, budget_fraction=0.5)
+    want = _reference(rows, stats["total_tokens"] // 2)
+    assert got == want
+    assert list(out.columns) == ["doc_id", "n_tokens", "punct_ratio"]
+    assert (out["punct_ratio"] >= 0).all()
+
+
+def test_budget_select_empty_input():
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "text": pa.array([], pa.string())}))
+    kept, stats = budget_select(ds, token_budget=10)
+    assert kept.count() == 0
+    assert stats["total_tokens"] == 0
