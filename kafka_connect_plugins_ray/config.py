@@ -38,6 +38,13 @@ from .stages.modify_partition import ModifyPartition
 from .stages.slack_reshape import SlackIntegrationPayload
 from .stages.soft_delete import SoftDeleteToTombstone
 from .stages.cast_fields import CastFields
+from .stages.predicates import (
+    FilterSMT,
+    HasHeaderKey,
+    Predicated,
+    RecordIsTombstone,
+    TopicNameMatches,
+)
 from .stages.timestamp_converter import TimestampConverter
 from .stages.unquote_key import UnquoteRecordKey
 
@@ -96,6 +103,7 @@ def resolve_config_providers(config: dict[str, Any],
 
 
 _PKG = "com.cultureamp.kafka.connect.plugins.transforms"
+_PRED_PKG = "org.apache.kafka.connect.transforms.predicates"
 
 REGISTRY: dict[str, Any] = {
     # engine short names
@@ -121,6 +129,25 @@ REGISTRY: dict[str, Any] = {
     f"{_PKG}.RedShiftComplexDataTypeTransformer": RedshiftFlatten,
     f"{_PKG}.ClickHouseFlattenTransformer": ClickHouseFlatten,
     f"{_PKG}.ModifyPartition": ModifyPartition,
+    # standard Connect Filter SMT (only useful under a predicate)
+    "Filter": FilterSMT,
+    "org.apache.kafka.connect.transforms.Filter": FilterSMT,
+}
+
+PREDICATE_REGISTRY: dict[str, Any] = {
+    "TopicNameMatches": TopicNameMatches,
+    "HasHeaderKey": HasHeaderKey,
+    "RecordIsTombstone": RecordIsTombstone,
+    f"{_PRED_PKG}.TopicNameMatches": TopicNameMatches,
+    f"{_PRED_PKG}.HasHeaderKey": HasHeaderKey,
+    f"{_PRED_PKG}.RecordIsTombstone": RecordIsTombstone,
+}
+
+# Connect prop name -> constructor kwarg, per predicate class
+_PRED_PROP_MAP: dict[type, dict[str, str]] = {
+    TopicNameMatches: {"pattern": "pattern"},
+    HasHeaderKey: {"name": "name"},
+    RecordIsTombstone: {},
 }
 
 # Connect prop name -> constructor kwarg, per transform class
@@ -184,6 +211,32 @@ def build_chain(config: dict[str, Any]) -> Chain:
         }
     """
     config = resolve_config_providers(config)
+
+    # predicate aliases first (Connect: `predicates=P1,P2` +
+    # `predicates.P1.type` / props; transforms reference them by alias)
+    predicates: dict[str, Any] = {}
+    for palias in [p.strip() for p in
+                   str(config.get("predicates", "")).split(",") if p.strip()]:
+        pprefix = f"predicates.{palias}."
+        ptype = config.get(pprefix + "type")
+        if ptype is None:
+            raise KeyError(f"missing '{pprefix}type'")
+        pcls = PREDICATE_REGISTRY.get(str(ptype))
+        if pcls is None:
+            raise KeyError(f"unknown predicate type '{ptype}'")
+        pmap = _PRED_PROP_MAP.get(pcls, {})
+        pkwargs = {}
+        for k, v in config.items():
+            if not k.startswith(pprefix) or k == pprefix + "type":
+                continue
+            prop = k[len(pprefix):]
+            if prop in pmap:
+                pkwargs[pmap[prop]] = v
+            else:
+                raise KeyError(
+                    f"unknown property '{prop}' for {pcls.__name__}")
+        predicates[palias] = pcls(**pkwargs)
+
     aliases = [a.strip() for a in str(config.get("transforms", "")).split(",")
                if a.strip()]
     transforms = []
@@ -197,14 +250,27 @@ def build_chain(config: dict[str, Any]) -> Chain:
             raise KeyError(f"unknown transform type '{type_name}'")
         prop_map = _PROP_MAP.get(cls, {})
         kwargs = {}
+        pred_alias = None
+        negate = False
         for k, v in config.items():
             if not k.startswith(prefix) or k == prefix + "type":
                 continue
             prop = k[len(prefix):]
-            if prop in prop_map:
+            if prop == "predicate":
+                pred_alias = str(v)
+            elif prop == "negate":
+                negate = str(v).lower() == "true"
+            elif prop in prop_map:
                 kwargs[prop_map[prop]] = _coerce(prop, v)
             else:
                 raise KeyError(
                     f"unknown property '{prop}' for {cls.__name__}")
-        transforms.append(cls(**kwargs))
+        t = cls(**kwargs)
+        if pred_alias is not None:
+            if pred_alias not in predicates:
+                raise KeyError(
+                    f"transform '{alias}' references undeclared predicate "
+                    f"'{pred_alias}'")
+            t = Predicated(t, predicates[pred_alias], negate=negate)
+        transforms.append(t)
     return Chain(*transforms)

@@ -937,6 +937,78 @@ SELECT event_id, 'type=' || event_type AS headers FROM events
 """
 
 
+def q_smt_predicated(sf_dir: str) -> "rd.Dataset":
+    """Connect predicate runtime (stages/predicates.py): a three-stage
+    chain where every SMT is gated by a predicate —
+    Filter under RecordIsTombstone (drops event_id%17==0 tombstones),
+    MaskField under NOT HasHeaderKey('trace') (zeroes amount where the
+    trace header is absent, i.e. event_id%3!=0), and RegexRouter under
+    TopicNameMatches('ev-(click|purchase)') (only hot topics reroute)."""
+    from ..stages.field_ops import MaskField, RegexRouter
+    from ..stages.predicates import (
+        FilterSMT,
+        HasHeaderKey,
+        Predicated,
+        RecordIsTombstone,
+        TopicNameMatches,
+    )
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id", "value"])
+
+    def build(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        topic = pc.binary_join_element_wise(
+            pa.array(["ev-"] * len(eid)), t["event_type"].combine_chunks(),
+            "")
+        tomb = eid % 17 == 0
+        value = pa.StructArray.from_arrays(
+            [t["user_id"].combine_chunks(),
+             t["value"].cast(pa.float64()).combine_chunks()],
+            names=["user_id", "amount"],
+            mask=pa.array(tomb))
+        has_trace = eid % 3 == 0
+        off = np.concatenate([[0], np.cumsum(has_trace.astype(np.int32))])
+        n_tr = int(off[-1])
+        headers = pa.MapArray.from_arrays(
+            pa.array(off, pa.int32()),
+            pa.array(["trace"] * n_tr, pa.string()),
+            pa.array(["1"] * n_tr, pa.string()))
+        return pa.table({"event_id": t["event_id"], "topic": topic,
+                         "headers": headers, "value": value})
+
+    chain = [
+        Predicated(FilterSMT(), RecordIsTombstone()),
+        Predicated(MaskField(["amount"]), HasHeaderKey("trace"),
+                   negate=True),
+        Predicated(RegexRouter(regex="ev-(.*)", replacement="hot-$1"),
+                   TopicNameMatches("ev-(click|purchase)")),
+    ]
+
+    def apply_smts(t: pa.Table) -> pa.Table:
+        for smt in chain:
+            t = smt(t)
+        return pa.table({
+            "event_id": t["event_id"],
+            "topic": t["topic"],
+            "amount": pc.struct_field(t.column("value"), ["amount"]),
+        })
+
+    return ds.map_batches(build, batch_format="pyarrow") \
+        .map_batches(apply_smts, batch_format="pyarrow")
+
+
+SMT_PREDICATED_ORACLE = """
+SELECT event_id,
+       CASE WHEN event_type IN ('click', 'purchase')
+            THEN 'hot-' || event_type
+            ELSE 'ev-' || event_type END AS topic,
+       CASE WHEN event_id % 3 <> 0 THEN 0.0 ELSE value END AS amount
+FROM events
+WHERE event_id % 17 <> 0
+"""
+
+
 def q_timestamp_converter(sf_dir: str) -> "rd.Dataset":
     from ..stages.timestamp_converter import TimestampConverter
 
@@ -2030,6 +2102,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "flatten_struct": q_flatten_struct,
         "timestamp_router": q_timestamp_router,
         "header_ops": q_header_ops,
+        "smt_predicated": q_smt_predicated,
         "budget_select": q_budget_select,
         "cdc_incremental_state": cdc_incremental_state,
         "cdc_compacted_state": cdc_compacted_state,
@@ -2096,6 +2169,7 @@ def build_oracles() -> dict[str, str]:
         "flatten_struct": FLATTEN_STRUCT_ORACLE,
         "timestamp_router": TIMESTAMP_ROUTER_ORACLE,
         "header_ops": HEADER_OPS_ORACLE,
+        "smt_predicated": SMT_PREDICATED_ORACLE,
         "budget_select": BUDGET_SELECT_ORACLE,
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,

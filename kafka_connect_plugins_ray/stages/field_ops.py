@@ -213,8 +213,11 @@ class InsertField:
             arrays.append(arr)
 
         if self.static_field:
+            # type from the VALUE, not the data, so zero-row batches keep
+            # the same output schema as populated ones
+            styp = pa.scalar(self.static_value).type
             add(self.static_field,
-                pa.array([self.static_value] * n))
+                pa.array([self.static_value] * n, type=styp))
         if self.topic_field and TOPIC in batch.column_names:
             add(self.topic_field, batch.column(TOPIC))
         if self.partition_field and PARTITION in batch.column_names:

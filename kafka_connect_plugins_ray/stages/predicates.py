@@ -1,0 +1,228 @@
+"""Connect predicates + conditional SMT application.
+
+Kafka Connect's runtime lets any SMT be gated by a predicate
+(``transforms.X.predicate=<alias>``, ``transforms.X.negate=true``) with
+three built-in predicate classes
+(org.apache.kafka.connect.transforms.predicates.{TopicNameMatches,
+HasHeaderKey, RecordIsTombstone}).  The reference's users deploy its
+SMTs through exactly this mechanism (reference README.md:27-31 shows the
+``transforms`` chain; predicates are the standard companion knob), so
+the engine re-realizes it batch-wise:
+
+- a Predicate is a callable ``batch -> pyarrow.BooleanArray`` (one mask
+  per batch instead of one boolean per record);
+- ``Predicated(transform, predicate, negate=False)`` applies the wrapped
+  transform ONLY to the masked rows and stitches the result back in
+  original stream order (Connect preserves record order; so do we, via a
+  hidden position column).  The wrapped transform may DROP rows (the
+  Filter SMT) — surviving rows keep their relative order.
+
+Schema notes: Connect allows the transformed records to carry a NEW
+value schema while untouched records keep the old one (per-record
+schemas).  Arrow batches need one unified schema, so ``Predicated``
+unifies the two halves structurally — a struct field present on one
+side only is null-filled on the other, recursively.  A genuine type
+CONFLICT (same field, different non-struct types) raises a precise
+error instead of guessing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import TOPIC, VALUE
+
+_POS = "__predicated_pos__"
+
+
+class TopicNameMatches:
+    """True when the topic matches the (full-match, Java ``matches()``)
+    regex — org.apache.kafka.connect.transforms.predicates.TopicNameMatches."""
+
+    def __init__(self, pattern: str, *, topic_col: str = TOPIC):
+        self.pattern = pattern
+        self.topic_col = topic_col
+
+    def __call__(self, batch: pa.Table) -> pa.BooleanArray:
+        mask = pc.match_substring_regex(
+            batch.column(self.topic_col), f"^(?:{self.pattern})$")
+        return pc.fill_null(mask, False)
+
+
+class HasHeaderKey:
+    """True when at least one header entry has the given key —
+    org.apache...predicates.HasHeaderKey.  Vectorized over the
+    ``map<string,string>`` flattened children (no per-row Python)."""
+
+    def __init__(self, name: str, *, headers_col: str = "headers"):
+        self.name = name
+        self.headers_col = headers_col
+
+    def __call__(self, batch: pa.Table) -> pa.BooleanArray:
+        from .header_ops import _map_parts
+
+        off, keys, _ = _map_parts(batch.column(self.headers_col))
+        hit = np.zeros(int(off[-1]) - int(off[0]), dtype=np.int64)
+        if len(keys):
+            eq = pc.fill_null(pc.equal(keys, self.name), False)
+            hit = np.asarray(eq, dtype=np.int64)[off[0]:off[-1]]
+        # per-row any == (cumsum difference over the row's entry span) > 0
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        rel = off - off[0]
+        per_row = csum[rel[1:]] - csum[rel[:-1]]
+        return pa.array(per_row > 0, pa.bool_())
+
+
+class RecordIsTombstone:
+    """True when the record value is null —
+    org.apache...predicates.RecordIsTombstone."""
+
+    def __init__(self, *, value_col: str = VALUE):
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.BooleanArray:
+        if self.value_col not in batch.column_names:
+            return pa.array(np.ones(batch.num_rows, bool), pa.bool_())
+        return pc.is_null(batch.column(self.value_col))
+
+
+class FilterSMT:
+    """org.apache.kafka.connect.transforms.Filter — drops every record it
+    is applied to (only useful under a predicate, exactly like Kafka's)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.slice(0, 0)
+
+
+def _null_array(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, typ)
+
+
+def _unify_struct_type(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Union of two struct types: fields of ``a`` in order, then fields
+    only in ``b``; shared fields unify recursively."""
+    b_fields = {f.name: f for f in b}
+    out = []
+    for f in a:
+        if f.name in b_fields:
+            out.append(pa.field(f.name, _unify_type(f.type,
+                                                    b_fields[f.name].type)))
+        else:
+            out.append(f)
+    a_names = {f.name for f in a}
+    out.extend(f for f in b if f.name not in a_names)
+    return pa.struct(out)
+
+
+def _unify_type(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    if a.equals(b):
+        return a
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
+    if pa.types.is_struct(a) and pa.types.is_struct(b):
+        return _unify_struct_type(a, b)
+    raise TypeError(
+        f"Predicated: cannot unify the transformed and pass-through "
+        f"schemas — conflicting types {a} vs {b}")
+
+
+def _cast_to(arr, typ: pa.DataType):
+    """Widen an array to the unified type, null-filling struct fields
+    the source type lacks (recursively)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type.equals(typ):
+        return arr
+    if pa.types.is_null(arr.type):
+        return _null_array(len(arr), typ)
+    if pa.types.is_struct(arr.type) and pa.types.is_struct(typ):
+        have = {f.name for f in arr.type}
+        children = []
+        for f in typ:
+            if f.name in have:
+                children.append(_cast_to(pc.struct_field(arr, [f.name]),
+                                         f.type))
+            else:
+                children.append(_null_array(len(arr), f.type))
+        return pa.StructArray.from_arrays(
+            children, fields=list(typ),
+            mask=pc.is_null(arr).combine_chunks()
+            if isinstance(pc.is_null(arr), pa.ChunkedArray)
+            else pc.is_null(arr))
+    return arr.cast(typ)
+
+
+def unify_tables(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Concat two tables whose schemas may diverge per the Connect
+    per-record-schema rules (new struct fields null-fill on the old
+    side); column ORDER follows ``a``, extra ``b`` columns append."""
+    if a.schema.equals(b.schema):
+        return pa.concat_tables([a, b])
+    names = list(a.column_names) + [c for c in b.column_names
+                                    if c not in a.column_names]
+    cols = []
+    fields = []
+    for name in names:
+        in_a, in_b = name in a.column_names, name in b.column_names
+        if in_a and in_b:
+            typ = _unify_type(a.column(name).type, b.column(name).type)
+            arr = pa.concat_arrays([_cast_to(a.column(name), typ),
+                                    _cast_to(b.column(name), typ)])
+        elif in_a:
+            typ = a.column(name).type
+            col = a.column(name)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            arr = pa.concat_arrays([col, _null_array(b.num_rows, typ)])
+        else:
+            typ = b.column(name).type
+            col = b.column(name)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            arr = pa.concat_arrays([_null_array(a.num_rows, typ), col])
+        cols.append(arr)
+        fields.append(pa.field(name, arr.type))
+    return pa.table(cols, schema=pa.schema(fields))
+
+
+class Predicated:
+    """Apply ``transform`` only to rows where ``predicate`` (xor
+    ``negate``) is true; other rows pass through untouched.  Stream
+    order is preserved; the transform may drop rows (Filter)."""
+
+    def __init__(self, transform, predicate, *, negate: bool = False):
+        self.transform = transform
+        self.predicate = predicate
+        self.negate = negate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = self.predicate(batch)
+        if self.negate:
+            mask = pc.invert(mask)
+        mask_np = np.asarray(mask, dtype=bool)
+        n_sel = int(mask_np.sum())
+        if n_sel == batch.num_rows:
+            # unify against an empty pass-through slice so an all-match
+            # block carries the same column order/schema as mixed blocks
+            return unify_tables(batch.slice(0, 0), self.transform(batch))
+        if n_sel == 0:
+            # run the transform on an empty slice anyway so every block
+            # carries the same (unified) output schema
+            empty = self.transform(batch.slice(0, 0))
+            return unify_tables(batch, empty.slice(0, 0))
+        pos = np.arange(batch.num_rows, dtype=np.int64)
+        with_pos = batch.append_column(_POS, pa.array(pos, pa.int64()))
+        sel = self.transform(with_pos.filter(pa.array(mask_np)))
+        rest = with_pos.filter(pa.array(~mask_np))
+        if _POS not in sel.column_names:
+            raise ValueError(
+                "Predicated: the wrapped transform dropped the hidden "
+                "position column; it must pass unknown columns through")
+        both = unify_tables(rest, sel)
+        order = np.argsort(both.column(_POS).to_numpy(), kind="stable")
+        out = both.take(pa.array(order))
+        return out.drop_columns([_POS])

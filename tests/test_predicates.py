@@ -1,0 +1,169 @@
+"""Connect predicate runtime: the three built-in predicates, the
+Predicated wrapper (order preservation, row-dropping transforms,
+per-record schema unify), and the connector-config wiring."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kafka_connect_plugins_ray.config import build_chain
+from kafka_connect_plugins_ray.stages.field_ops import InsertField, MaskField
+from kafka_connect_plugins_ray.stages.predicates import (
+    FilterSMT,
+    HasHeaderKey,
+    Predicated,
+    RecordIsTombstone,
+    TopicNameMatches,
+    unify_tables,
+)
+
+
+def _headers(entries_per_row):
+    off = np.concatenate([[0], np.cumsum([len(e) for e in entries_per_row])])
+    keys = [k for row in entries_per_row for k, _ in row]
+    items = [v for row in entries_per_row for _, v in row]
+    return pa.MapArray.from_arrays(pa.array(off, pa.int32()),
+                                   pa.array(keys, pa.string()),
+                                   pa.array(items, pa.string()))
+
+
+def _batch():
+    value = pa.array([{"a": 1}, {"a": 2}, None, {"a": 4}],
+                     pa.struct([("a", pa.int64())]))
+    return pa.table({
+        "topic": pa.array(["ev-click", "ev-view", "ev-click", "other"]),
+        "headers": _headers([[("trace", "1")], [], [("x", "y"),
+                                                    ("trace", "2")], []]),
+        "value": value,
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+
+
+def test_topic_name_matches_full_match():
+    m = TopicNameMatches("ev-.*")(_batch())
+    assert m.to_pylist() == [True, True, True, False]
+    # full-match semantics: a substring hit is not enough
+    m2 = TopicNameMatches("ev-")(_batch())
+    assert m2.to_pylist() == [False, False, False, False]
+
+
+def test_has_header_key_vectorized():
+    m = HasHeaderKey("trace")(_batch())
+    assert m.to_pylist() == [True, False, True, False]
+    # null header map rows are false
+    t = _batch().set_column(1, "headers",
+                            pa.nulls(4, pa.map_(pa.string(), pa.string())))
+    assert HasHeaderKey("trace")(t).to_pylist() == [False] * 4
+
+
+def test_record_is_tombstone():
+    assert RecordIsTombstone()(_batch()).to_pylist() == [
+        False, False, True, False]
+
+
+def test_predicated_filter_drops_only_matches():
+    out = Predicated(FilterSMT(), RecordIsTombstone())(_batch())
+    assert out.column("event_id").to_pylist() == [0, 1, 3]
+    assert out.column_names == _batch().column_names
+
+
+def test_predicated_preserves_stream_order():
+    # rows 0 and 2 match ev-click; output order must stay 0,1,2,3
+    out = Predicated(MaskField(["a"]), TopicNameMatches("ev-click"))(_batch())
+    assert out.column("event_id").to_pylist() == [0, 1, 2, 3]
+    v = out.column("value").combine_chunks()
+    assert v.is_valid().to_pylist() == [True, True, False, True]  # row 2
+    # tombstone parent stays null; valid rows: 0 masked, 1/3 untouched
+    a = v.field("a").to_pylist()
+    assert (a[0], a[1], a[3]) == (0, 2, 4)
+
+
+def test_predicated_negate():
+    out = Predicated(MaskField(["a"]), TopicNameMatches("ev-click"),
+                     negate=True)(_batch())
+    v = out.column("value").combine_chunks()
+    assert v.is_valid().to_pylist() == [True, True, False, True]
+    a = v.field("a").to_pylist()
+    assert (a[0], a[1], a[3]) == (1, 0, 0)  # rows 1 and 3 masked
+
+
+def test_predicated_schema_unify_insert_field():
+    # InsertField adds a struct field on the transformed half only; the
+    # pass-through half must null-fill it (Connect per-record schemas)
+    t = Predicated(InsertField(static_field="src", static_value="kcp"),
+                   TopicNameMatches("ev-click"))
+    out = t(_batch())
+    v = out.column("value").combine_chunks()
+    assert [f.name for f in v.type] == ["a", "src"]
+    # rows 0 and 2 match ev-click (row 2's parent struct is null)
+    src = v.field("src").to_pylist()
+    assert (src[0], src[1], src[3]) == ("kcp", None, None)
+    assert out.column("event_id").to_pylist() == [0, 1, 2, 3]
+
+
+def test_predicated_block_schema_stable_across_match_ratios():
+    t = Predicated(InsertField(static_field="src", static_value="kcp"),
+                   TopicNameMatches("ev-.*"))
+    base = _batch()
+    all_match = t(base.filter(pa.array([True, True, True, False])))
+    none_match = t(base.filter(pa.array([False, False, False, True])))
+    mixed = t(base)
+    assert all_match.schema.equals(none_match.schema)
+    assert all_match.schema.equals(mixed.schema)
+
+
+def test_unify_conflicting_types_raises():
+    a = pa.table({"x": pa.array([1], pa.int64())})
+    b = pa.table({"x": pa.array(["s"], pa.string())})
+    with pytest.raises(TypeError, match="cannot unify"):
+        unify_tables(a, b)
+
+
+def test_predicated_transform_must_keep_unknown_columns():
+    class DropsColumns:
+        def __call__(self, batch):
+            return batch.select(["event_id"])
+
+    with pytest.raises(ValueError, match="position column"):
+        Predicated(DropsColumns(), TopicNameMatches("ev-click"))(_batch())
+
+
+def test_build_chain_with_predicates_kotlin_names():
+    cfg = {
+        "predicates": "IsTomb, IsHot",
+        "predicates.IsTomb.type":
+            "org.apache.kafka.connect.transforms.predicates."
+            "RecordIsTombstone",
+        "predicates.IsHot.type":
+            "org.apache.kafka.connect.transforms.predicates."
+            "TopicNameMatches",
+        "predicates.IsHot.pattern": "ev-click",
+        "transforms": "Drop,Mask",
+        "transforms.Drop.type": "org.apache.kafka.connect.transforms.Filter",
+        "transforms.Drop.predicate": "IsTomb",
+        "transforms.Mask.type": "MaskField",
+        "transforms.Mask.fields": "a",
+        "transforms.Mask.predicate": "IsHot",
+        "transforms.Mask.negate": "true",
+    }
+    chain = build_chain(cfg)
+    out = chain(_batch())
+    assert out.column("event_id").to_pylist() == [0, 1, 3]
+    a = out.column("value").combine_chunks().field("a").to_pylist()
+    assert a == [1, 0, 0]  # tombstone dropped, non-click rows masked
+
+
+def test_build_chain_undeclared_predicate_errors():
+    cfg = {"transforms": "X", "transforms.X.type": "Filter",
+           "transforms.X.predicate": "Nope"}
+    with pytest.raises(KeyError, match="undeclared predicate"):
+        build_chain(cfg)
+
+
+def test_build_chain_unknown_predicate_prop_errors():
+    cfg = {"predicates": "P",
+           "predicates.P.type": "HasHeaderKey",
+           "predicates.P.wrong": "x",
+           "transforms": ""}
+    with pytest.raises(KeyError, match="unknown property"):
+        build_chain(cfg)
