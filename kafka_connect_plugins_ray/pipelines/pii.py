@@ -1,0 +1,69 @@
+"""PII redaction — the scrubbing stage of a web-scale training-data
+pipeline (emails / IPv4 addresses / phone numbers -> typed placeholder
+tokens, plus per-category match counts for audit).
+
+Everything is vectorized: one ``pyarrow.compute.replace_substring_regex``
+/ ``count_substring_regex`` kernel call per (pattern, batch).  Both
+pyarrow and DuckDB compile regexes with RE2, so the SQL oracle runs the
+IDENTICAL patterns through ``regexp_replace(..., 'g')`` /
+``regexp_extract_all`` and must match byte-for-byte.
+
+Replacement order is part of the contract (a category's placeholder must
+not be re-matched by a later pattern): email first (its local part can
+contain digits a phone pattern would chew on), then IPv4 (dotted quads
+would otherwise match the phone pattern's separator-digit runs), then
+phone.  Counts are measured on the ORIGINAL text, before any
+replacement.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (name, RE2 pattern, placeholder) — order is load-bearing, see module doc
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("email",
+     r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4",
+     r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+     "<IP>"),
+    ("phone",
+     r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}\b",
+     "<PHONE>"),
+]
+
+
+def redact_table(t: pa.Table, *, text_col: str = "text",
+                 out_col: str = "redacted",
+                 with_counts: bool = True) -> pa.Table:
+    """Append ``out_col`` (text with every PII match replaced by its
+    placeholder) and, with ``with_counts``, one ``n_<name>`` int64 column
+    per category counted on the pre-redaction text."""
+    txt = t.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    out = t
+    red = txt
+    for name, pattern, placeholder in PII_PATTERNS:
+        if with_counts:
+            out = out.append_column(
+                f"n_{name}",
+                pc.count_substring_regex(txt, pattern=pattern)
+                .cast(pa.int64()))
+        red = pc.replace_substring_regex(red, pattern=pattern,
+                                         replacement=placeholder)
+    return out.append_column(out_col, red)
+
+
+def redact_pii(ds, *, text_col: str = "text", out_col: str = "redacted",
+               with_counts: bool = True):
+    """Dataset-level PII redaction: one streaming ``map_batches`` pass,
+    no shuffle, no state — safe at any scale."""
+
+    def _redact(t: pa.Table) -> pa.Table:
+        return redact_table(t, text_col=text_col, out_col=out_col,
+                            with_counts=with_counts)
+
+    return ds.map_batches(_redact, batch_format="pyarrow")

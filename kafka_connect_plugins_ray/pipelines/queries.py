@@ -897,6 +897,64 @@ SELECT doc_id, n_tokens, punct_ratio FROM c, b WHERE cum <= budget
 """
 
 
+def q_pii_redact(sf_dir: str) -> "rd.Dataset":
+    """PII redaction (pipelines/pii.py): plant one deterministic email /
+    IPv4 / phone per document (SQL-expressible augmentation so the
+    oracle sees the identical text), then redact + count.  Both sides
+    run the IDENTICAL RE2 patterns (pyarrow and DuckDB share the
+    engine), so the redacted strings match byte-for-byte."""
+    from .pii import redact_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        did_np = did.to_numpy()
+        aug = pc.binary_join_element_wise(
+            t["text"].combine_chunks(),
+            " contact user", did.cast(pa.string()),
+            "@example.com or 10.0.",
+            pa.array((did_np % 256).astype(str), pa.string()),
+            ".7 call +1-415-555-",
+            pc.utf8_lpad(pa.array((did_np % 10_000).astype(str),
+                                  pa.string()), 4, padding="0"),
+            "")
+        aug_t = pa.table({"doc_id": did, "t": aug})
+        out = redact_table(aug_t, text_col="t")
+        return out.select(["doc_id", "n_email", "n_ipv4", "n_phone",
+                           "redacted"])
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _pii_oracle() -> str:
+    from .pii import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+         (doc_id % 256) || '.7 call +1-415-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{pats["email"]}')) AS n_email,
+       len(regexp_extract_all(t, '{pats["ipv4"]}'))  AS n_ipv4,
+       len(regexp_extract_all(t, '{pats["phone"]}')) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(
+           t, '{pats["email"]}', '<EMAIL>', 'g'),
+              '{pats["ipv4"]}', '<IP>', 'g'),
+              '{pats["phone"]}', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+
+PII_REDACT_ORACLE = _pii_oracle()
+
+
 def q_header_ops(sf_dir: str) -> "rd.Dataset":
     """Kafka header SMT chain (InsertHeader -> HeaderFrom(copy) ->
     DropHeaders) over the map<string,string> headers column; the final
@@ -2103,6 +2161,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "timestamp_router": q_timestamp_router,
         "header_ops": q_header_ops,
         "smt_predicated": q_smt_predicated,
+        "pii_redact": q_pii_redact,
         "budget_select": q_budget_select,
         "cdc_incremental_state": cdc_incremental_state,
         "cdc_compacted_state": cdc_compacted_state,
@@ -2170,6 +2229,7 @@ def build_oracles() -> dict[str, str]:
         "timestamp_router": TIMESTAMP_ROUTER_ORACLE,
         "header_ops": HEADER_OPS_ORACLE,
         "smt_predicated": SMT_PREDICATED_ORACLE,
+        "pii_redact": PII_REDACT_ORACLE,
         "budget_select": BUDGET_SELECT_ORACLE,
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,

@@ -1,0 +1,70 @@
+"""PII redaction: pattern coverage, replacement-order contract, counts
+measured pre-redaction, null/empty text."""
+
+import pyarrow as pa
+
+from kafka_connect_plugins_ray.pipelines.pii import redact_table
+
+
+def _run(texts):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    return redact_table(t)
+
+
+def test_email_ipv4_phone_redacted():
+    out = _run(["mail a.b+c@x-corp.io now",
+                "server at 192.168.0.1 down",
+                "call +1-415-555-0199 today"])
+    red = out.column("redacted").to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "server at <IP> down"
+    assert red[2] == "call <PHONE> today"
+
+
+def test_counts_are_pre_redaction_and_per_category():
+    out = _run(["a@b.co c@d.org 10.0.0.1 and 10.0.0.2 +44 20 7946 0958"])
+    assert out.column("n_email").to_pylist() == [2]
+    assert out.column("n_ipv4").to_pylist() == [2]
+    assert out.column("n_phone").to_pylist() == [1]
+
+
+def test_email_wins_over_phone_on_digit_local_parts():
+    # the digits in the email's local part must not survive as a
+    # phone-pattern match: email replaces first
+    out = _run(["reach 415555.0199@x.io ok"])
+    assert out.column("redacted").to_pylist() == ["reach <EMAIL> ok"]
+    assert out.column("n_email").to_pylist() == [1]
+
+
+def test_ipv4_wins_over_phone():
+    out = _run(["ping 10.20.30.40"])
+    assert out.column("redacted").to_pylist() == ["ping <IP>"]
+    assert out.column("n_ipv4").to_pylist() == [1]
+
+
+def test_plain_prose_untouched():
+    texts = ["no pii here, just words.", ""]
+    out = _run(texts)
+    assert out.column("redacted").to_pylist() == texts
+    for c in ("n_email", "n_ipv4", "n_phone"):
+        assert out.column(c).to_pylist() == [0, 0]
+
+
+def test_null_text_stays_null():
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([None], pa.string())})
+    out = redact_table(t)
+    assert out.column("redacted").to_pylist() == [None]
+
+
+def test_dataset_level(ray_session):
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.pii import redact_pii
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["hi a@b.co", "no pii"])}))
+    out = redact_pii(ds).take_batch(10, batch_format="pyarrow")
+    assert out["redacted"].to_pylist() == ["hi <EMAIL>", "no pii"]
