@@ -1,0 +1,127 @@
+"""Domain-weighted mixture sampling — the data-mixing step of an LLM
+pretraining pipeline (DoReMi / The Pile shape): re-weight the corpus so
+each source/domain contributes in proportion to a target weight, by
+deterministic per-source hash sampling.
+
+Two passes, no shuffle:
+
+1. a per-batch ``(source, count)`` partial folds through
+   ``tree_aggregate`` into one tiny table (O(#domains) driver state —
+   thousands at web scale, never corpus-sized);
+2. the driver turns counts into per-source keep RATES
+   (``rate_s = min(1, target_docs * w_s / sum(w) / count_s)``), and a
+   streaming filter pass keeps ``doc`` iff
+   ``murmur64(doc_id) % 1_000_000 < floor(rate_s * 1_000_000)``.
+
+The keep rule is content-stable (same sample under any partitioning or
+replay — what a resumable 100-TB run needs) and SQL-checkable:
+``vhash.murmur64`` is byte-identical to DuckDB ``hash(BIGINT)`` and the
+rate arithmetic uses the same IEEE double operation order on both
+sides, so the oracle reproduces the EXACT kept set.
+
+The rate table ships to the filter tasks via ``ray.put`` once (broadcast,
+not per-batch capture).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_RATE_SCALE = 1_000_000
+
+
+def default_weight(source: str) -> int:
+    """Deterministic demo weight from the source name's numeric suffix
+    (1..4) — replace with a real domain->weight map in production.  The
+    SQL mirror is ``CAST(coalesce(nullif(regexp_extract(source,
+    '[0-9]+'), ''), '0') AS BIGINT) % 4 + 1``."""
+    m = re.search(r"[0-9]+", source)
+    return (int(m.group()) if m else 0) % 4 + 1
+
+
+def _count_partial(t: pa.Table) -> pa.Table:
+    src = t.column("source")
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    enc = src.dictionary_encode()
+    counts = np.bincount(np.asarray(enc.indices),
+                         minlength=len(enc.dictionary))
+    return pa.table({"source": enc.dictionary.cast(pa.string()),
+                     "count": pa.array(counts.astype(np.int64), pa.int64())})
+
+
+def _count_combine(t: pa.Table) -> pa.Table:
+    src = t.column("source").to_pandas().to_numpy()
+    cnt = t.column("count").to_numpy()
+    uniq, inv = np.unique(src, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, cnt)
+    return pa.table({"source": pa.array(uniq, pa.string()),
+                     "count": pa.array(sums, pa.int64())})
+
+
+class _MixFilter:
+    """Actor-pool filter: resolves the broadcast rate table once per
+    actor, then filters batches vectorized (per-row work = one hash +
+    one compare; source thresholds join via dictionary indices)."""
+
+    def __init__(self, thresholds_ref):
+        import ray
+
+        self.thresholds: dict[str, int] = ray.get(thresholds_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.vhash import murmur64
+
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        thr_by_code = np.array(
+            [self.thresholds.get(s, 0) for s in enc.dictionary.to_pylist()],
+            dtype=np.uint64)
+        thr = thr_by_code[np.asarray(enc.indices)]
+        h = murmur64(t.column("doc_id").to_numpy()) % np.uint64(_RATE_SCALE)
+        return t.filter(pa.array(h < thr))
+
+
+def mixture_sample(ds, *, target_fraction: float = 0.4,
+                   weight_fn=default_weight):
+    """Returns ``(kept_dataset, rates)`` where ``rates`` is a small pyarrow
+    table ``(source, count, weight, rate)``.  ``ds`` needs ``doc_id`` and
+    ``source`` columns."""
+    import ray
+
+    from ..exchange import tree_aggregate
+
+    counts = tree_aggregate(
+        ds.map_batches(_count_partial, batch_format="pyarrow"),
+        _count_combine)
+    if counts is None or counts.num_rows == 0:
+        return ds, pa.table({"source": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64()),
+                             "rate": pa.array([], pa.float64())})
+
+    sources = counts.column("source").to_pylist()
+    cnt = counts.column("count").to_numpy()
+    w = np.array([weight_fn(s) for s in sources], dtype=np.int64)
+    total = int(cnt.sum())
+    target = float(np.floor(total * target_fraction))
+    wsum = int(w.sum())
+    # operation ORDER is the oracle contract: (target * w) / wsum / count
+    rate = np.minimum(1.0, target * w.astype(np.float64) / wsum / cnt)
+    thr = np.floor(rate * _RATE_SCALE).astype(np.uint64)
+
+    thresholds = {s: int(t_) for s, t_ in zip(sources, thr)}
+    ref = ray.put(thresholds)
+    kept = ds.map_batches(_MixFilter, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=(1, 8))
+    rates = pa.table({"source": pa.array(sources, pa.string()),
+                      "count": pa.array(cnt, pa.int64()),
+                      "weight": pa.array(w, pa.int64()),
+                      "rate": pa.array(rate, pa.float64())})
+    return kept, rates

@@ -1430,6 +1430,37 @@ WHERE hash(doc_id) < CASE WHEN lang = 'en'
 """
 
 
+def q_mixture_sample(sf_dir: str) -> "rd.Dataset":
+    """Domain-weighted mixture sampling (pipelines/mixture.py): per-source
+    counts fold to O(#domains) driver state, rates derive from the demo
+    weight (numeric suffix % 4 + 1), and the kept set is the EXACT
+    deterministic hash sample the SQL mirror reproduces (murmur64 ==
+    DuckDB hash; identical IEEE op order in the rate arithmetic)."""
+    from .mixture import mixture_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    kept, _ = mixture_sample(docs, target_fraction=0.4)
+    return kept
+
+
+MIXTURE_SAMPLE_ORACLE = """
+WITH cnt AS (
+  SELECT source, count(*) AS c,
+         CAST(coalesce(nullif(regexp_extract(source, '[0-9]+'), ''), '0')
+              AS BIGINT) % 4 + 1 AS w
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(c) AS n, sum(w) AS wsum FROM cnt),
+rates AS (
+  SELECT source,
+         CAST(floor(least(1.0, floor(t.n * 0.4) * w / t.wsum / c)
+              * 1000000) AS UBIGINT) AS thr
+  FROM cnt, tot t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE hash(d.doc_id) % 1000000 < r.thr
+"""
+
+
 def q_lake_partition_stats(sf_dir: str) -> pa.Table:
     """End-to-end lineage gate: run the flagship CDC ingest, then emit the
     MANIFEST's per-partition surviving row counts.  The oracle recomputes
@@ -2206,6 +2237,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_lsh,
         "hll_distinct_users": q_hll_distinct,
         "sample_documents": q_sample,
+        "mixture_sample": q_mixture_sample,
         "redact_numbers": q_redact_numbers,
         "corpus_prep": q_corpus_prep,
         "top_terms_per_lang": q_top_terms,
@@ -2270,6 +2302,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_embedding_cosine_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
         "hll_distinct_users": HLL_ORACLE,
         "sample_documents": SAMPLE_ORACLE,
+        "mixture_sample": MIXTURE_SAMPLE_ORACLE,
         "redact_numbers": REDACT_ORACLE,
         "corpus_prep": CORPUS_PREP_ORACLE,
         "top_terms_per_lang": TOP_TERMS_ORACLE,

@@ -1,0 +1,79 @@
+"""Domain-weighted mixture sampling: rate math vs a driver reference,
+partitioning invariance, keep-all saturation, empty input."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kafka_connect_plugins_ray.functions.vhash import murmur64
+from kafka_connect_plugins_ray.pipelines.mixture import (
+    _RATE_SCALE,
+    default_weight,
+    mixture_sample,
+)
+
+
+def _docs(n=2000, n_src=8):
+    ids = np.arange(n, dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array([f"src{int(i) % n_src}" for i in ids],
+                           pa.string()),
+    })
+
+
+def _reference_keep(t: pa.Table, target_fraction: float) -> set:
+    src = np.array(t.column("source").to_pylist())
+    ids = t.column("doc_id").to_numpy()
+    uniq, cnt = np.unique(src, return_counts=True)
+    w = np.array([default_weight(s) for s in uniq], dtype=np.int64)
+    target = float(np.floor(len(ids) * target_fraction))
+    rate = np.minimum(1.0, target * w.astype(np.float64) / int(w.sum())
+                      / cnt)
+    thr = {s: int(np.floor(r * _RATE_SCALE)) for s, r in zip(uniq, rate)}
+    h = murmur64(ids) % np.uint64(_RATE_SCALE)
+    return {int(i) for i, s, hv in zip(ids, src, h) if hv < thr[s]}
+
+
+def test_matches_driver_reference(ray_session):
+    t = _docs()
+    kept, rates = mixture_sample(rd.from_arrow(t), target_fraction=0.4)
+    got = {r for b in kept.iter_batches(batch_format="pyarrow")
+           for r in b.column("doc_id").to_pylist()}
+    assert got == _reference_keep(t, 0.4)
+    assert rates.num_rows == 8
+
+
+def test_partitioning_invariance(ray_session):
+    t = _docs()
+    a, _ = mixture_sample(rd.from_arrow(t), target_fraction=0.3)
+    b, _ = mixture_sample(rd.from_arrow(t).repartition(13),
+                          target_fraction=0.3)
+    ka = sorted(r for blk in a.iter_batches(batch_format="pyarrow")
+                for r in blk.column("doc_id").to_pylist())
+    kb = sorted(r for blk in b.iter_batches(batch_format="pyarrow")
+                for r in blk.column("doc_id").to_pylist())
+    assert ka == kb
+
+
+def test_rate_saturates_at_one(ray_session):
+    # one tiny source with a huge weight: its rate caps at 1.0 and every
+    # doc of it is kept
+    t = pa.table({
+        "doc_id": pa.array(range(1000), pa.int64()),
+        "source": pa.array(["src3"] * 10 + ["src0"] * 990, pa.string()),
+    })
+    kept, rates = mixture_sample(rd.from_arrow(t), target_fraction=0.5)
+    r = {s: x for s, x in zip(rates.column("source").to_pylist(),
+                              rates.column("rate").to_pylist())}
+    assert r["src3"] == 1.0
+    got = [row for b in kept.iter_batches(batch_format="pyarrow")
+           for row in b.column("source").to_pylist()]
+    assert got.count("src3") == 10
+
+
+def test_empty_input(ray_session):
+    t = _docs(0)
+    kept, rates = mixture_sample(rd.from_arrow(t))
+    assert rates.num_rows == 0
+    assert kept.count() == 0
