@@ -1,0 +1,59 @@
+"""Unicode text normalization — the cleanup stage that runs before any
+tokenization/dedup in a web-scale corpus pipeline: canonical Unicode
+form (NFC, or NFKC for compatibility folding), control-character strip,
+ASCII-whitespace-run collapse, edge trim.
+
+Single streaming ``map_batches`` pass, one vectorized kernel per step.
+The normalization kernel is polars ``str.normalize`` (NOT pyarrow's
+``utf8_normalize`` — pyarrow 16's kernel fails to COMPOSE, leaving
+``e`` + U+0301 decomposed under form=NFC); Unicode normalization is
+fully specified, so polars' output is byte-identical to DuckDB's
+utf8proc-backed ``nfc_normalize``, which makes the NFC path
+oracle-checkable.  The regex steps share the RE2 engine with DuckDB.
+NFKC has no DuckDB mirror and is pytest-gated against
+``unicodedata.normalize`` per row.
+
+Step order is the contract: normalize FIRST (so compatibility
+decompositions that introduce spaces, e.g. NFKC of U+2009 THIN SPACE,
+feed the whitespace collapse), then strip C0/C1-ish controls, then
+collapse ``\\s+`` runs to one space, then trim plain spaces (exactly
+DuckDB ``trim``, NOT unicode trim — the collapse step already reduced
+edge ASCII whitespace to single spaces)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# C0 controls minus \t \n \r (those are whitespace, handled by the
+# collapse step) plus DEL
+CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_WS_RE = r"\s+"
+
+
+def normalize_table(t: pa.Table, *, text_col: str = "text",
+                    out_col: str = "norm", form: str = "NFC",
+                    collapse_whitespace: bool = True) -> pa.Table:
+    import polars as pl
+
+    txt = t.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    x = pl.from_arrow(txt).str.normalize(form).to_arrow().cast(pa.string())
+    x = pc.replace_substring_regex(x, pattern=CONTROL_RE, replacement="")
+    if collapse_whitespace:
+        x = pc.replace_substring_regex(x, pattern=_WS_RE, replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+    return t.append_column(out_col, x)
+
+
+def normalize_text(ds, *, text_col: str = "text", out_col: str = "norm",
+                   form: str = "NFC", collapse_whitespace: bool = True):
+    """Dataset-level normalization: stateless streaming pass, no shuffle."""
+
+    def _norm(t: pa.Table) -> pa.Table:
+        return normalize_table(t, text_col=text_col, out_col=out_col,
+                               form=form,
+                               collapse_whitespace=collapse_whitespace)
+
+    return ds.map_batches(_norm, batch_format="pyarrow")

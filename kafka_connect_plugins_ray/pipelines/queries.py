@@ -1430,6 +1430,38 @@ WHERE hash(doc_id) < CASE WHEN lang = 'en'
 """
 
 
+def q_normalize_text(sf_dir: str) -> "rd.Dataset":
+    """Unicode normalization (pipelines/normalize.py): plant a
+    SQL-expressible dirty suffix (combining acute -> NFC composition,
+    a BEL control char, tab/CR whitespace runs) on every document, then
+    NFC-normalize + strip controls + collapse whitespace + trim.  Both
+    engines are utf8proc + RE2, so the bytes match exactly."""
+    from .normalize import normalize_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dirty_suffix = "\te" + chr(0x301) + "\x07  fin\r\n"
+
+    def aug(t: pa.Table) -> pa.Table:
+        x = pc.binary_join_element_wise(
+            t["text"].combine_chunks(), dirty_suffix, "")
+        return pa.table({"doc_id": t["doc_id"], "text": x})
+
+    return normalize_text(ds.map_batches(aug, batch_format="pyarrow"))
+
+
+NORMALIZE_TEXT_ORACLE = """
+SELECT doc_id,
+       text || chr(9) || 'e' || chr(769) || chr(7) || '  fin' ||
+           chr(13) || chr(10) AS text,
+       trim(regexp_replace(regexp_replace(
+           nfc_normalize(text || chr(9) || 'e' || chr(769) || chr(7) ||
+                         '  fin' || chr(13) || chr(10)),
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+           '\\s+', ' ', 'g'), ' ') AS norm
+FROM documents
+"""
+
+
 def q_mixture_sample(sf_dir: str) -> "rd.Dataset":
     """Domain-weighted mixture sampling (pipelines/mixture.py): per-source
     counts fold to O(#domains) driver state, rates derive from the demo
@@ -2238,6 +2270,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": q_hll_distinct,
         "sample_documents": q_sample,
         "mixture_sample": q_mixture_sample,
+        "normalize_text": q_normalize_text,
         "redact_numbers": q_redact_numbers,
         "corpus_prep": q_corpus_prep,
         "top_terms_per_lang": q_top_terms,
@@ -2303,6 +2336,7 @@ def build_oracles() -> dict[str, str]:
         "hll_distinct_users": HLL_ORACLE,
         "sample_documents": SAMPLE_ORACLE,
         "mixture_sample": MIXTURE_SAMPLE_ORACLE,
+        "normalize_text": NORMALIZE_TEXT_ORACLE,
         "redact_numbers": REDACT_ORACLE,
         "corpus_prep": CORPUS_PREP_ORACLE,
         "top_terms_per_lang": TOP_TERMS_ORACLE,

@@ -1,0 +1,56 @@
+"""Unicode normalization: NFC composition (the pyarrow-16 kernel
+regression this module works around), NFKC vs unicodedata, control
+strip, whitespace collapse, null passthrough."""
+
+import unicodedata
+
+import pyarrow as pa
+
+from kafka_connect_plugins_ray.pipelines.normalize import normalize_table
+
+
+def _norm(texts, **kw):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    return normalize_table(t, **kw).column("norm").to_pylist()
+
+
+def test_nfc_actually_composes():
+    # e + COMBINING ACUTE must become U+00E9 (pyarrow's utf8_normalize
+    # leaves it decomposed; polars composes)
+    out = _norm(["école"])
+    assert out == ["école"]
+
+
+def test_nfkc_matches_unicodedata():
+    texts = ["ﬁn ½ + ¼", "ｶﾀｶﾅ test", "x y", "é", "Ⅻ"]
+    out = _norm(texts, form="NFKC", collapse_whitespace=False)
+    ref = [unicodedata.normalize("NFKC", s) for s in texts]
+    assert out == ref
+
+
+def test_control_chars_stripped_whitespace_kept():
+    out = _norm(["a\x00b\x07c", "bell\x07"])
+    assert out == ["abc", "bell"]
+
+
+def test_whitespace_collapse_and_trim():
+    out = _norm(["  a\t\tb \r\n c  "])
+    assert out == ["a b c"]
+
+
+def test_collapse_disabled_keeps_runs():
+    out = _norm(["a\t\tb"], collapse_whitespace=False)
+    assert out == ["a\t\tb"]
+
+
+def test_nfkc_thin_space_feeds_collapse():
+    # U+2009 THIN SPACE -> NFKC space -> collapsed with the plain space
+    out = _norm(["x  y"], form="NFKC")
+    assert out == ["x y"]
+
+
+def test_null_and_empty():
+    t = pa.table({"text": pa.array([None, ""], pa.string())})
+    out = normalize_table(t).column("norm").to_pylist()
+    assert out == [None, ""]
