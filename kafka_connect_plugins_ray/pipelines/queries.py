@@ -1430,6 +1430,76 @@ WHERE hash(doc_id) < CASE WHEN lang = 'en'
 """
 
 
+def q_interval_join(sf_dir: str) -> "rd.Dataset":
+    """Point-in-interval join (streaming.interval_join): attribute each
+    click to the purchase window [purchase_ts, min(purchase_ts + 1h,
+    next_purchase_ts)) of the same user — lead()-truncated windows are
+    non-overlapping BY CONSTRUCTION, which is exactly the operator's
+    documented partitioning assumption."""
+    from ..exchange import hash_exchange, refs_to_dataset
+    from .streaming import BUCKETS, _with_bucket, interval_join
+
+    hour_us = 3_600_000_000
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+
+    def only(ev_type):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], ev_type)) \
+                .drop_columns(["event_type"])
+        return _f
+
+    purchases = ds.map_batches(
+        lambda t: _with_bucket(only("purchase")(t), "user_id", BUCKETS),
+        batch_format="pyarrow")
+
+    win_schema = pa.schema([("user_id", pa.int64()),
+                            ("win_id", pa.int64()),
+                            ("win_start", pa.timestamp("us")),
+                            ("win_end", pa.timestamp("us"))])
+
+    def windows(pid: int, t: pa.Table) -> "pa.Table | None":
+        if t.num_rows == 0:
+            return None
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ts_us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        nxt = np.roll(ts_us, -1)
+        same = np.roll(uid, -1) == uid
+        if len(same):
+            same[-1] = False
+        end_us = np.where(same, np.minimum(ts_us + hour_us, nxt),
+                          ts_us + hour_us)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "win_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+            "win_start": pa.array(ts_us, pa.timestamp("us")),
+            "win_end": pa.array(end_us, pa.timestamp("us")),
+        })
+
+    windows_ds = refs_to_dataset(
+        hash_exchange(purchases, "bucket", BUCKETS, windows,
+                      materialize=False), win_schema)
+    clicks = ds.map_batches(only("click"), batch_format="pyarrow")
+    return interval_join(clicks, windows_ds, key="user_id", ts_col="ts",
+                         start_col="win_start", end_col="win_end")
+
+
+INTERVAL_JOIN_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS win_id, ts AS win_start,
+         least(ts + INTERVAL 1 HOUR,
+               coalesce(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        ts + INTERVAL 1 HOUR)) AS win_end
+  FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts, p.win_id, p.win_start, p.win_end
+FROM c JOIN p ON c.user_id = p.user_id
+             AND c.ts >= p.win_start AND c.ts < p.win_end
+"""
+
+
 def q_normalize_text(sf_dir: str) -> "rd.Dataset":
     """Unicode normalization (pipelines/normalize.py): plant a
     SQL-expressible dirty suffix (combining acute -> NFC composition,
@@ -2279,6 +2349,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         # relational / windowed demos
         "asof_join": _q_asof_join,
+        "interval_join": q_interval_join,
         "sessionize": _q_sessionize,
         "pricing_summary": analytics.pricing_summary,
         "top_revenue_orders": analytics.top_revenue_orders,
@@ -2344,6 +2415,7 @@ def build_oracles() -> dict[str, str]:
         "multimodal_decode": MULTIMODAL_ORACLE,
         "multimodal_frames": MULTIMODAL_FRAMES_ORACLE,
         "asof_join": _streaming.ASOF_ORACLE,
+        "interval_join": INTERVAL_JOIN_ORACLE,
         "sessionize": _streaming.SESSIONIZE_ORACLE.format(gap_us=30 * 60 * 1_000_000),
         "pricing_summary": PRICING_ORACLE,
         "top_revenue_orders": TOP_REVENUE_ORACLE,

@@ -127,3 +127,94 @@ SELECT user_id,
        count(*) AS n_events
 FROM o GROUP BY user_id
 """
+
+
+def interval_join(points, intervals, *, key: str, ts_col: str,
+                  start_col: str, end_col: str,
+                  buckets: int = BUCKETS, validate: bool = True):
+    """Point-in-interval join: for every point row, the interval of the
+    same ``key`` with ``start <= ts < end`` (inner join; non-matching
+    points drop).
+
+    PARTITIONING ASSUMPTION (documented per the custom-operator rule):
+    intervals of one key must be NON-OVERLAPPING — then the backward
+    as-of candidate (greatest ``start <= ts``) is the only possible
+    match, and the per-bucket kernel is one vectorized ``merge_asof`` +
+    an end-bound filter.  ``validate=True`` checks the assumption inside
+    each bucket (sorted sweep: a row whose start precedes the previous
+    row's end for the same key) and raises a precise error instead of
+    silently under-matching; overlapping-interval multi-match is a
+    declared boundary.
+
+    Both sides go through ONE tagged exchange on ``hash(key) % buckets``
+    (each key's points and intervals co-locate); output stays in the
+    object store as a Dataset — the driver never holds the join result.
+    Column names must be disjoint apart from ``key``.
+    """
+    import numpy as np
+
+    from ..exchange import refs_to_dataset
+
+    p_schema = points.schema()
+    i_schema = intervals.schema()
+    p_names = list(p_schema.names)
+    i_names = [n for n in i_schema.names if n != key]
+    clash = set(p_names) & set(i_names)
+    if clash:
+        raise ValueError(f"interval_join: colliding columns {sorted(clash)}")
+    p_types = dict(zip(p_schema.names, p_schema.types))
+    i_types = dict(zip(i_schema.names, i_schema.types))
+    all_names = p_names + i_names
+    out_schema = pa.schema(
+        [(n, p_types.get(n, i_types.get(n))) for n in all_names])
+
+    def tag(side: int, own: list[str]):
+        def _tag(t: pa.Table) -> pa.Table:
+            cols = {}
+            for n in all_names:
+                if n in own or n == key:
+                    cols[n] = t.column(n)
+                else:
+                    cols[n] = pa.nulls(t.num_rows,
+                                       p_types.get(n, i_types.get(n)))
+            cols["__side"] = pa.array(
+                np.full(t.num_rows, side, np.int8), pa.int8())
+            return _with_bucket(pa.table(cols), key, buckets)
+        return _tag
+
+    tagged = points.map_batches(tag(0, p_names), batch_format="pyarrow") \
+        .union(intervals.map_batches(tag(1, [key] + i_names),
+                                     batch_format="pyarrow"))
+
+    def join_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        df = t.to_pandas()
+        side = df.pop("__side")
+        df = df.drop(columns=["bucket"])
+        pts = df[side.values == 0][p_names].sort_values(ts_col)
+        ivs = df[side.values == 1][[key] + i_names]
+        if pts.empty or ivs.empty:
+            return None
+        ivs = ivs.sort_values([key, start_col])
+        if validate:
+            same_key = ivs[key].eq(ivs[key].shift())
+            overlap = same_key & ivs[start_col].lt(
+                ivs[end_col].shift())
+            if bool(overlap.any()):
+                bad = ivs.loc[overlap, key].iloc[0]
+                raise ValueError(
+                    "interval_join: overlapping intervals for key "
+                    f"{bad!r}; non-overlap per key is the operator's "
+                    "documented assumption")
+        merged = pd.merge_asof(pts, ivs.sort_values(start_col),
+                               left_on=ts_col, right_on=start_col,
+                               by=key, direction="backward")
+        hit = merged[end_col].notna() & merged[ts_col].lt(merged[end_col])
+        out = merged[hit][all_names]
+        if out.empty:
+            return None
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .cast(out_schema)
+
+    refs = hash_exchange(tagged, "bucket", buckets, join_bucket,
+                         materialize=False)
+    return refs_to_dataset(refs, out_schema)

@@ -1,0 +1,84 @@
+"""interval_join: matching semantics (inclusive start, exclusive end),
+inner-join drops, zero-width windows, the overlap validator, and the
+column-collision guard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.streaming import interval_join
+
+
+def _ts(*vals):
+    return pa.array(np.array(vals, np.int64), pa.timestamp("us"))
+
+
+def _points(rows):
+    return rd.from_arrow(pa.table({
+        "pid": pa.array([r[0] for r in rows], pa.int64()),
+        "k": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": _ts(*[r[2] for r in rows]),
+    }))
+
+
+def _intervals(rows):
+    return rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "iv": pa.array([r[1] for r in rows], pa.int64()),
+        "start": _ts(*[r[2] for r in rows]),
+        "end": _ts(*[r[3] for r in rows]),
+    }))
+
+
+def _run(points, intervals, **kw):
+    ds = interval_join(points, intervals, key="k", ts_col="ts",
+                       start_col="start", end_col="end", **kw)
+    t = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
+    return sorted(zip(t.column("pid").to_pylist(),
+                      t.column("iv").to_pylist()))
+
+
+def test_inclusive_start_exclusive_end(ray_session):
+    pts = _points([(1, 7, 100), (2, 7, 199), (3, 7, 200), (4, 7, 99)])
+    ivs = _intervals([(7, 10, 100, 200)])
+    assert _run(pts, ivs) == [(1, 10), (2, 10)]
+
+
+def test_key_isolation_and_inner_drop(ray_session):
+    pts = _points([(1, 7, 150), (2, 8, 150), (3, 9, 150)])
+    ivs = _intervals([(7, 10, 100, 200), (8, 11, 160, 200)])
+    # key 8's point precedes its window; key 9 has no window at all
+    assert _run(pts, ivs) == [(1, 10)]
+
+
+def test_zero_width_window_matches_nothing(ray_session):
+    pts = _points([(1, 7, 100)])
+    ivs = _intervals([(7, 10, 100, 100), (7, 11, 100, 150)])
+    # the zero-width window is unmatchable; the tie-sharing sibling wins
+    assert _run(pts, ivs) == [(1, 11)]
+
+
+def test_overlap_validation_raises(ray_session):
+    pts = _points([(1, 7, 150)])
+    ivs = _intervals([(7, 10, 100, 200), (7, 11, 150, 250)])
+    with pytest.raises(Exception, match="overlapping intervals"):
+        _run(pts, ivs)
+
+
+def test_adjacent_intervals_are_fine(ray_session):
+    pts = _points([(1, 7, 199), (2, 7, 200)])
+    ivs = _intervals([(7, 10, 100, 200), (7, 11, 200, 300)])
+    assert _run(pts, ivs) == [(1, 10), (2, 11)]
+
+
+def test_column_collision_guard(ray_session):
+    pts = _points([(1, 7, 150)])
+    bad = rd.from_arrow(pa.table({
+        "k": pa.array([7], pa.int64()),
+        "pid": pa.array([9], pa.int64()),   # collides with points.pid
+        "start": _ts(100), "end": _ts(200)}))
+    with pytest.raises(ValueError, match="colliding columns"):
+        interval_join(pts, bad, key="k", ts_col="ts",
+                      start_col="start", end_col="end")
