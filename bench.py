@@ -139,6 +139,13 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("sessionize", Q._q_sessionize)
     consume("timestamp_converter", Q.q_timestamp_converter)
     consume("hll_distinct_users", Q.q_hll_distinct)
+    consume("smt_predicated", Q.q_smt_predicated)
+    consume("pii_redact", Q.q_pii_redact)
+    consume("normalize_text", Q.q_normalize_text)
+    consume("mixture_sample", Q.q_mixture_sample)
+    consume("interval_join", Q.q_interval_join)
+    consume("budget_select", Q.q_budget_select)
+    consume("global_shuffle", Q.q_global_shuffle)
 
     ray.shutdown()
     return {

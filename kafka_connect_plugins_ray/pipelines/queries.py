@@ -1430,6 +1430,25 @@ WHERE hash(doc_id) < CASE WHEN lang = 'en'
 """
 
 
+def q_global_shuffle(sf_dir: str) -> "rd.Dataset":
+    """Deterministic global shuffle (pipelines/shuffle.py): every doc's
+    exact rank in the seeded permutation, computed with hash-range
+    buckets + offset prefix instead of a global sort.  The oracle is
+    the literal window function (murmur64 == DuckDB hash)."""
+    from .shuffle import deterministic_shuffle
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return deterministic_shuffle(docs, seed=12345)
+
+
+GLOBAL_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY hash(doc_id + 12345), doc_id) - 1
+           AS shuffle_rank
+FROM documents
+"""
+
+
 def q_interval_join(sf_dir: str) -> "rd.Dataset":
     """Point-in-interval join (streaming.interval_join): attribute each
     click to the purchase window [purchase_ts, min(purchase_ts + 1h,
@@ -2350,6 +2369,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # relational / windowed demos
         "asof_join": _q_asof_join,
         "interval_join": q_interval_join,
+        "global_shuffle": q_global_shuffle,
         "sessionize": _q_sessionize,
         "pricing_summary": analytics.pricing_summary,
         "top_revenue_orders": analytics.top_revenue_orders,
@@ -2416,6 +2436,7 @@ def build_oracles() -> dict[str, str]:
         "multimodal_frames": MULTIMODAL_FRAMES_ORACLE,
         "asof_join": _streaming.ASOF_ORACLE,
         "interval_join": INTERVAL_JOIN_ORACLE,
+        "global_shuffle": GLOBAL_SHUFFLE_ORACLE,
         "sessionize": _streaming.SESSIONIZE_ORACLE.format(gap_us=30 * 60 * 1_000_000),
         "pricing_summary": PRICING_ORACLE,
         "top_revenue_orders": TOP_REVENUE_ORACLE,

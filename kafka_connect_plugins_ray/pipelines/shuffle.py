@@ -1,0 +1,92 @@
+"""Deterministic global shuffle — the "shuffle the corpus before
+training" step: assign every row its exact position in the
+pseudo-random permutation ``ORDER BY murmur64(key + seed), key``
+WITHOUT a global sort.
+
+How it scales: the hash's TOP bits are a range partition of the hash
+space, so bucket ``i`` holds exactly the rows whose shuffled positions
+fall in one contiguous rank range.  One exchange routes rows to their
+hash-range bucket; each bucket sorts locally (uniform sizes — the hash
+is the key); bucket rank offsets are the cumsum of bucket counts (P
+driver-side ints); rank = offset + local position.  Deterministic and
+content-stable: the permutation depends only on (key, seed), never on
+partitioning or replay — which is what makes a resumable 100-TB
+shuffle possible (re-running a failed bucket reproduces its exact
+ranks).
+
+SQL-checkable because ``vhash.murmur64`` is byte-identical to DuckDB
+``hash(BIGINT)``: the oracle is
+``row_number() OVER (ORDER BY hash(key + seed), key) - 1``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def deterministic_shuffle(ds, *, key_col: str = "doc_id", seed: int = 0,
+                          num_buckets: int = 64,
+                          rank_col: str = "shuffle_rank"):
+    """Returns a Dataset of ``(key_col, rank_col)`` where ``rank_col`` is
+    the row's exact 0-based position in the seeded pseudo-random
+    permutation.  Join it back on ``key_col`` (or extend this to carry
+    payload columns) to materialize the shuffled corpus."""
+    import ray
+
+    from ..exchange import hash_exchange, refs_to_dataset
+    from ..functions.vhash import murmur64
+
+    shift = np.uint64(64 - int(num_buckets - 1).bit_length()
+                      if num_buckets > 1 else 64)
+    # top-bits bucket == contiguous hash range == contiguous rank range
+    nb = 1 << int(num_buckets - 1).bit_length() if num_buckets > 1 else 1
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy()
+        h = murmur64(k.astype(np.int64) + np.int64(seed))
+        b = (h >> shift).astype(np.int32) if nb > 1 \
+            else np.zeros(len(k), np.int32)
+        return pa.table({
+            key_col: pa.array(k.astype(np.int64), pa.int64()),
+            "h": pa.array(h, pa.uint64()),
+            "bucket": pa.array(b, pa.int32()),
+        })
+
+    def local_sort(pid: int, t: pa.Table) -> "pa.Table | None":
+        if t.num_rows == 0:
+            return None
+        h = t.column("h").to_numpy()
+        k = t.column(key_col).to_numpy()
+        o = np.lexsort((k, h))
+        return pa.table({
+            key_col: pa.array(k[o], pa.int64()),
+            "local_pos": pa.array(np.arange(len(o), dtype=np.int64),
+                                  pa.int64()),
+        })
+
+    shards = hash_exchange(ds.map_batches(with_bucket,
+                                          batch_format="pyarrow"),
+                           "bucket", nb, local_sort, materialize=False)
+
+    @ray.remote
+    def count(t) -> int:
+        return 0 if t is None else t.num_rows
+
+    counts = ray.get([count.remote(r) for r in shards])
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+
+    out_schema = pa.schema([(key_col, pa.int64()),
+                            (rank_col, pa.int64())])
+
+    @ray.remote
+    def add_base(base: int, t) -> "pa.Table | None":
+        if t is None or t.num_rows == 0:
+            return None
+        rank = base + t.column("local_pos").to_numpy()
+        return pa.table({key_col: t.column(key_col),
+                         rank_col: pa.array(rank, pa.int64())})
+
+    refs = [add_base.remote(int(bases[i]), shards[i])
+            for i in range(len(shards))]
+    return refs_to_dataset(refs, out_schema)

@@ -1,0 +1,58 @@
+"""deterministic_shuffle: exact permutation vs a driver reference,
+seed sensitivity, partitioning invariance, rank completeness."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kafka_connect_plugins_ray.functions.vhash import murmur64
+from kafka_connect_plugins_ray.pipelines.shuffle import deterministic_shuffle
+
+
+def _ids(n):
+    return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64),
+                                        pa.int64())})
+
+
+def _ranks(ds):
+    t = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=65536)))
+    return dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("shuffle_rank").to_pylist()))
+
+
+def _reference(ids, seed):
+    h = murmur64(ids + np.int64(seed))
+    order = np.lexsort((ids, h))
+    return {int(ids[i]): r for r, i in enumerate(order)}
+
+
+def test_exact_permutation(ray_session):
+    n = 5000
+    got = _ranks(deterministic_shuffle(rd.from_arrow(_ids(n)), seed=7))
+    assert got == _reference(np.arange(n, dtype=np.int64), 7)
+
+
+def test_ranks_are_a_complete_permutation(ray_session):
+    got = _ranks(deterministic_shuffle(rd.from_arrow(_ids(1000)), seed=0))
+    assert sorted(got.values()) == list(range(1000))
+
+
+def test_seed_changes_permutation(ray_session):
+    a = _ranks(deterministic_shuffle(rd.from_arrow(_ids(500)), seed=1))
+    b = _ranks(deterministic_shuffle(rd.from_arrow(_ids(500)), seed=2))
+    assert a != b
+
+
+def test_partitioning_invariance(ray_session):
+    t = _ids(3000)
+    a = _ranks(deterministic_shuffle(rd.from_arrow(t), seed=3))
+    b = _ranks(deterministic_shuffle(rd.from_arrow(t).repartition(17),
+                                     seed=3))
+    assert a == b
+
+
+def test_single_bucket_degenerate(ray_session):
+    got = _ranks(deterministic_shuffle(rd.from_arrow(_ids(100)), seed=5,
+                                       num_buckets=1))
+    assert got == _reference(np.arange(100, dtype=np.int64), 5)
