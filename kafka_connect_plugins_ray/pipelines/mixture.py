@@ -20,7 +20,10 @@ rate arithmetic uses the same IEEE double operation order on both
 sides, so the oracle reproduces the EXACT kept set.
 
 The rate table ships to the filter tasks via ``ray.put`` once (broadcast,
-not per-batch capture).
+not per-batch capture); tasks resolve it from the node-local object
+store.  Plain tasks, not an actor pool — there is no per-actor state
+worth amortizing and the pool's ramp-up dominated at small scale
+(measured 2.0 -> 0.93 s warm at sf0.1).
 """
 
 from __future__ import annotations
@@ -63,29 +66,26 @@ def _count_combine(t: pa.Table) -> pa.Table:
                      "count": pa.array(sums, pa.int64())})
 
 
-class _MixFilter:
-    """Actor-pool filter: resolves the broadcast rate table once per
-    actor, then filters batches vectorized (per-row work = one hash +
-    one compare; source thresholds join via dictionary indices)."""
+def _mix_filter(t: pa.Table, thresholds_ref) -> pa.Table:
+    """Stateless task filter: the broadcast rate table resolves from the
+    node-local object store per task (ray.get of a ray.put ref is a
+    cached lookup after the first task on a node); per-row work = one
+    hash + one compare, source thresholds join via dictionary indices."""
+    import ray
 
-    def __init__(self, thresholds_ref):
-        import ray
+    from ..functions.vhash import murmur64
 
-        self.thresholds: dict[str, int] = ray.get(thresholds_ref)
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.vhash import murmur64
-
-        src = t.column("source")
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        enc = src.dictionary_encode()
-        thr_by_code = np.array(
-            [self.thresholds.get(s, 0) for s in enc.dictionary.to_pylist()],
-            dtype=np.uint64)
-        thr = thr_by_code[np.asarray(enc.indices)]
-        h = murmur64(t.column("doc_id").to_numpy()) % np.uint64(_RATE_SCALE)
-        return t.filter(pa.array(h < thr))
+    thresholds: dict[str, int] = ray.get(thresholds_ref)
+    src = t.column("source")
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    enc = src.dictionary_encode()
+    thr_by_code = np.array(
+        [thresholds.get(s, 0) for s in enc.dictionary.to_pylist()],
+        dtype=np.uint64)
+    thr = thr_by_code[np.asarray(enc.indices)]
+    h = murmur64(t.column("doc_id").to_numpy()) % np.uint64(_RATE_SCALE)
+    return t.filter(pa.array(h < thr))
 
 
 def mixture_sample(ds, *, target_fraction: float = 0.4,
@@ -116,10 +116,12 @@ def mixture_sample(ds, *, target_fraction: float = 0.4,
     rate = np.minimum(1.0, target * w.astype(np.float64) / wsum / cnt)
     thr = np.floor(rate * _RATE_SCALE).astype(np.uint64)
 
+    import functools
+
     thresholds = {s: int(t_) for s, t_ in zip(sources, thr)}
     ref = ray.put(thresholds)
-    kept = ds.map_batches(_MixFilter, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", concurrency=(1, 8))
+    kept = ds.map_batches(functools.partial(_mix_filter, thresholds_ref=ref),
+                          batch_format="pyarrow")
     rates = pa.table({"source": pa.array(sources, pa.string()),
                       "count": pa.array(cnt, pa.int64()),
                       "weight": pa.array(w, pa.int64()),
