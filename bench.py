@@ -146,6 +146,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("interval_join", Q.q_interval_join)
     consume("budget_select", Q.q_budget_select)
     consume("global_shuffle", Q.q_global_shuffle)
+    consume("web_prep", Q.q_web_prep)
 
     ray.shutdown()
     return {

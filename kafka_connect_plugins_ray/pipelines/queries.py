@@ -1810,6 +1810,96 @@ WHERE punct_ratio <= 0.05 AND n_tokens >= 30
 """
 
 
+def q_web_prep(sf_dir: str) -> "rd.Dataset":
+    """The round-5 operators composed as ONE web-corpus prep pipeline —
+    Unicode normalize → PII redact → token-count quality gate →
+    exact dedup on the CLEANED text (drop-set broadcast) →
+    domain-weighted mixture sample — with every stage SQL-mirrorable, so
+    the whole composition is driver-gated end to end.  The clean pass is
+    one fused map stage; its output (the working corpus) materializes
+    once in the object store and feeds the dedup partials, the mixture
+    histogram, and the final filter without re-reading text."""
+    import ray
+
+    from ..functions.tokenize import flat_tokens
+    from .dedup import _in_sorted, exact_dedup_drop
+    from .mixture import mixture_sample
+    from .normalize import normalize_table
+    from .pii import redact_table
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        t2 = normalize_table(t, out_col="norm")
+        t3 = redact_table(t2, text_col="norm", out_col="red",
+                          with_counts=False)
+        red = t3.column("red")
+        _, n_tok = flat_tokens(red)
+        out = pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "source": t.column("source"),
+            "text": red,
+            "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+        })
+        return out.filter(pa.array(n_tok >= 5))
+
+    cleaned = docs.map_batches(clean, batch_format="pyarrow").materialize()
+    drop_ids = exact_dedup_drop(cleaned)
+    drop_ref = ray.put(drop_ids)  # O(duplicate volume), not O(corpus)
+
+    def dedup_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = ~_in_sorted(ids, ray.get(drop_ref))
+        return t.filter(pa.array(keep))
+
+    survivors = cleaned.map_batches(dedup_filter, batch_format="pyarrow") \
+        .drop_columns(["text"])
+    kept, _ = mixture_sample(survivors, target_fraction=0.5)
+    return kept
+
+
+def _web_prep_oracle() -> str:
+    from .normalize import CONTROL_RE
+    from .pii import PII_PATTERNS
+
+    norm = (f"trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+            f"'{CONTROL_RE}', '', 'g'), '\\s+', ' ', 'g'), ' ')")
+    red = norm
+    for _, pattern, placeholder in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pattern}', '{placeholder}', 'g')"
+    return f"""
+WITH c AS (
+  SELECT doc_id, source, {red} AS red FROM documents),
+q AS (
+  SELECT doc_id, source, red,
+         CASE WHEN trim(red) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(red), '\\s+')) END
+           AS n_tokens
+  FROM c),
+f AS (SELECT * FROM q WHERE n_tokens >= 5),
+k AS (SELECT doc_id, source, n_tokens FROM f
+      WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY red)),
+cnt AS (
+  SELECT source, count(*) AS cc,
+         CAST(coalesce(nullif(regexp_extract(source, '[0-9]+'), ''), '0')
+              AS BIGINT) % 4 + 1 AS w
+  FROM k GROUP BY source),
+tot AS (SELECT sum(cc) AS n, sum(w) AS wsum FROM cnt),
+rates AS (
+  SELECT source,
+         CAST(floor(least(1.0, floor(t.n * 0.5) * w / t.wsum / cc)
+              * 1000000) AS UBIGINT) AS thr
+  FROM cnt, tot t)
+SELECT k.doc_id, k.source, k.n_tokens
+FROM k JOIN rates r USING (source)
+WHERE hash(k.doc_id) % 1000000 < r.thr
+"""
+
+
+WEB_PREP_ORACLE = _web_prep_oracle()
+
+
 def q_text_metrics(sf_dir: str) -> "rd.Dataset":
     """Text analysis gating SIX operators — language ID (marker scores +
     argmax prediction), quality scoring (chars/tokens/punct/avg-token-len),
@@ -2362,6 +2452,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "redact_numbers": q_redact_numbers,
         "corpus_prep": q_corpus_prep,
+        "web_prep": q_web_prep,
         "top_terms_per_lang": q_top_terms,
         "doc_fingerprint_winnow": q_fingerprint_winnow,
         "multimodal_decode": q_multimodal,
@@ -2430,6 +2521,7 @@ def build_oracles() -> dict[str, str]:
         "normalize_text": NORMALIZE_TEXT_ORACLE,
         "redact_numbers": REDACT_ORACLE,
         "corpus_prep": CORPUS_PREP_ORACLE,
+        "web_prep": WEB_PREP_ORACLE,
         "top_terms_per_lang": TOP_TERMS_ORACLE,
         "doc_fingerprint_winnow": IDENTICAL_PAIRS_ORACLE,
         "multimodal_decode": MULTIMODAL_ORACLE,
