@@ -1,0 +1,853 @@
+"""From-scratch FLAC codec (xiph.org format spec / RFC 9639) — closes
+part of the declared MP3/FLAC/Opus audio boundary the way round 4's
+T.81 implementation closed the JPEG one.  No external codec libraries:
+everything here derives from the public bitstream spec.
+
+Scope (documented, like the JPEG module's):
+
+- ENCODER: 16-bit PCM, mono/stereo, fixed blocking, per-frame explicit
+  block size, subframe types CONSTANT / VERBATIM / FIXED(0-4, picked by
+  sum-of-abs-residual) / LPC (Levinson-Durbin, quantized per spec),
+  stereo decorrelation (independent / left-side / right-side / mid-side
+  / auto by smallest sum-of-abs), Rice residual coding with per-
+  partition parameter search and the raw-bits escape.
+- DECODER: everything the encoder emits plus wasted bits, all four
+  channel assignments, Rice and Rice2 residual methods, escape
+  partitions; verifies sync codes, frame-header CRC-8, frame CRC-16 and
+  the STREAMINFO MD5 of the decoded PCM.  Unsupported constructs raise
+  precise errors (never fake-decode).
+
+Performance notes (the honest per-stream floor, same cost class as the
+JPEG entropy decoder): Rice DECODE is one vectorized ``searchsorted``
+over the frame's set-bit positions plus a successor-chain walk (a plain
+index-hop loop — the only per-sample Python), then fully vectorized
+remainder extraction.  Rice ENCODE is fully vectorized bit scattering
+(np.repeat/cumsum + packbits).  LPC *reconstruction* is an IIR and
+therefore a per-sample loop (documented; FIXED orders invert
+vectorized via repeated cumsum, and the encoder defaults to FIXED).
+CRC-8/16 are 256-entry-table byte loops per frame.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+class FlacError(ValueError):
+    """Malformed or unsupported FLAC bitstream (precise message)."""
+
+
+# ---------------------------------------------------------------- CRCs
+
+def _make_crc8_table(poly: int = 0x07) -> np.ndarray:
+    t = np.zeros(256, np.uint8)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = ((c << 1) ^ poly) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t[i] = c
+    return t
+
+
+def _make_crc16_table(poly: int = 0x8005) -> np.ndarray:
+    t = np.zeros(256, np.uint16)
+    for i in range(256):
+        c = i << 8
+        for _ in range(8):
+            c = ((c << 1) ^ poly) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+        t[i] = c
+    return t
+
+
+_CRC8_T = _make_crc8_table()
+_CRC16_T = _make_crc16_table()
+
+
+def crc8(data: "bytes | np.ndarray") -> int:
+    buf = np.frombuffer(bytes(data), np.uint8) \
+        if not isinstance(data, np.ndarray) else data
+    c = 0
+    t = _CRC8_T
+    for b in buf.tolist():
+        c = int(t[c ^ b])
+    return c
+
+
+def crc16(data: "bytes | np.ndarray") -> int:
+    buf = np.frombuffer(bytes(data), np.uint8) \
+        if not isinstance(data, np.ndarray) else data
+    c = 0
+    t = _CRC16_T
+    for b in buf.tolist():
+        c = ((c << 8) & 0xFFFF) ^ int(t[((c >> 8) ^ b) & 0xFF])
+    return c
+
+
+# ------------------------------------------------------------- bit I/O
+
+class BitWriter:
+    """MSB-first bit accumulator.  Scalar ``write`` for headers plus a
+    bulk ``write_bits_array`` for pre-built vectorized bit arrays."""
+
+    def __init__(self):
+        self._chunks: list[np.ndarray] = []  # uint8 0/1 bit arrays
+
+    def write(self, value: int, nbits: int):
+        if nbits == 0:
+            return
+        v = int(value) & ((1 << nbits) - 1)
+        bits = (v >> np.arange(nbits - 1, -1, -1, dtype=np.int64)) & 1
+        self._chunks.append(bits.astype(np.uint8))
+
+    def write_bits_array(self, bits: np.ndarray):
+        if len(bits):
+            self._chunks.append(bits.astype(np.uint8, copy=False))
+
+    def nbits(self) -> int:
+        return sum(len(c) for c in self._chunks)
+
+    def bits(self) -> np.ndarray:
+        return np.concatenate(self._chunks) if self._chunks \
+            else np.zeros(0, np.uint8)
+
+    def to_bytes_padded(self) -> bytes:
+        return np.packbits(self.bits()).tobytes()
+
+
+class BitReader:
+    """MSB-first reader over an unpacked bit array."""
+
+    def __init__(self, data: "bytes | np.ndarray"):
+        buf = np.frombuffer(bytes(data), np.uint8) \
+            if not isinstance(data, np.ndarray) else data
+        self.bits = np.unpackbits(buf)
+        self.pos = 0
+        # set-bit positions + successor table are built lazily per use
+        self._ones: "np.ndarray | None" = None
+
+    def _need(self, n: int):
+        if self.pos + n > len(self.bits):
+            raise FlacError("truncated FLAC bitstream")
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        self._need(nbits)
+        sl = self.bits[self.pos:self.pos + nbits]
+        self.pos += nbits
+        v = 0
+        for b in sl.tolist():
+            v = (v << 1) | b
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        if v >= (1 << (nbits - 1)):
+            v -= 1 << nbits
+        return v
+
+    def read_unary(self) -> int:
+        ones = self.ones()
+        i = np.searchsorted(ones, self.pos)
+        if i >= len(ones):
+            raise FlacError("truncated unary code")
+        stop = int(ones[i])
+        q = stop - self.pos
+        self.pos = stop + 1
+        return q
+
+    def align_byte(self):
+        self.pos = (self.pos + 7) // 8 * 8
+
+    def byte_at(self, byte_pos: int, nbytes: int) -> np.ndarray:
+        return np.packbits(
+            self.bits[byte_pos * 8:(byte_pos + nbytes) * 8])
+
+    def ones(self) -> np.ndarray:
+        if self._ones is None:
+            self._ones = np.nonzero(self.bits)[0]
+        return self._ones
+
+
+# ------------------------------------------------- Rice residual codes
+
+def zigzag(e: np.ndarray) -> np.ndarray:
+    e = e.astype(np.int64)
+    return np.where(e >= 0, e << 1, (-e << 1) - 1).astype(np.uint64)
+
+
+def unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)
+            ^ -(u & np.uint64(1)).astype(np.int64))
+
+
+def rice_encode_bits(e: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized Rice encode of a residual array -> 0/1 bit array:
+    quotient zeros + stop 1 + k remainder bits per sample, scattered in
+    one pass (no per-sample Python)."""
+    u = zigzag(e)
+    q = (u >> np.uint64(k)).astype(np.int64)
+    n = len(u)
+    lens = q + 1 + k
+    total = int(lens.sum())
+    bits = np.zeros(total, np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    stop_pos = starts + q
+    bits[stop_pos] = 1
+    if k:
+        shifts = np.arange(k - 1, -1, -1, dtype=np.uint64)
+        rem_bits = ((u[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(np.uint8)
+        rem_pos = (stop_pos[:, None] + 1
+                   + np.arange(k, dtype=np.int64)[None, :])
+        bits[rem_pos.ravel()] = rem_bits.ravel()
+    return bits
+
+
+def rice_cost(u_sum: int, n: int, k: int, q_sum: int) -> int:
+    return n * (k + 1) + q_sum
+
+
+def best_rice_param(e: np.ndarray, max_k: int = 14) -> "tuple[int, int]":
+    """(k, bit cost) minimizing n*(k+1) + sum(u >> k), evaluated
+    vectorized over all k."""
+    u = zigzag(e)
+    n = len(u)
+    costs = [n * (k + 1) + int((u >> np.uint64(k)).sum())
+             for k in range(max_k + 1)]
+    k = int(np.argmin(costs))
+    return k, costs[k]
+
+
+def rice_decode(reader: BitReader, n: int, k: int) -> np.ndarray:
+    """Decode ``n`` Rice(k) codes from the reader.  One searchsorted
+    over the stream's set-bit positions builds a successor table; the
+    per-sample work is a plain index-hop loop (the documented floor),
+    remainders extract vectorized afterwards."""
+    if n == 0:
+        return np.zeros(0, np.int64)
+    ones = reader.ones()
+    start_idx = int(np.searchsorted(ones, reader.pos))
+    if start_idx >= len(ones):
+        raise FlacError("truncated Rice partition")
+    # successor: after consuming the code whose stop bit is ones[j], the
+    # next code's stop bit is the first set bit >= ones[j] + 1 + k
+    sub = ones[start_idx:]
+    nxt = np.searchsorted(sub, sub + 1 + k)
+    stops = np.empty(n, np.int64)
+    j = 0
+    nxt_l = nxt.tolist()
+    sub_l = sub.tolist()
+    try:
+        for i in range(n):
+            stops[i] = sub_l[j]
+            j = nxt_l[j]
+    except IndexError:
+        raise FlacError("truncated Rice partition") from None
+    # quotient = stop - start of code; code i starts right after code
+    # i-1's remainder
+    code_starts = np.empty(n, np.int64)
+    code_starts[0] = reader.pos
+    code_starts[1:] = stops[:-1] + 1 + k
+    q = stops - code_starts
+    if (q < 0).any():
+        raise FlacError("corrupt Rice stream (negative quotient)")
+    u = q.astype(np.uint64) << np.uint64(k)
+    if k:
+        rem_pos = (stops[:, None] + 1
+                   + np.arange(k, dtype=np.int64)[None, :])
+        if rem_pos[-1, -1] >= len(reader.bits):
+            raise FlacError("truncated Rice partition")
+        rem = reader.bits[rem_pos.ravel()].reshape(n, k).astype(np.uint64)
+        weights = (np.uint64(1) << np.arange(k - 1, -1, -1,
+                                             dtype=np.uint64))
+        u |= rem @ weights
+    reader.pos = int(stops[-1]) + 1 + k
+    return unzigzag(u)
+
+
+# ------------------------------------------------------ frame numbers
+
+def utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style coding of frame/sample numbers (extended past
+    U+10FFFF per the spec)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, limit in ((2, 1 << 11), (3, 1 << 16), (4, 1 << 21),
+                          (5, 1 << 26), (6, 1 << 31), (7, 1 << 36)):
+        if n < limit:
+            out = bytearray(nbytes)
+            lead_ones = nbytes
+            out[0] = ((0xFF << (8 - lead_ones)) & 0xFF) >> 0
+            # clear the bit after the lead ones, then place the top bits
+            payload_bits = 7 - lead_ones
+            out[0] |= (n >> (6 * (nbytes - 1))) & ((1 << payload_bits) - 1)
+            for i in range(1, nbytes):
+                out[i] = 0x80 | ((n >> (6 * (nbytes - 1 - i))) & 0x3F)
+            return bytes(out)
+    raise FlacError("frame number out of range")
+
+
+def read_utf8(reader: BitReader) -> int:
+    b0 = reader.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise FlacError("invalid UTF-8-coded frame number")
+    v = b0 & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        b = reader.read(8)
+        if (b & 0xC0) != 0x80:
+            raise FlacError("invalid UTF-8 continuation byte")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+# --------------------------------------------------------- predictors
+
+def fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    return np.diff(x.astype(np.int64), n=order) if order else \
+        x.astype(np.int64).copy()
+
+
+def fixed_restore(warmup: np.ndarray, residual: np.ndarray,
+                  order: int) -> np.ndarray:
+    """Invert the order-``o`` finite difference with ``o`` warmup
+    samples — vectorized (one cumsum per level, no per-sample loop)."""
+    w = warmup.astype(np.int64)
+    if order == 0:
+        return residual.astype(np.int64)
+    diffs = [w]
+    for _ in range(order):
+        diffs.append(np.diff(diffs[-1]))
+    cur = residual.astype(np.int64)
+    for j in range(order - 1, -1, -1):
+        cur = diffs[j][-1] + np.cumsum(cur)
+    return np.concatenate([w, cur])
+
+
+def best_fixed_order(x: np.ndarray, max_order: int = 4) -> int:
+    n = len(x)
+    best, best_cost = 0, None
+    for o in range(min(max_order, max(n - 1, 0)) + 1):
+        cost = int(np.abs(fixed_residual(x, o)[o:] if o == 0 else
+                          fixed_residual(x, o)).sum())
+        if best_cost is None or cost < best_cost:
+            best, best_cost = o, cost
+    return best
+
+
+def lpc_coeffs(x: np.ndarray, order: int,
+               precision: int = 12) -> "tuple[np.ndarray, int]":
+    """Levinson-Durbin on the autocorrelation, then spec quantization:
+    returns (int coefficients, shift)."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    ac = np.array([float(np.dot(xf[:n - k], xf[k:])) for k in
+                   range(order + 1)])
+    if ac[0] == 0:
+        return np.zeros(order, np.int64), 0
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        k = acc / err if err else 0.0
+        a[:i] = a[:i] - k * a[:i][::-1]
+        a[i] = k
+        err *= (1 - k * k)
+        if err <= 0:
+            err = 1e-9
+    cmax = float(np.abs(a).max())
+    if cmax <= 0:
+        return np.zeros(order, np.int64), 0
+    shift = precision - 1 - int(np.floor(np.log2(cmax)) + 1)
+    shift = max(0, min(31, shift))
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    lim = 1 << (precision - 1)
+    q = np.clip(q, -lim, lim - 1)
+    return q, shift
+
+
+def lpc_residual(x: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    """Vectorized: e[i] = x[i] - ((q · x[i-1..i-o]) >> shift)."""
+    order = len(q)
+    x64 = x.astype(np.int64)
+    if len(x64) <= order:
+        return np.zeros(0, np.int64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(x64[:-1], order)       # rows: x[i-o..i-1]
+    pred = (win @ q[::-1]) >> shift
+    return x64[order:] - pred
+
+
+def lpc_restore(warmup: np.ndarray, residual: np.ndarray,
+                q: np.ndarray, shift: int) -> np.ndarray:
+    """Sequential IIR reconstruction (documented per-sample loop — the
+    LPC analog of the JPEG entropy-decode floor)."""
+    order = len(q)
+    n = order + len(residual)
+    x = np.empty(n, np.int64)
+    x[:order] = warmup.astype(np.int64)
+    qr = q[::-1].tolist()
+    res = residual.tolist()
+    xl = x.tolist()
+    for i in range(order, n):
+        acc = 0
+        base = i - order
+        for j in range(order):
+            acc += qr[j] * xl[base + j]
+        xl[i] = res[i - order] + (acc >> shift)
+    return np.array(xl, np.int64)
+
+
+# ----------------------------------------------------------- residual
+
+def _write_residual(w: BitWriter, residual: np.ndarray, order: int,
+                    block_size: int, partition_order: int):
+    w.write(0b00, 2)                    # Rice method (4-bit params)
+    w.write(partition_order, 4)
+    nparts = 1 << partition_order
+    ppart = block_size >> partition_order
+    off = 0
+    for p in range(nparts):
+        cnt = ppart - order if p == 0 else ppart
+        e = residual[off:off + cnt]
+        off += cnt
+        k, cost = best_rice_param(e)
+        # raw escape when Rice loses to fixed-width two's complement
+        raw_bits = 1
+        if len(e):
+            m = int(np.abs(e).max())
+            raw_bits = max(1, m.bit_length() + 1)
+        if raw_bits <= 31 and 5 + len(e) * raw_bits < 4 + cost:
+            w.write(0b1111, 4)
+            w.write(raw_bits, 5)
+            for v in e.tolist():
+                w.write(v & ((1 << raw_bits) - 1), raw_bits)
+        else:
+            w.write(k, 4)
+            w.write_bits_array(rice_encode_bits(e, k))
+
+
+def _read_residual(r: BitReader, order: int, block_size: int) -> np.ndarray:
+    method = r.read(2)
+    if method not in (0, 1):
+        raise FlacError(f"reserved residual coding method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    partition_order = r.read(4)
+    nparts = 1 << partition_order
+    if block_size % nparts:
+        raise FlacError("block size not divisible by partition count")
+    ppart = block_size >> partition_order
+    if ppart <= order and nparts == 1:
+        raise FlacError("partition shorter than predictor order")
+    out = []
+    for p in range(nparts):
+        cnt = ppart - order if p == 0 else ppart
+        if cnt < 0:
+            raise FlacError("partition shorter than predictor order")
+        k = r.read(pbits)
+        if k == escape:
+            raw = r.read(5)
+            if raw == 0:
+                out.append(np.zeros(cnt, np.int64))
+            else:
+                vals = np.array([r.read_signed(raw) for _ in range(cnt)],
+                                np.int64)
+                out.append(vals)
+        else:
+            out.append(rice_decode(r, cnt, k))
+    return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+
+# ----------------------------------------------------------- subframe
+
+def _pick_partition_order(block_size: int, order: int,
+                          want: int) -> int:
+    p = want
+    while p > 0 and (block_size % (1 << p)
+                     or (block_size >> p) <= order):
+        p -= 1
+    return p
+
+
+def _write_subframe(w: BitWriter, x: np.ndarray, bps: int,
+                    predictor: str, block_size: int,
+                    partition_order: int, lpc_order: int):
+    w.write(0, 1)                       # zero pad bit
+    n = len(x)
+    if n and (x == x[0]).all() and predictor != "verbatim":
+        w.write(0b000000, 6)
+        w.write(0, 1)
+        w.write(int(x[0]) & ((1 << bps) - 1), bps)
+        return
+    if predictor == "verbatim":
+        w.write(0b000001, 6)
+        w.write(0, 1)
+        for v in x.tolist():
+            w.write(v & ((1 << bps) - 1), bps)
+        return
+    if predictor == "lpc" and n > lpc_order:
+        q, shift = lpc_coeffs(x, lpc_order)
+        precision = 12
+        w.write(0b100000 | (lpc_order - 1), 6)
+        w.write(0, 1)                   # no wasted bits
+        for v in x[:lpc_order].tolist():
+            w.write(v & ((1 << bps) - 1), bps)
+        w.write(precision - 1, 4)
+        w.write(shift & 0x1F, 5)
+        for c in q.tolist():
+            w.write(c & ((1 << precision) - 1), precision)
+        residual = lpc_residual(x, q, shift)
+        po = _pick_partition_order(block_size, lpc_order, partition_order)
+        _write_residual(w, residual, lpc_order, block_size, po)
+        return
+    order = best_fixed_order(x)
+    w.write(0b001000 | order, 6)
+    w.write(0, 1)                       # no wasted bits
+    for v in x[:order].tolist():
+        w.write(v & ((1 << bps) - 1), bps)
+    residual = fixed_residual(x, order)
+    po = _pick_partition_order(block_size, order, partition_order)
+    _write_residual(w, residual, order, block_size, po)
+
+
+def _read_subframe(r: BitReader, n: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise FlacError("subframe padding bit set")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+    ebps = bps - wasted
+    if ebps <= 0:
+        raise FlacError("wasted bits exceed sample size")
+    if t == 0b000000:
+        v = r.read_signed(ebps)
+        x = np.full(n, v, np.int64)
+    elif t == 0b000001:
+        x = np.array([r.read_signed(ebps) for _ in range(n)], np.int64)
+    elif 0b001000 <= t <= 0b001100:
+        order = t & 0x07
+        warm = np.array([r.read_signed(ebps) for _ in range(order)],
+                        np.int64)
+        residual = _read_residual(r, order, n)
+        x = fixed_restore(warm, residual, order)
+    elif t & 0b100000:
+        order = (t & 0x1F) + 1
+        warm = np.array([r.read_signed(ebps) for _ in range(order)],
+                        np.int64)
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise FlacError("invalid LPC precision code 1111")
+        shift = r.read(5)
+        if shift >= 16:                 # 5-bit two's complement
+            raise FlacError("negative LPC shift unsupported")
+        q = np.array([r.read_signed(prec) for _ in range(order)],
+                     np.int64)
+        residual = _read_residual(r, order, n)
+        x = lpc_restore(warm, residual, q, shift)
+    else:
+        raise FlacError(f"reserved subframe type {t:06b}")
+    return x << wasted if wasted else x
+
+
+# -------------------------------------------------------- stream layer
+
+_SR_CODES = {88200: 0b0001, 176400: 0b0010, 192000: 0b0011,
+             8000: 0b0100, 16000: 0b0101, 22050: 0b0110, 24000: 0b0111,
+             32000: 0b1000, 44100: 0b1001, 48000: 0b1010, 96000: 0b1011}
+_SR_DECODE = {v: k for k, v in _SR_CODES.items()}
+
+_BPS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+_BPS_DECODE = {v: k for k, v in _BPS_CODES.items()}
+
+
+def _streaminfo_bytes(min_bs, max_bs, min_fs, max_fs, rate, channels,
+                      bps, total, md5: bytes) -> bytes:
+    w = BitWriter()
+    w.write(min_bs, 16)
+    w.write(max_bs, 16)
+    w.write(min_fs, 24)
+    w.write(max_fs, 24)
+    w.write(rate, 20)
+    w.write(channels - 1, 3)
+    w.write(bps - 1, 5)
+    w.write(total & ((1 << 36) - 1), 36)
+    body = w.to_bytes_padded() + md5
+    assert len(body) == 34
+    return body
+
+
+def _decorrelate(pcm: np.ndarray, mode: str) -> "tuple[list, int]":
+    """(list of per-channel int64 arrays to store, channel assignment
+    code).  ``pcm`` is (n, 2) for the stereo modes."""
+    if mode == "independent":
+        return [pcm[:, c].astype(np.int64) for c in
+                range(pcm.shape[1])], pcm.shape[1] - 1
+    left = pcm[:, 0].astype(np.int64)
+    right = pcm[:, 1].astype(np.int64)
+    side = left - right
+    if mode == "left-side":
+        return [left, side], 0b1000
+    if mode == "right-side":
+        return [side, right], 0b1001
+    if mode == "mid-side":
+        return [(left + right) >> 1, side], 0b1010
+    raise ValueError(f"unknown channel mode {mode!r}")
+
+
+def _auto_mode(pcm: np.ndarray) -> str:
+    if pcm.shape[1] != 2:
+        return "independent"
+
+    def est(x):
+        return int(np.abs(np.diff(x.astype(np.int64), 2)).sum()) \
+            if len(x) > 2 else int(np.abs(x).sum())
+
+    left = pcm[:, 0].astype(np.int64)
+    right = pcm[:, 1].astype(np.int64)
+    side = left - right
+    mid = (left + right) >> 1
+    costs = {"independent": est(left) + est(right),
+             "left-side": est(left) + est(side),
+             "right-side": est(side) + est(right),
+             "mid-side": est(mid) + est(side)}
+    return min(costs, key=costs.get)
+
+
+def _restore_channels(stored: list, assignment: int) -> np.ndarray:
+    if assignment < 8:
+        return np.stack(stored, axis=1)
+    a, b = stored
+    if assignment == 0b1000:            # left / side
+        left = a
+        right = a - b
+    elif assignment == 0b1001:          # side / right
+        right = b
+        left = a + b
+    elif assignment == 0b1010:          # mid / side
+        m2 = (a << 1) | (b & 1)
+        left = (m2 + b) >> 1
+        right = (m2 - b) >> 1
+    else:
+        raise FlacError(f"reserved channel assignment {assignment:04b}")
+    return np.stack([left, right], axis=1)
+
+
+def encode_flac(pcm: np.ndarray, sample_rate: int, *,
+                block_size: int = 4096, channel_mode: str = "auto",
+                predictor: str = "fixed", lpc_order: int = 8,
+                partition_order: int = 0) -> bytes:
+    """PCM (n,) or (n, channels) int16-range integers -> FLAC bytes."""
+    pcm = np.asarray(pcm)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, channels = pcm.shape
+    if channels not in (1, 2):
+        raise ValueError("encoder supports mono/stereo")
+    bps = 16
+    if pcm.size and (pcm.min() < -(1 << 15) or pcm.max() >= (1 << 15)):
+        raise ValueError("samples exceed 16-bit range")
+
+    md5 = hashlib.md5(
+        pcm.astype("<i2").tobytes()).digest()
+
+    frames = []
+    min_fs = max_fs = None
+    for fi, off in enumerate(range(0, max(n, 1), block_size)):
+        blk = pcm[off:off + block_size]
+        bs = len(blk)
+        if bs == 0:
+            break
+        mode = channel_mode
+        if channels == 1:
+            mode = "independent"
+        elif mode == "auto":
+            mode = _auto_mode(blk)
+        stored, assignment = _decorrelate(blk, mode)
+
+        hw = BitWriter()
+        hw.write(0b11111111111110, 14)
+        hw.write(0, 1)                  # reserved
+        hw.write(0, 1)                  # fixed blocking strategy
+        hw.write(0b0111, 4)             # 16-bit block size - 1 at end
+        hw.write(0b0000, 4)             # sample rate from STREAMINFO
+        hw.write(assignment, 4)
+        hw.write(_BPS_CODES[bps], 3)
+        hw.write(0, 1)                  # reserved
+        for byte in utf8_code(fi):
+            hw.write(byte, 8)
+        hw.write(bs - 1, 16)
+        hdr = hw.to_bytes_padded()
+        hdr += bytes([crc8(hdr)])
+
+        fw = BitWriter()
+        fw.write_bits_array(np.unpackbits(np.frombuffer(hdr, np.uint8)))
+        for ci, x in enumerate(stored):
+            sub_bps = bps
+            if assignment == 0b1000 and ci == 1:
+                sub_bps += 1            # side channel carries bps+1
+            elif assignment == 0b1001 and ci == 0:
+                sub_bps += 1
+            elif assignment == 0b1010 and ci == 1:
+                sub_bps += 1
+            _write_subframe(fw, x, sub_bps, predictor, bs,
+                            partition_order, lpc_order)
+        body = fw.to_bytes_padded()     # zero-padded to byte boundary
+        frame = body + crc16(body).to_bytes(2, "big")
+        frames.append(frame)
+        min_fs = len(frame) if min_fs is None else min(min_fs, len(frame))
+        max_fs = len(frame) if max_fs is None else max(max_fs, len(frame))
+
+    last_bs = n - (len(frames) - 1) * block_size if frames else 0
+    info = _streaminfo_bytes(
+        min(block_size, n) if n else block_size,
+        min(block_size, max(n, 1)) if n else block_size,
+        min_fs or 0, max_fs or 0, sample_rate, channels, bps, n, md5)
+    meta = bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    return b"fLaC" + meta + b"".join(frames)
+
+
+def decode_flac(data: bytes, *, verify_md5: bool = True
+                ) -> "tuple[np.ndarray, int, int]":
+    """FLAC bytes -> (pcm int32 (n, channels), sample_rate, bps).
+    Verifies sync codes, header CRC-8, frame CRC-16 and (optionally)
+    the STREAMINFO MD5 of the decoded PCM."""
+    if data[:4] != b"fLaC":
+        raise FlacError("missing fLaC stream marker")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(data):
+            raise FlacError("truncated metadata block header")
+        hdr = data[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+        body = data[pos + 4:pos + 4 + blen]
+        if btype == 0:
+            if blen != 34:
+                raise FlacError("STREAMINFO must be 34 bytes")
+            streaminfo = body
+        elif btype == 127:
+            raise FlacError("invalid metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise FlacError("stream has no STREAMINFO block")
+
+    si = BitReader(streaminfo)
+    si.read(16)                          # min block size
+    si.read(16)                          # max block size
+    si.read(24)
+    si.read(24)
+    rate = si.read(20)
+    channels = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    md5_expect = streaminfo[18:34]
+
+    r = BitReader(np.frombuffer(data, np.uint8)[pos:])
+    out = []
+    got = 0
+    while got < total:
+        r.align_byte()
+        frame_start_byte = r.pos // 8
+        sync = r.read(14)
+        if sync != 0b11111111111110:
+            raise FlacError(f"bad frame sync at byte {frame_start_byte}")
+        if r.read(1):
+            raise FlacError("reserved frame-header bit set")
+        blocking = r.read(1)
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        assignment = r.read(4)
+        bps_code = r.read(3)
+        if r.read(1):
+            raise FlacError("reserved frame-header bit set")
+        read_utf8(r)                     # frame / sample number
+        if bs_code == 0:
+            raise FlacError("reserved block size code 0000")
+        elif bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bs = r.read(8) + 1
+        elif bs_code == 7:
+            bs = r.read(16) + 1
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 0:
+            frate = rate
+        elif sr_code in _SR_DECODE:
+            frate = _SR_DECODE[sr_code]
+        elif sr_code == 0b1100:
+            frate = r.read(8) * 1000
+        elif sr_code == 0b1101:
+            frate = r.read(16)
+        elif sr_code == 0b1110:
+            frate = r.read(16) * 10
+        else:
+            raise FlacError("invalid sample rate code 1111")
+        if bps_code == 0:
+            fbps = bps
+        elif bps_code in _BPS_DECODE:
+            fbps = _BPS_DECODE[bps_code]
+        else:
+            raise FlacError(f"reserved sample size code {bps_code:03b}")
+        hdr_end_byte = r.pos // 8
+        hdr_bytes = r.byte_at(frame_start_byte,
+                              hdr_end_byte - frame_start_byte)
+        if crc8(hdr_bytes) != r.read(8):
+            raise FlacError("frame header CRC-8 mismatch")
+
+        if assignment < 8:
+            fch = assignment + 1
+        else:
+            fch = 2
+        if fch != channels:
+            raise FlacError("frame channel count differs from STREAMINFO")
+        stored = []
+        for ci in range(fch):
+            sub_bps = fbps
+            if assignment == 0b1000 and ci == 1:
+                sub_bps += 1
+            elif assignment == 0b1001 and ci == 0:
+                sub_bps += 1
+            elif assignment == 0b1010 and ci == 1:
+                sub_bps += 1
+            stored.append(_read_subframe(r, bs, sub_bps))
+        r.align_byte()
+        frame_bytes = r.byte_at(frame_start_byte,
+                                r.pos // 8 - frame_start_byte)
+        if crc16(frame_bytes) != r.read(16):
+            raise FlacError("frame CRC-16 mismatch")
+        out.append(_restore_channels(stored, assignment))
+        got += bs
+        del blocking, frate
+    if got != total:
+        raise FlacError("decoded sample count differs from STREAMINFO")
+    pcm = np.concatenate(out, axis=0) if out \
+        else np.zeros((0, channels), np.int64)
+    pcm = pcm[:total]
+    if verify_md5 and md5_expect != bytes(16):
+        if bps != 16:
+            raise FlacError("MD5 verify implemented for 16-bit only")
+        calc = hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+        if calc != md5_expect:
+            raise FlacError("decoded PCM fails the STREAMINFO MD5 check")
+    return pcm.astype(np.int32), rate, bps

@@ -13,10 +13,18 @@ frame-count expansion) with the audio shape:
   vectorized little-endian gather into the Arrow binary buffer (RIFF /
   WAVE / fmt / data magic checks; format, channels, rate, bits, data
   size), emitting a typed ``audio_meta`` struct with a content hash over
-  the raw PCM bytes.  ``strict=True`` raises NotImplementedError on any
-  other magic — the explicit boundary where MP3/FLAC/Opus codecs would
-  slot in (their entropy decoders are absent in this container; the PNG
-  zlib path in multimodal.py already proves the entropy-decode shape).
+  the raw PCM bytes.  Rows with ``fLaC`` magic decode through the
+  from-scratch codec in ``functions/flac.py`` (per-stream entropy
+  decode, same cost class as the JPEG path; CRC-8/16 + STREAMINFO MD5
+  enforced) and hash the DECODED PCM bytes — lossless, so a WAVE file
+  and a FLAC file of the same samples share one content hash
+  (format-independent audio dedup).  ``strict=True`` raises
+  NotImplementedError on any other magic — the remaining boundary is
+  the lossy/entropy-licensed codecs (MP3/Opus).
+- ``attach_flac`` — FLAC sibling of ``attach_wav``: the same
+  deterministic per-doc PCM, compressed through ``encode_flac``
+  (per-row Python encode — synthetic test-data WRITER, like
+  ``attach_avi``; the decode side is the path that matters).
 - ``PcmFeatures`` — REAL vectorized DSP over the decoded samples, the
   audio analog of ``ByteHistogramFeatures``: one variable-length gather
   of every PCM byte in the batch, one ``int16`` view, then RMS energy /
@@ -44,8 +52,10 @@ import pyarrow.compute as pc
 # implementation for every byte-parsing stage
 from ..functions.binview import header_matrix as _header_matrix
 from ..functions.binview import payload_view as _payload_view
+from ..functions.flac import decode_flac, encode_flac
 
 WAV_HEADER_LEN = 44  # canonical PCM header: RIFF(12) + fmt(24) + data(8)
+_FLAC_MAGIC = np.frombuffer(b"fLaC", np.uint8)
 
 
 def _le(hdr: np.ndarray, off: int, nbytes: int) -> np.ndarray:
@@ -117,6 +127,48 @@ def attach_wav(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return _append_payload_column(batch, n, off, buf, valid)
 
 
+def attach_flac(batch: pa.Table, text_col: str = "text",
+                block_size: int = 4096) -> pa.Table:
+    """FLAC sibling of ``attach_wav``: identical deterministic per-doc
+    PCM (channels = doc_id%2+1, rate = 8000 + (len%8)·1000, payload
+    truncated to whole frames), compressed through ``encode_flac``.
+    Per-row Python encode — synthetic test-data WRITER, documented like
+    ``attach_avi``; the vectorized-where-possible DECODE side is the
+    path that matters at scale.  Null texts → null payload."""
+    binc = pc.cast(batch.column(text_col), pa.binary())
+    if isinstance(binc, pa.ChunkedArray):
+        binc = binc.combine_chunks()
+    n = len(binc)
+    valid = np.asarray(pc.is_valid(binc))
+    lens = np.asarray(pc.binary_length(binc).fill_null(0), dtype=np.int64)
+    if "doc_id" in batch.column_names:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    else:
+        ids = np.arange(n, dtype=np.int64)
+    channels = (ids % 2 + 1).astype(np.int64)
+    rate = 8000 + (lens % 8) * 1000
+    data_len = (lens // (channels * 2)) * (channels * 2)
+
+    payloads = binc.to_pylist()
+    parts = []
+    out_lens = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        pcm = np.frombuffer(payloads[i][: data_len[i]], "<i2") \
+            .astype(np.int64).reshape(-1, channels[i])
+        enc = encode_flac(pcm, int(rate[i]), block_size=block_size)
+        parts.append(enc)
+        out_lens[i] = len(enc)
+    buf = b"".join(parts)
+    off = np.zeros(n + 1, dtype=np.int64)
+    off[1:] = np.cumsum(out_lens)
+    from .multimodal import _append_payload_column
+
+    return _append_payload_column(batch, n, off, buf, valid)
+
+
 def _wav_mask(present, hdr, lens) -> np.ndarray:
     magic_ok = (
         (hdr[:, 0:4] == np.frombuffer(b"RIFF", np.uint8)).all(axis=1)
@@ -126,12 +178,39 @@ def _wav_mask(present, hdr, lens) -> np.ndarray:
     return present & magic_ok & (_le(hdr, 20, 2) == 1)  # PCM only
 
 
+def _flac_mask(valid, starts, lens, data) -> np.ndarray:
+    """Rows whose payload carries the ``fLaC`` stream marker (a minimal
+    stream — STREAMINFO only — is 42 bytes, below WAV_HEADER_LEN, so
+    this gathers its own 4-byte magic view)."""
+    present = valid & (lens >= 4)
+    hdr4 = _header_matrix(present, starts, data, 4)
+    return present & (hdr4 == _FLAC_MAGIC).all(axis=1)
+
+
+def _decode_flac_rows(rows, starts, lens, data):
+    """Per-stream FLAC decode for the masked rows (entropy decode is
+    per-payload by nature — same documented cost class as the JPEG
+    path).  Returns (pcm arrays, rates, bps) lists; decode errors
+    propagate as FlacError (never fake-decode)."""
+    pcms, rates, bpss = [], [], []
+    for i in rows:
+        raw = data[starts[i]: starts[i] + lens[i]].tobytes()
+        pcm, frate, fbps = decode_flac(raw)
+        pcms.append(pcm)
+        rates.append(frate)
+        bpss.append(fbps)
+    return pcms, rates, bpss
+
+
 class WavDecoder:
     """Actor-pool WAVE decode: vectorized LE header gathers → typed
     ``audio_meta`` struct (+ content hash over the raw PCM bytes, the
-    format-independent identity for audio dedup).  ``strict=True``
-    raises NotImplementedError on non-WAVE magic (the MP3/FLAC codec
-    boundary); otherwise undecodable rows yield null metadata."""
+    format-independent identity for audio dedup).  ``fLaC`` rows decode
+    through ``functions/flac.py`` and hash their DECODED PCM bytes, so
+    a WAVE and a FLAC of the same samples share one hash.
+    ``strict=True`` raises NotImplementedError on any other magic (the
+    MP3/Opus codec boundary); otherwise undecodable rows yield null
+    metadata."""
 
     META_TYPE = pa.struct([
         ("n_frames", pa.int64()),       # per-channel sample frames
@@ -154,9 +233,10 @@ class WavDecoder:
         present = valid & (lens >= WAV_HEADER_LEN)
         hdr = _header_matrix(present, starts, data, WAV_HEADER_LEN)
         is_wav = _wav_mask(present, hdr, lens)
-        if self.strict and bool((valid & ~is_wav).any()):
+        is_flac = _flac_mask(valid, starts, lens, data)
+        if self.strict and bool((valid & ~is_wav & ~is_flac).any()):
             raise NotImplementedError(
-                "payload is not canonical PCM WAVE: MP3/FLAC/Opus decode "
+                "payload is not PCM WAVE or FLAC: MP3/Opus decode "
                 "requires codec libraries not present in this container")
         channels = np.maximum(_le(hdr, 22, 2), 1)
         rate = np.maximum(_le(hdr, 24, 4), 1)
@@ -182,7 +262,29 @@ class WavDecoder:
                 [None, pa.py_buffer(cum.astype(np.int64)),
                  pa.py_buffer(data[idx])])
             h[rows] = hash64_column(pay).view(np.int64)
-        m = is_wav
+        frows = np.nonzero(is_flac)[0]
+        if frows.size:
+            pcms, frates, fbpss = _decode_flac_rows(frows, starts, lens,
+                                                    data)
+            pcm_bytes = []
+            for j, i in enumerate(frows):
+                pcm = pcms[j]
+                frames[i] = pcm.shape[0]
+                channels[i] = pcm.shape[1]
+                rate[i] = max(frates[j], 1)
+                bits[i] = fbpss[j]
+                dur[i] = pcm.shape[0] * 1000 // rate[i]
+                # decoded PCM bytes == the WAVE data chunk of the same
+                # samples (lossless) -> cross-format content identity
+                width = "<i2" if fbpss[j] <= 16 else "<i4"
+                pcm_bytes.append(pcm.astype(width).tobytes())
+            hh = hash64_column(
+                pa.array(pcm_bytes, pa.large_binary())).view(np.int64)
+            nonempty = np.fromiter((len(b) > 0 for b in pcm_bytes),
+                                   dtype=bool, count=len(pcm_bytes))
+            h[frows[nonempty]] = hh[nonempty]  # zero-frame rows keep
+            # hash 0, matching the WAVE path's empty-data convention
+        m = is_wav | is_flac
         meta = pa.StructArray.from_arrays(
             [pa.array(np.where(m, frames, 0), pa.int64()),
              pa.array(np.where(m, channels, 0).astype(np.int32), pa.int32()),
@@ -217,9 +319,10 @@ class PcmFeatures:
         present = valid & (lens >= WAV_HEADER_LEN)
         hdr = _header_matrix(present, starts, data, WAV_HEADER_LEN)
         is_wav = _wav_mask(present, hdr, lens)
-        if self.strict and bool((valid & ~is_wav).any()):
+        is_flac = _flac_mask(valid, starts, lens, data)
+        if self.strict and bool((valid & ~is_wav & ~is_flac).any()):
             raise NotImplementedError(
-                "payload is not canonical PCM WAVE: MP3/FLAC/Opus decode "
+                "payload is not PCM WAVE or FLAC: MP3/Opus decode "
                 "requires codec libraries not present in this container")
         bits = _le(hdr, 34, 2)
         data_len = np.minimum(_le(hdr, 40, 4),
@@ -255,6 +358,23 @@ class PcmFeatures:
                          / np.maximum(k - 1, 1))
             seg_starts = cum[:-1] // 2
             peak[rows] = np.maximum.reduceat(np.abs(samples), seg_starts)
+        frows = np.nonzero(is_flac)[0]
+        if frows.size:
+            pcms, _, fbpss = _decode_flac_rows(frows, starts, lens, data)
+            for j, i in enumerate(frows):
+                # row-major flatten of (frames, channels) == the
+                # interleaved stream the WAVE path computes over
+                s = pcms[j].reshape(-1).astype(np.float64) \
+                    / float(1 << (fbpss[j] - 1))
+                if s.size == 0:
+                    continue
+                ok[i] = True
+                n_samp[i] = s.size
+                rms[i] = np.sqrt(np.add.reduce(s * s) / s.size)
+                sgn = s >= 0
+                zcr[i] = int((sgn[1:] != sgn[:-1]).sum()) \
+                    / max(s.size - 1, 1)
+                peak[i] = np.abs(s).max()
         validity = pa.py_buffer(np.packbits(ok, bitorder="little"))
 
         def col_of(v, typ):
@@ -293,17 +413,24 @@ def sample_windows(batch: pa.Table, window_ms: int = 1000,
     })
 
 
-def audio_features(docs, *, batch_size: int = 1024, concurrency=(2, 8)):
-    """documents → WAVE payloads → actor-pool PCM DSP features."""
-    with_payload = docs.map_batches(attach_wav, batch_format="pyarrow")
+_WRITERS = {"wav": attach_wav, "flac": attach_flac}
+
+
+def audio_features(docs, *, batch_size: int = 1024, concurrency=(2, 8),
+                   container: str = "wav"):
+    """documents → WAVE/FLAC payloads → actor-pool PCM DSP features."""
+    with_payload = docs.map_batches(_WRITERS[container],
+                                    batch_format="pyarrow")
     return with_payload.map_batches(
         PcmFeatures, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)
 
 
-def decode_audio(docs, *, batch_size: int = 1024, concurrency=(2, 8)):
-    """documents → WAVE payloads → actor-pool decode → audio_meta."""
-    with_payload = docs.map_batches(attach_wav, batch_format="pyarrow")
+def decode_audio(docs, *, batch_size: int = 1024, concurrency=(2, 8),
+                 container: str = "wav"):
+    """documents → WAVE/FLAC payloads → actor-pool decode → audio_meta."""
+    with_payload = docs.map_batches(_WRITERS[container],
+                                    batch_format="pyarrow")
     return with_payload.map_batches(
         WavDecoder, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)

@@ -14,6 +14,7 @@ import ray.data as rd
 from kafka_connect_plugins_ray.pipelines.audio import (
     PcmFeatures,
     WavDecoder,
+    attach_flac,
     attach_wav,
     audio_features,
     decode_audio,
@@ -73,9 +74,9 @@ def test_strict_raises_on_foreign_codec():
         "doc_id": pa.array([1], pa.int64()),
         "payload": pa.array([b"ID3\x04" + b"\x00" * 60], pa.binary()),
     })
-    with pytest.raises(NotImplementedError, match="MP3/FLAC"):
+    with pytest.raises(NotImplementedError, match="MP3/Opus"):
         WavDecoder(strict=True)(t)
-    with pytest.raises(NotImplementedError, match="MP3/FLAC"):
+    with pytest.raises(NotImplementedError, match="MP3/Opus"):
         PcmFeatures(strict=True)(t)
     # non-strict: null metadata / null features
     assert WavDecoder()(t).column("audio_meta")[0].as_py() is None
@@ -125,6 +126,76 @@ def test_sample_windows_expansion():
         range(exp_counts[0]))
     assert first.column("start_ms").to_pylist() == [
         250 * k for k in range(exp_counts[0])]
+
+
+def test_flac_meta_matches_wav_including_content_hash():
+    # the SAME deterministic PCM through both containers must yield
+    # field-identical audio_meta — in particular the content hash,
+    # which is the format-independent identity for audio dedup
+    texts = ["hello audio world " * 20, "x" * 7, "", None,
+             "ab" * 1000, "odd length payload!" * 3]
+    wav_meta = WavDecoder(strict=True)(attach_wav(_docs_table(texts))) \
+        .column("audio_meta").to_pylist()
+    flac_meta = WavDecoder(strict=True)(attach_flac(_docs_table(texts))) \
+        .column("audio_meta").to_pylist()
+    assert flac_meta == wav_meta
+    # the FLAC container is really compressing: tonal payloads shrink
+    big = ["la" * 4000]
+    wav_len = len(attach_wav(_docs_table(big)).column("payload")[0].as_py())
+    flac_len = len(
+        attach_flac(_docs_table(big)).column("payload")[0].as_py())
+    assert flac_len < wav_len
+
+
+def test_flac_features_match_wav():
+    rng = np.random.RandomState(13)
+    texts = ["".join(chr(rng.randint(32, 127))
+                     for _ in range(rng.randint(4, 400)))
+             for _ in range(30)] + ["", None]
+    wav = PcmFeatures(strict=True)(attach_wav(_docs_table(texts)))
+    flac = PcmFeatures(strict=True)(attach_flac(_docs_table(texts)))
+    assert flac.column("n_samples").to_pylist() \
+        == wav.column("n_samples").to_pylist()
+    for colname in ("rms", "zcr", "peak"):
+        a = wav.column(colname).to_pylist()
+        b = flac.column(colname).to_pylist()
+        for x, y in zip(a, b):
+            if x is None:
+                assert y is None
+            else:
+                assert y == pytest.approx(x, abs=1e-12)
+
+
+def test_mixed_container_batch_decodes_per_row():
+    texts = ["mixed batch " * 30, "other doc " * 17]
+    wav_t = attach_wav(_docs_table(texts))
+    flac_t = attach_flac(_docs_table(texts))
+    mixed = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array(
+            [wav_t.column("payload")[0].as_py(),
+             flac_t.column("payload")[1].as_py(),
+             b"ID3\x04" + b"\x00" * 60], pa.binary()),
+    })
+    meta = WavDecoder()(mixed).column("audio_meta").to_pylist()
+    assert meta[0] is not None and meta[1] is not None
+    assert meta[2] is None          # non-strict: foreign codec -> null
+    assert meta[0]["n_frames"] == len(texts[0].encode()) // 2  # 1ch
+    assert meta[1]["n_frames"] == len(texts[1].encode()) // 4  # 2ch
+    with pytest.raises(NotImplementedError, match="MP3/Opus"):
+        WavDecoder(strict=True)(mixed)
+
+
+def test_flac_pipeline_end_to_end():
+    rng = np.random.RandomState(21)
+    texts = [" ".join("tok%d" % rng.randint(50)
+                      for _ in range(rng.randint(5, 40)))
+             for _ in range(60)]
+    docs = rd.from_arrow(_docs_table(texts)).repartition(3)
+    feats = audio_features(docs, batch_size=16, concurrency=2,
+                           container="flac").to_pandas()
+    assert len(feats) == 60
+    assert feats["rms"].notna().all()
 
 
 def test_audio_pipeline_end_to_end():

@@ -1,0 +1,362 @@
+"""FLAC codec gates.
+
+No FLAC binary / soundfile exists in this container, so the gate is the
+same shape round 4 used for JPEG: (1) lossless round-trip exactness
+(encode -> decode == input, plus STREAMINFO MD5 + CRC-8/16 enforced by
+the decoder itself), and (2) an INDEPENDENT scalar reference decoder in
+this file — written straight from the spec with plain int bit-twiddling,
+sharing no code with the library's vectorized machinery — pinned equal
+on every encoder configuration."""
+
+import numpy as np
+import pytest
+
+from kafka_connect_plugins_ray.functions.flac import (
+    BitReader,
+    BitWriter,
+    FlacError,
+    _read_residual,
+    _write_residual,
+    crc8,
+    decode_flac,
+    encode_flac,
+)
+
+
+# --------------------------------------------------------------------
+# independent scalar reference decoder (spec-derived, no library code)
+
+class _RefBits:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.p = 0
+
+    def bit(self) -> int:
+        b = (self.d[self.p // 8] >> (7 - self.p % 8)) & 1
+        self.p += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bit() == 0:
+            q += 1
+        return q
+
+    def align(self):
+        self.p = (self.p + 7) // 8 * 8
+
+
+def _ref_utf8(r: "_RefBits") -> int:
+    b0 = r.bits(8)
+    if b0 < 0x80:
+        return b0
+    nb = 0
+    m = 0x80
+    while b0 & m:
+        nb += 1
+        m >>= 1
+    v = b0 & (0xFF >> (nb + 1))
+    for _ in range(nb - 1):
+        v = (v << 6) | (r.bits(8) & 0x3F)
+    return v
+
+
+def _ref_residual(r: "_RefBits", order: int, bs: int) -> list:
+    method = r.bits(2)
+    pbits = 4 if method == 0 else 5
+    po = r.bits(4)
+    nparts = 1 << po
+    ppart = bs >> po
+    out = []
+    for p in range(nparts):
+        cnt = ppart - order if p == 0 else ppart
+        k = r.bits(pbits)
+        if k == (1 << pbits) - 1:
+            raw = r.bits(5)
+            out += [r.sbits(raw) if raw else 0 for _ in range(cnt)]
+        else:
+            for _ in range(cnt):
+                q = r.unary()
+                u = (q << k) | (r.bits(k) if k else 0)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _ref_subframe(r: "_RefBits", n: int, bps: int) -> list:
+    assert r.bit() == 0
+    t = r.bits(6)
+    wasted = 0
+    if r.bit():
+        wasted = r.unary() + 1
+    eb = bps - wasted
+    if t == 0:
+        x = [r.sbits(eb)] * n
+    elif t == 1:
+        x = [r.sbits(eb) for _ in range(n)]
+    elif 8 <= t <= 12:
+        order = t & 7
+        x = [r.sbits(eb) for _ in range(order)]
+        res = _ref_residual(r, order, n)
+        coef = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                4: [4, -6, 4, -1]}[order]
+        for i in range(order, n):
+            pred = sum(c * x[i - 1 - j] for j, c in enumerate(coef))
+            x.append(res[i - order] + pred)
+    elif t & 0b100000:
+        order = (t & 0x1F) + 1
+        x = [r.sbits(eb) for _ in range(order)]
+        prec = r.bits(4) + 1
+        shift = r.bits(5)
+        q = [r.sbits(prec) for _ in range(order)]
+        res = _ref_residual(r, order, n)
+        for i in range(order, n):
+            acc = sum(q[j] * x[i - 1 - j] for j in range(order))
+            x.append(res[i - order] + (acc >> shift))
+    else:
+        raise AssertionError(f"reference: unexpected subframe type {t}")
+    return [v << wasted for v in x]
+
+
+def ref_decode(data: bytes):
+    """Scalar spec-derived FLAC decoder (frames only; CRCs skipped —
+    the library decoder enforces those)."""
+    assert data[:4] == b"fLaC"
+    pos = 4
+    while True:
+        hdr = data[pos]
+        blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+        if hdr & 0x7F == 0:
+            si = _RefBits(data[pos + 4:pos + 4 + blen])
+            si.bits(16), si.bits(16), si.bits(24), si.bits(24)
+            rate = si.bits(20)
+            channels = si.bits(3) + 1
+            bps = si.bits(5) + 1
+            total = si.bits(36)
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    r = _RefBits(data[pos:])
+    out = []
+    got = 0
+    while got < total:
+        r.align()
+        assert r.bits(14) == 0b11111111111110
+        r.bit()
+        r.bit()
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        assignment = r.bits(4)
+        bps_code = r.bits(3)
+        r.bit()
+        _ref_utf8(r)
+        if bs_code == 6:
+            bs = r.bits(8) + 1
+        elif bs_code == 7:
+            bs = r.bits(16) + 1
+        elif bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        else:
+            bs = 256 << (bs_code - 8)
+        assert sr_code == 0
+        r.bits(8)                        # header CRC-8
+        nch = assignment + 1 if assignment < 8 else 2
+        stored = []
+        for ci in range(nch):
+            sub = bps
+            if assignment == 8 and ci == 1:
+                sub += 1
+            elif assignment == 9 and ci == 0:
+                sub += 1
+            elif assignment == 10 and ci == 1:
+                sub += 1
+            stored.append(_ref_subframe(r, bs, sub))
+        r.align()
+        r.bits(16)                       # frame CRC-16
+        if assignment < 8:
+            rows = list(zip(*stored))
+        elif assignment == 8:
+            rows = [(a, a - b) for a, b in zip(*stored)]
+            rows = [(a, a - s) for (a, s) in
+                    [(a, b) for a, b in zip(*stored)]]
+            rows = [(a, a - b) for a, b in zip(*stored)]
+        elif assignment == 9:
+            rows = [(s + b, b) for s, b in zip(*stored)]
+        else:
+            rows = []
+            for m, s in zip(*stored):
+                m2 = (m << 1) | (s & 1)
+                rows.append(((m2 + s) >> 1, (m2 - s) >> 1))
+        out += rows
+        got += bs
+    return np.array(out[:total], np.int64), rate, bps
+
+
+# --------------------------------------------------------------------
+
+def _signals():
+    rng = np.random.default_rng(42)
+    n = 3000
+    t = np.arange(n)
+    sine = (12000 * np.sin(t * 0.01)).astype(np.int64)
+    yield "mono-sine", sine
+    yield "mono-noise", rng.integers(-32768, 32767, n).astype(np.int64)
+    yield "mono-const", np.full(n, -123, np.int64)
+    st = np.stack([sine, (sine * 0.7).astype(np.int64)
+                   + rng.integers(-40, 40, n)], axis=1)
+    yield "stereo-corr", st
+    yield "stereo-noise", rng.integers(-32768, 32767, (n, 2)) \
+        .astype(np.int64)
+
+
+@pytest.mark.parametrize("block_size", [4096, 1000, 192])
+def test_roundtrip_exact(block_size):
+    for label, sig in _signals():
+        enc = encode_flac(sig, 44100, block_size=block_size)
+        dec, rate, bps = decode_flac(enc)
+        ref = sig[:, None] if sig.ndim == 1 else sig
+        assert (dec == ref).all(), label
+        assert (rate, bps) == (44100, 16)
+
+
+@pytest.mark.parametrize("mode", ["independent", "left-side",
+                                  "right-side", "mid-side"])
+def test_channel_modes_roundtrip_and_reference(mode):
+    rng = np.random.default_rng(7)
+    sig = rng.integers(-20000, 20000, (1500, 2)).astype(np.int64)
+    enc = encode_flac(sig, 48000, channel_mode=mode, block_size=512)
+    dec, _, _ = decode_flac(enc)
+    assert (dec == sig).all()
+    ref, rate, bps = ref_decode(enc)
+    assert (ref == sig).all()
+
+
+@pytest.mark.parametrize("predictor", ["fixed", "lpc", "verbatim"])
+def test_predictors_match_reference(predictor):
+    t = np.arange(2500)
+    sig = (9000 * np.sin(t * 0.02) + 3000 * np.sin(t * 0.31)) \
+        .astype(np.int64)
+    enc = encode_flac(sig, 32000, predictor=predictor,
+                      partition_order=3, block_size=1024)
+    dec, _, _ = decode_flac(enc)
+    ref, _, _ = ref_decode(enc)
+    assert (dec[:, 0] == sig).all()
+    assert (ref[:, 0] == sig).all()
+
+
+def test_lpc_beats_verbatim_on_tonal_signal():
+    t = np.arange(8000)
+    sig = (9000 * np.sin(t * 0.02)).astype(np.int64)
+    lpc = len(encode_flac(sig, 44100, predictor="lpc"))
+    verb = len(encode_flac(sig, 44100, predictor="verbatim"))
+    assert lpc < verb * 0.5
+
+
+def test_empty_and_single_sample():
+    for sig in [np.zeros(0, np.int64), np.array([5], np.int64)]:
+        dec, _, _ = decode_flac(encode_flac(sig, 8000))
+        assert dec.shape[0] == len(sig)
+        if len(sig):
+            assert dec[0, 0] == 5
+
+
+def test_escape_partition_roundtrip():
+    # alternating full-range residual: raw two's complement beats Rice
+    e = np.tile([30000, -30000], 200).astype(np.int64)
+    w = BitWriter()
+    _write_residual(w, e, 0, len(e), 0)
+    bits = w.bits()
+    assert int(''.join(map(str, bits[2 + 4:2 + 4 + 4].tolist())), 2) \
+        == 0b1111, "escape code expected"
+    r = BitReader(w.to_bytes_padded())
+    out = _read_residual(r, 0, len(e))
+    assert (out == e).all()
+
+
+def test_wasted_bits_decode():
+    # hand-build one frame whose subframe uses 3 wasted bits; both the
+    # library decoder and the spec reference must shift-restore them
+    vals = np.array([8, -16, 24, 64, -128, 8, 16, 8], np.int64)
+    stored = vals >> 3
+    hw = BitWriter()
+    hw.write(0b11111111111110, 14)
+    hw.write(0, 2)
+    hw.write(0b0111, 4)     # 16-bit block size follows
+    hw.write(0b0000, 4)
+    hw.write(0, 4)          # mono
+    hw.write(0b100, 3)      # 16 bps
+    hw.write(0, 1)
+    hw.write(0, 8)          # frame number 0
+    hw.write(len(vals) - 1, 16)
+    hdr = hw.to_bytes_padded()
+    hdr += bytes([crc8(hdr)])
+    fw = BitWriter()
+    fw.write_bits_array(np.unpackbits(np.frombuffer(hdr, np.uint8)))
+    fw.write(0, 1)
+    fw.write(0b000001, 6)   # VERBATIM
+    fw.write(1, 1)          # wasted flag
+    fw.write(0b001, 3)      # unary 2 -> wasted = 3
+    for v in stored.tolist():
+        fw.write(int(v) & ((1 << 13) - 1), 13)
+    body = fw.to_bytes_padded()
+    from kafka_connect_plugins_ray.functions.flac import (
+        _streaminfo_bytes, crc16)
+
+    frame = body + crc16(body).to_bytes(2, "big")
+    info = _streaminfo_bytes(8, 8, len(frame), len(frame), 8000, 1, 16,
+                             len(vals), bytes(16))
+    stream = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") \
+        + info + frame
+    dec, _, _ = decode_flac(stream, verify_md5=False)
+    assert (dec[:, 0] == vals).all()
+    ref, _, _ = ref_decode(stream)
+    assert (ref[:, 0] == vals).all()
+
+
+def test_corruption_detected():
+    sig = np.arange(-500, 500, dtype=np.int64)
+    enc = bytearray(encode_flac(sig, 16000))
+    # find the first frame: metadata is 4 + 4 + 34 bytes
+    frame_off = 4 + 4 + 34
+    bad_hdr = bytearray(enc)
+    bad_hdr[frame_off + 2] ^= 0x10      # inside the frame header
+    with pytest.raises(FlacError):
+        decode_flac(bytes(bad_hdr))
+    bad_body = bytearray(enc)
+    bad_body[-3] ^= 0x01                # inside the last frame body
+    with pytest.raises(FlacError):
+        decode_flac(bytes(bad_body))
+    with pytest.raises(FlacError):
+        decode_flac(bytes(enc[:20]))
+    with pytest.raises(FlacError):
+        decode_flac(b"NOPE" + bytes(enc[4:]))
+
+
+def test_randomized_matrix_vs_reference():
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n = int(rng.integers(1, 5000))
+        ch = int(rng.integers(1, 3))
+        amp = int(rng.integers(1, 32768))
+        sig = rng.integers(-amp, amp, (n, ch)).astype(np.int64)
+        bs = int(rng.choice([192, 256, 576, 1024, 4096]))
+        po = int(rng.integers(0, 5))
+        pred = str(rng.choice(["fixed", "lpc"]))
+        enc = encode_flac(sig.squeeze() if ch == 1 else sig, 22050,
+                          block_size=bs, partition_order=po,
+                          predictor=pred)
+        dec, _, _ = decode_flac(enc)
+        assert (dec == sig.reshape(n, ch)).all(), trial
+        ref, _, _ = ref_decode(enc)
+        assert (ref == sig.reshape(n, ch)).all(), trial
