@@ -126,6 +126,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("price_quantiles_hdr", Q.q_price_quantiles)
     consume("top_terms_per_lang", Q.q_top_terms)
     consume("dedup_exact", Q.q_dedup_exact)
+    consume("dedup_incremental", Q.q_dedup_incremental)
     consume("dedup_minhash_lsh", Q.q_dedup_minhash)
     consume("dedup_simhash", Q.q_dedup_simhash)
     consume("dedup_embedding_cosine", Q.q_dedup_embedding)

@@ -1,0 +1,407 @@
+"""Incremental exact-dedup index — corpus-wide dedup as a MAINTAINED
+STATE next to the lake, so continuous tail ingest dedups each NEW
+segment against everything already seen instead of recomputing
+``exact_dedup`` over the whole corpus per cycle.
+
+This is the CDC-native shape of the training-data dedup family: the
+reference's runtime keeps consumer offsets as durable state between
+cycles (SURVEY.md §3); at 100 TB the dedup signature set is the same
+kind of state — O(distinct content) and far too large to rebuild per
+segment, but cheap to maintain copy-on-write.
+
+Layout (the lake's exactly-once conventions, state/manifest.py):
+
+    <root>/
+      data/v<V>-<attempt>/bucket-<b>.parquet  # sorted (h1, h2) shards
+      manifest-v<V>.json                      # files + segment lineage
+      CURRENT                                 # committed version
+
+Semantics — streaming first-occurrence-wins exact dedup (with doc_ids
+monotone across segments this equals global min-doc_id-per-text, which
+is what the SQL oracle checks):
+
+- a doc whose dual-hash content signature is already in the index is
+  dropped;
+- among new-content docs, min(doc_id) per class is kept, the rest
+  dropped;
+- kept classes' signatures merge (sorted union) into the bucket files
+  copy-on-write; commit = atomic manifest swap.
+
+Scale shape per update cycle:
+
+- the exchange ships (h1,h2,min,count) partials pre-reduced PER BLOCK —
+  ≤ one row per distinct text per block (the ``exact_dedup_drop``
+  two-level form: a viral duplicate contributes ≤ #blocks rows to its
+  reduce task), and only for the NEW segment, never the corpus;
+- each bucket reduce task reads ONLY its own signature shard (one
+  sorted two-column parquet file) and rewrites it ONLY if the segment
+  added signatures there — untouched buckets carry their parent file
+  forward by reference;
+- the drop information returned to the driver is O(segment duplicate
+  volume + segment already-seen classes), the same bounded broadcast
+  contract as ``exact_dedup_drop``.
+
+Crash safety: bucket files stage under an attempt-scoped dir (never a
+deterministic ``data/v{V}`` path — CLAUDE.md hard rule), the manifest
+swap is last, and a replay of an uncommitted segment restages
+deterministic content → identical final index (kill-and-replay gate in
+tests/test_dedup_index.py).  Re-submitting an ALREADY-committed
+segment is detected by id and recomputed READ-ONLY against that
+segment's recorded parent version, so the watcher's at-least-once
+redelivery yields the same drop set without double-writing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..exchange import hash_exchange
+from ..functions.vhash import hash64_column
+from ..state.manifest import _atomic_write
+from .dedup import _PAIR_DTYPE, _in_sorted, _pair_view
+
+DEDUP_INDEX_BUCKETS = 64
+# "drop every member" marker for already-seen classes: never equals a
+# real doc_id (doc_ids are non-negative by contract, and no int64 id
+# can equal int64 min anyway)
+_DROP_ALL = np.iinfo(np.int64).min
+
+
+@dataclass
+class IndexManifest:
+    version: int
+    parent: "int | None"
+    num_buckets: int
+    files: dict = field(default_factory=dict)     # bucket -> relpath
+    segments: list = field(default_factory=list)  # committed ids, in order
+    # segment id -> {parent_version, n_docs, n_dropped, n_new_signatures}
+    seg_stats: dict = field(default_factory=dict)
+    n_signatures: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "version": self.version,
+            "parent": self.parent,
+            "num_buckets": self.num_buckets,
+            "files": {str(k): v for k, v in self.files.items()},
+            "segments": self.segments,
+            "seg_stats": self.seg_stats,
+            "n_signatures": self.n_signatures,
+        }, indent=1)
+
+    @staticmethod
+    def from_json(s: str) -> "IndexManifest":
+        d = json.loads(s)
+        return IndexManifest(
+            version=d["version"], parent=d["parent"],
+            num_buckets=d["num_buckets"],
+            files={int(k): v for k, v in d["files"].items()},
+            segments=list(d["segments"]),
+            seg_stats=dict(d["seg_stats"]),
+            n_signatures=d["n_signatures"])
+
+
+class DedupIndex:
+    """Open (or create on first update) the index at ``root``.
+
+    ``num_buckets`` is pinned in the manifest on first commit — like the
+    lake's ``num_partitions``, changing it would re-route signatures and
+    silently miss duplicates, so a mismatch raises."""
+
+    def __init__(self, root: str, num_buckets: int = DEDUP_INDEX_BUCKETS):
+        self.root = root
+        man = self.current()
+        if man is not None and man.num_buckets != num_buckets:
+            raise ValueError(
+                f"index at {root} is pinned to num_buckets="
+                f"{man.num_buckets}; got {num_buckets} (the routing key "
+                "is part of the committed state)")
+        self.num_buckets = num_buckets
+
+    # ---------------------------------------------- manifest protocol
+
+    def current_version(self) -> "int | None":
+        try:
+            with open(os.path.join(self.root, "CURRENT")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def read_manifest(self, version: int) -> IndexManifest:
+        p = os.path.join(self.root, f"manifest-v{version}.json")
+        with open(p) as f:
+            return IndexManifest.from_json(f.read())
+
+    def current(self) -> "IndexManifest | None":
+        v = self.current_version()
+        return None if v is None else self.read_manifest(v)
+
+    def _commit(self, man: IndexManifest):
+        cur = self.current_version()
+        if cur != man.parent:
+            raise RuntimeError(
+                f"index advanced to v{cur} while this update planned "
+                f"against v{man.parent} — concurrent writer?")
+        _atomic_write(
+            os.path.join(self.root, f"manifest-v{man.version}.json"),
+            man.to_json())
+        _atomic_write(os.path.join(self.root, "CURRENT"), str(man.version))
+
+    # ------------------------------------------------------ core pass
+
+    def _partial(self, batch: pa.Table) -> pa.Table:
+        h1 = hash64_column(batch.column("text"), seed=0)
+        h2 = hash64_column(batch.column("text"), seed=1)
+        t = pa.table({
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "min_id": pc.cast(batch.column("doc_id"), pa.int64()),
+        })
+        g = t.group_by(["h1", "h2"]).aggregate([
+            ("min_id", "min"), ("min_id", "count")])
+        g = g.rename_columns(["h1", "h2", "min_id", "n"])
+        bucket = (g.column("h1").to_numpy().view(np.uint64)
+                  % self.num_buckets).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def _process(self, docs, old_files: dict, write_dir: "str | None"):
+        """One exchange over the segment: per-bucket (check membership
+        against the old shard, resolve in-segment classes, optionally
+        write the merged shard).  Returns (reduce results, drop_classes
+        table)."""
+        root = self.root
+        nb = self.num_buckets
+        old_abs = {b: os.path.join(root, rel)
+                   for b, rel in old_files.items()}
+
+        def reduce_bucket(pid: int, t: pa.Table):
+            h1 = t.column("h1").to_numpy()
+            h2 = t.column("h2").to_numpy()
+            mn = t.column("min_id").to_numpy()
+            n = t.column("n").to_numpy()
+            order = np.lexsort((mn, h2, h1))
+            h1o, h2o = h1[order], h2[order]
+            first = np.concatenate(
+                ([True], (h1o[1:] != h1o[:-1]) | (h2o[1:] != h2o[:-1])))
+            starts = np.nonzero(first)[0]
+            ch1, ch2 = h1o[starts], h2o[starts]
+            total = np.add.reduceat(n[order], starts)
+            gmin = np.minimum.reduceat(mn[order], starts)
+
+            path = old_abs.get(pid)
+            if path is not None:
+                shard = pq.read_table(path, columns=["h1", "h2"])
+                oh1 = shard.column("h1").to_numpy()
+                oh2 = shard.column("h2").to_numpy()
+            else:
+                oh1 = oh2 = np.zeros(0, np.int64)
+            old_keys = _pair_view(oh1, oh2)  # stored sorted
+            q = _pair_view(ch1, ch2)
+            if old_keys.size:
+                pos = np.clip(np.searchsorted(old_keys, q),
+                              0, old_keys.size - 1)
+                seen = old_keys[pos] == q
+            else:
+                seen = np.zeros(q.size, bool)
+
+            keep = np.where(seen, _DROP_ALL, gmin)
+            emit = seen | (total >= 2)
+            drops = pa.table({
+                "h1": pa.array(ch1[emit], pa.int64()),
+                "h2": pa.array(ch2[emit], pa.int64()),
+                "keep_id": pa.array(keep[emit], pa.int64()),
+            }) if emit.any() else None
+
+            n_new = int((~seen).sum())
+            rel = None
+            if write_dir is not None and n_new:
+                merged = np.empty(old_keys.size + n_new, _PAIR_DTYPE)
+                merged[:old_keys.size] = old_keys
+                merged[old_keys.size:] = q[~seen]
+                merged.sort()
+                rel = f"{write_dir}/bucket-{pid:04d}.parquet"
+                out = os.path.join(root, rel)
+                tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+                pq.write_table(pa.table({
+                    "h1": pa.array(merged["h1"], pa.int64()),
+                    "h2": pa.array(merged["h2"], pa.int64()),
+                }), tmp)
+                os.replace(tmp, out)
+            return {"bucket": pid, "rel": rel, "n_new": n_new,
+                    "n_sigs": old_keys.size + n_new, "drops": drops}
+
+        partials = docs.map_batches(self._partial, batch_format="pyarrow")
+        results = hash_exchange(partials, "bucket", nb, reduce_bucket)
+        drop_tables = [r["drops"] for r in results
+                       if r is not None and r["drops"] is not None]
+        classes = (pa.concat_tables(drop_tables)
+                   if drop_tables else pa.table({
+                       "h1": pa.array([], pa.int64()),
+                       "h2": pa.array([], pa.int64()),
+                       "keep_id": pa.array([], pa.int64())}))
+        return results, classes
+
+    def _local_drop_ids(self, docs, classes: pa.Table) -> np.ndarray:
+        """Bounded broadcast of the drop classes; each block emits its
+        drop rows locally (same pattern as ``exact_dedup_drop``)."""
+        if classes.num_rows == 0:
+            return np.zeros(0, np.int64)
+        keys = _pair_view(classes.column("h1").to_numpy(),
+                          classes.column("h2").to_numpy())
+        order = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order],
+                       classes.column("keep_id").to_numpy()[order]))
+
+        def local(batch: pa.Table) -> pa.Table:
+            keys_s, keeps_s = ray.get(ref)
+            h1 = hash64_column(batch.column("text"), seed=0)
+            h2 = hash64_column(batch.column("text"), seed=1)
+            q = _pair_view(h1, h2)
+            pos = np.clip(np.searchsorted(keys_s, q), 0, keys_s.size - 1)
+            member = keys_s[pos] == q
+            ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+            drops = ids[member & (ids != keeps_s[pos])]
+            return pa.table({"doc_id": pa.array(drops, pa.int64())})
+
+        parts = [p for p in ray.get(
+            docs.map_batches(local, batch_format="pyarrow")
+            .to_arrow_refs()) if p is not None and p.num_rows]
+        if not parts:
+            return np.zeros(0, np.int64)
+        return np.sort(np.concatenate(
+            [p.column("doc_id").to_numpy() for p in parts]))
+
+    # ----------------------------------------------------- public API
+
+    def update(self, docs, segment_id: str) -> dict:
+        """Dedup ``docs`` (columns doc_id:int64≥0, text) against the
+        index and commit the new signatures.  Returns
+        ``{"drop_ids": sorted np.int64 array, "n_docs", "n_dropped",
+        "n_new_signatures", "version", "already_committed"}``."""
+        man = self.current()
+        if man is not None and segment_id in man.segments:
+            # at-least-once redelivery: recompute READ-ONLY against the
+            # version this segment was originally applied to
+            st = man.seg_stats[segment_id]
+            parent_v = st["parent_version"]
+            try:
+                base = (self.read_manifest(parent_v).files
+                        if parent_v is not None else {})
+            except FileNotFoundError:
+                raise ValueError(
+                    f"segment {segment_id!r} was committed against index "
+                    f"v{parent_v}, which gc has removed — cannot replay "
+                    "its drop set (keep more versions or drop the replay)")
+            _, classes = self._process(docs, base, write_dir=None)
+            drop_ids = self._local_drop_ids(docs, classes)
+            return {"drop_ids": drop_ids, "n_docs": st["n_docs"],
+                    "n_dropped": int(drop_ids.size),
+                    "n_new_signatures": st["n_new_signatures"],
+                    "version": man.version, "already_committed": True}
+
+        parent = man.version if man is not None else None
+        version = parent + 1 if parent is not None else 0
+        attempt = uuid.uuid4().hex[:8]
+        write_dir = f"data/v{version}-{attempt}"
+        os.makedirs(os.path.join(self.root, write_dir), exist_ok=True)
+
+        old_files = dict(man.files) if man is not None else {}
+        results, classes = self._process(docs, old_files, write_dir)
+        drop_ids = self._local_drop_ids(docs, classes)
+
+        files = dict(old_files)
+        n_new = 0
+        for r in results:
+            if r is None:
+                continue
+            n_new += r["n_new"]
+            if r["rel"] is not None:
+                files[r["bucket"]] = r["rel"]
+        n_docs = int(docs.count())
+        new_man = IndexManifest(
+            version=version, parent=parent, num_buckets=self.num_buckets,
+            files=files,
+            segments=(man.segments if man is not None else []) + [segment_id],
+            seg_stats={**(man.seg_stats if man is not None else {}),
+                       segment_id: {
+                           "parent_version": parent,
+                           "n_docs": n_docs,
+                           "n_dropped": int(drop_ids.size),
+                           "n_new_signatures": n_new}},
+            n_signatures=(man.n_signatures if man is not None else 0)
+            + n_new)
+        self._commit(new_man)
+        return {"drop_ids": drop_ids, "n_docs": n_docs,
+                "n_dropped": int(drop_ids.size),
+                "n_new_signatures": n_new, "version": version,
+                "already_committed": False}
+
+    def query(self, docs) -> np.ndarray:
+        """READ-ONLY drop set for ``docs`` against the current index
+        (in-segment first-wins dedup included) — no state change."""
+        man = self.current()
+        _, classes = self._process(
+            docs, dict(man.files) if man is not None else {},
+            write_dir=None)
+        return self._local_drop_ids(docs, classes)
+
+    def gc(self, keep_versions: int = 2) -> dict:
+        """Remove data dirs and manifests of versions older than the
+        last ``keep_versions``, plus orphaned attempt dirs for versions
+        > CURRENT (in-flight protection: never touch those)."""
+        cur = self.current_version()
+        if cur is None:
+            return {"removed_files": 0}
+        live: set = set()
+        keep = range(max(0, cur - keep_versions + 1), cur + 1)
+        kept_manifests = []
+        for v in keep:
+            try:
+                m = self.read_manifest(v)
+            except FileNotFoundError:
+                continue
+            kept_manifests.append(v)
+            live.update(m.files.values())
+        removed = 0
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                try:
+                    v = int(d.split("-")[0][1:])
+                except (ValueError, IndexError):
+                    continue
+                if v > cur:
+                    continue  # in-flight attempt of a newer writer
+                for f in os.listdir(os.path.join(data_root, d)):
+                    rel = f"data/{d}/{f}"
+                    if rel not in live:
+                        os.unlink(os.path.join(data_root, d, f))
+                        removed += 1
+                if not os.listdir(os.path.join(data_root, d)):
+                    os.rmdir(os.path.join(data_root, d))
+        for fname in os.listdir(self.root):
+            if fname.startswith("manifest-v"):
+                v = int(fname[len("manifest-v"):-len(".json")])
+                if v < min(kept_manifests, default=cur):
+                    os.unlink(os.path.join(self.root, fname))
+        return {"removed_files": removed}
+
+
+def filter_segment(docs, drop_ids: np.ndarray):
+    """Anti-filter a segment by a sorted drop-id array (vectorized
+    per-batch ``searchsorted``, the ``corpus_prep`` drop-set pattern)."""
+    def f(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        return batch.filter(pa.array(~_in_sorted(ids, drop_ids)))
+
+    return docs.map_batches(f, batch_format="pyarrow")

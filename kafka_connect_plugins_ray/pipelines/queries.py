@@ -1200,6 +1200,57 @@ FROM documents GROUP BY text
 """
 
 
+def q_dedup_incremental(sf_dir: str) -> "rd.Dataset":
+    """Exact dedup as MAINTAINED STATE: the corpus arrives as three
+    monotone-doc_id segments, each deduped against a persisted
+    signature index (pipelines/dedup_index.py) and committed
+    copy-on-write — the CDC-native shape where per-segment cost is
+    O(segment), not O(corpus).  First-occurrence-wins over monotone
+    ids == global min(doc_id) per text, which is what the oracle
+    checks.  (In production the segment boundaries come from the
+    binlog; here they're derived from the id range.)"""
+    import shutil
+    import tempfile
+
+    from .dedup_index import DedupIndex, filter_segment
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    mx = int(docs.max("doc_id"))
+    cuts = [(mx + 1) // 3, 2 * (mx + 1) // 3, mx + 1]
+
+    def seg_filter(lo, hi):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("doc_id"), pa.int64())
+            return t.filter(pc.and_(pc.greater_equal(ids, lo),
+                                    pc.less(ids, hi)))
+        return f
+
+    root = tempfile.mkdtemp(prefix="kcp-dedup-index-")
+    try:
+        idx = DedupIndex(root, num_buckets=16)
+        kept = []
+        lo = 0
+        for i, hi in enumerate(cuts):
+            seg = docs.map_batches(seg_filter(lo, hi),
+                                   batch_format="pyarrow")
+            r = idx.update(seg, f"segment-{i}")
+            kept.append(filter_segment(seg, r["drop_ids"]))
+            lo = hi
+        out = kept[0].union(*kept[1:]).map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+        return out.materialize()  # index scratch dir is removed below
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+DEDUP_INCREMENTAL_ORACLE = """
+SELECT doc_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS class_min
+  FROM documents
+) WHERE doc_id = class_min
+"""
+
+
 def q_dedup_minhash(sf_dir: str) -> pa.Table:
     """MinHash+LSH candidate pairs over corpus ∪ shifted-copy, hard-gated:
     the output is the candidate set verified down to byte-identical text,
@@ -2437,6 +2488,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "value_to_key": q_value_to_key,
         # training-data operators
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_simhash": q_dedup_simhash,
@@ -2506,6 +2558,7 @@ def build_oracles() -> dict[str, str]:
         "filter_records": FILTER_RECORDS_ORACLE,
         "value_to_key": VALUE_TO_KEY_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
+        "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
         "dedup_minhash_lsh": IDENTICAL_PAIRS_ORACLE,
         "dedup_minhash_keep": MINHASH_KEEP_ORACLE,
         "dedup_simhash": IDENTICAL_PAIRS_ORACLE,

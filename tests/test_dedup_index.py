@@ -1,0 +1,209 @@
+"""Incremental exact-dedup index gates.
+
+The load-bearing identity: updating the index with monotone-doc_id
+segments S1..Sn must drop EXACTLY the set ``exact_dedup_drop`` computes
+over the concatenated corpus — the incremental machinery (persisted
+signature shards, membership checks, COW commits) is pure plumbing and
+must not change the operator's semantics.  Plus the state-store gates
+the lake has: kill-and-replay identity, idempotent redelivery, pinned
+routing, carry-forward of untouched shards, gc safety."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.dedup import exact_dedup_drop
+from kafka_connect_plugins_ray.pipelines.dedup_index import (
+    DedupIndex,
+    filter_segment,
+)
+
+
+def _corpus(rng, n_docs, n_texts, start_id=0):
+    texts = ["text body %d %s" % (i, "x" * (i % 17))
+             for i in range(n_texts)]
+    picks = rng.randint(0, n_texts, n_docs)
+    return pa.table({
+        "doc_id": pa.array(range(start_id, start_id + n_docs), pa.int64()),
+        "text": pa.array([texts[p] for p in picks], pa.string()),
+    })
+
+
+def _segments(table, cuts):
+    ids = table.column("doc_id").to_numpy()
+    segs = []
+    lo = ids.min()
+    for hi in list(cuts) + [ids.max() + 1]:
+        m = (ids >= lo) & (ids < hi)
+        segs.append(table.filter(pa.array(m)))
+        lo = hi
+    return segs
+
+
+def _index_signature_state(idx):
+    """Sorted concatenation of every live bucket shard — the index's
+    logical content, independent of file layout."""
+    man = idx.current()
+    rows = []
+    for b in sorted(man.files):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(idx.root, man.files[b]))
+        rows.append(np.stack([t.column("h1").to_numpy(),
+                              t.column("h2").to_numpy()], axis=1))
+    if not rows:
+        return np.zeros((0, 2), np.int64)
+    allrows = np.concatenate(rows)
+    return allrows[np.lexsort((allrows[:, 1], allrows[:, 0]))]
+
+
+def test_sequential_updates_equal_global_exact_dedup(tmp_path):
+    rng = np.random.RandomState(3)
+    corpus = _corpus(rng, 600, 90)
+    segs = _segments(corpus, [200, 410])
+    idx = DedupIndex(str(tmp_path / "idx"), num_buckets=8)
+    drops = []
+    for i, seg in enumerate(segs):
+        r = idx.update(rd.from_arrow(seg).repartition(3), f"seg-{i}")
+        assert not r["already_committed"]
+        assert r["version"] == i
+        drops.append(r["drop_ids"])
+    got = np.sort(np.concatenate(drops))
+    want = exact_dedup_drop(rd.from_arrow(corpus).repartition(4),
+                            num_buckets=8)
+    assert np.array_equal(got, want)
+    # kept set via the anti-filter helper
+    kept = []
+    for seg, d in zip(segs, drops):
+        kept.append(filter_segment(rd.from_arrow(seg), d)
+                    .to_pandas()["doc_id"].to_numpy())
+    kept = np.sort(np.concatenate(kept))
+    n_all = corpus.num_rows
+    assert kept.size == n_all - want.size
+    assert not np.intersect1d(kept, want).size
+    # index stats line up: signatures == distinct texts
+    man = idx.current()
+    n_distinct = len(set(corpus.column("text").to_pylist()))
+    assert man.n_signatures == n_distinct
+    assert _index_signature_state(idx).shape[0] == n_distinct
+
+
+def test_all_seen_segment_drops_everything_and_carries_files_forward(
+        tmp_path):
+    rng = np.random.RandomState(5)
+    seg1 = _corpus(rng, 150, 40)
+    idx = DedupIndex(str(tmp_path / "idx"), num_buckets=4)
+    idx.update(rd.from_arrow(seg1), "s1")
+    files_v0 = dict(idx.current().files)
+    # replayed CONTENT under new doc_ids: every doc already seen
+    seg2 = seg1.set_column(0, "doc_id",
+                           pa.array(range(1000, 1150), pa.int64()))
+    r = idx.update(rd.from_arrow(seg2), "s2")
+    assert r["n_dropped"] == 150
+    assert r["n_new_signatures"] == 0
+    assert np.array_equal(r["drop_ids"], np.arange(1000, 1150))
+    man = idx.current()
+    assert man.version == 1
+    assert man.files == files_v0  # untouched shards carried by reference
+    assert man.n_signatures == idx.read_manifest(0).n_signatures
+
+
+def test_idempotent_redelivery_of_committed_segment(tmp_path):
+    rng = np.random.RandomState(7)
+    corpus = _corpus(rng, 300, 50)
+    segs = _segments(corpus, [150])
+    idx = DedupIndex(str(tmp_path / "idx"), num_buckets=4)
+    r1 = idx.update(rd.from_arrow(segs[0]), "a")
+    r2 = idx.update(rd.from_arrow(segs[1]), "b")
+    state = _index_signature_state(idx)
+    # redeliver BOTH segments (at-least-once watcher semantics)
+    r1b = idx.update(rd.from_arrow(segs[0]), "a")
+    r2b = idx.update(rd.from_arrow(segs[1]), "b")
+    assert r1b["already_committed"] and r2b["already_committed"]
+    assert np.array_equal(r1b["drop_ids"], r1["drop_ids"])
+    assert np.array_equal(r2b["drop_ids"], r2["drop_ids"])
+    assert idx.current().version == 1  # no new commits
+    assert np.array_equal(_index_signature_state(idx), state)
+
+
+def test_crash_before_commit_then_replay_yields_identical_state(
+        tmp_path, monkeypatch):
+    rng = np.random.RandomState(11)
+    corpus = _corpus(rng, 400, 60)
+    segs = _segments(corpus, [200])
+    root = str(tmp_path / "idx")
+    idx = DedupIndex(root, num_buckets=4)
+    idx.update(rd.from_arrow(segs[0]), "s1")
+    v_before = idx.current_version()
+
+    boom = RuntimeError("injected crash before manifest swap")
+    monkeypatch.setattr(DedupIndex, "_commit",
+                        lambda self, man: (_ for _ in ()).throw(boom))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.update(rd.from_arrow(segs[1]), "s2")
+    monkeypatch.undo()
+    # crash left CURRENT at the parent; orphaned attempt dir unreferenced
+    assert idx.current_version() == v_before
+    r = idx.update(rd.from_arrow(segs[1]), "s2")
+    # replay state must equal an uninterrupted run on a fresh index
+    ref = DedupIndex(str(tmp_path / "ref"), num_buckets=4)
+    ref.update(rd.from_arrow(segs[0]), "s1")
+    r_ref = ref.update(rd.from_arrow(segs[1]), "s2")
+    assert np.array_equal(r["drop_ids"], r_ref["drop_ids"])
+    assert np.array_equal(_index_signature_state(idx),
+                          _index_signature_state(ref))
+
+
+def test_num_buckets_is_pinned(tmp_path):
+    root = str(tmp_path / "idx")
+    idx = DedupIndex(root, num_buckets=4)
+    idx.update(rd.from_arrow(_corpus(np.random.RandomState(1), 50, 10)),
+               "s1")
+    with pytest.raises(ValueError, match="pinned"):
+        DedupIndex(root, num_buckets=8)
+
+
+def test_query_is_readonly(tmp_path):
+    rng = np.random.RandomState(13)
+    seg1 = _corpus(rng, 100, 30)
+    idx = DedupIndex(str(tmp_path / "idx"), num_buckets=4)
+    idx.update(rd.from_arrow(seg1), "s1")
+    v = idx.current_version()
+    probe = seg1.set_column(0, "doc_id",
+                            pa.array(range(500, 600), pa.int64()))
+    drops = idx.query(rd.from_arrow(probe))
+    assert drops.size == 100          # all content already indexed
+    assert idx.current_version() == v  # no commit
+    fresh = _corpus(np.random.RandomState(99), 20, 2000, start_id=700)
+    fresh = fresh.set_column(
+        1, "text", pa.array([f"unseen {i}" for i in range(20)]))
+    assert idx.query(rd.from_arrow(fresh)).size == 0
+
+
+def test_gc_keeps_live_state(tmp_path):
+    rng = np.random.RandomState(17)
+    idx = DedupIndex(str(tmp_path / "idx"), num_buckets=4)
+    for i in range(4):
+        idx.update(rd.from_arrow(
+            _corpus(rng, 80, 25, start_id=i * 1000)), f"s{i}")
+    state = _index_signature_state(idx)
+    removed = idx.gc(keep_versions=2)
+    assert removed["removed_files"] >= 0
+    assert np.array_equal(_index_signature_state(idx), state)
+    # old manifests gone, current + parent kept
+    assert not os.path.exists(
+        os.path.join(idx.root, "manifest-v0.json"))
+    assert os.path.exists(os.path.join(idx.root, "manifest-v3.json"))
+
+
+def test_empty_segment_commits_a_noop(tmp_path):
+    idx = DedupIndex(str(tmp_path / "idx"), num_buckets=4)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    r = idx.update(rd.from_arrow(empty), "s0")
+    assert r["n_dropped"] == 0 and r["n_new_signatures"] == 0
+    assert idx.current().version == 0
