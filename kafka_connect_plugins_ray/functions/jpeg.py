@@ -772,7 +772,7 @@ def _parse_dims_impl(data: bytes) -> "tuple[int, int]":
         if data[i] != 0xFF:
             raise JpegError("bad marker sync")
         marker = data[i + 1]
-        if marker in (0xC0, 0xC1, 0xC2):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
             h, w = struct.unpack(">HH", data[i + 5:i + 9])
             return w, h
         if marker == 0xD9:
@@ -787,13 +787,19 @@ def decode(data: bytes) -> np.ndarray:
     YCbCr color → (h, w, 3) uint8 RGB.  1- or 3-component scans,
     sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0); progressive streams
     may mix interleaved DC scans, single-component DC/AC scans,
-    successive approximation and restart intervals.  Raises JpegError
-    on arithmetic / lossless / hierarchical streams (the remaining
-    boundary) AND on any malformed stream — low-level parse failures
-    (short segment bodies, foreign tables with out-of-range size codes,
-    truncated scans) are wrapped so callers need only catch JpegError
-    (the decode stages' null-row contract)."""
+    successive approximation and restart intervals.  LOSSLESS (SOF3)
+    streams dispatch to ``jpeg_lossless.decode_lossless`` (process 14;
+    output dtype follows its precision).  Raises JpegError on
+    arithmetic / hierarchical streams (the remaining boundary) AND on
+    any malformed stream — low-level parse failures (short segment
+    bodies, foreign tables with out-of-range size codes, truncated
+    scans) are wrapped so callers need only catch JpegError (the
+    decode stages' null-row contract)."""
     try:
+        from .jpeg_lossless import decode_lossless, is_lossless
+
+        if is_lossless(data):
+            return decode_lossless(data)
         return _decode_impl(data)
     except JpegError:
         raise
@@ -1352,8 +1358,11 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 j += 65
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # 0xC3 normally never reaches here: decode() dispatches
+            # SOF3 streams to jpeg_lossless before _decode_impl
             raise JpegError("non-baseline JPEG mode (arithmetic/"
-                            "lossless/hierarchical) — out of scope")
+                            "hierarchical, or lossless outside the "
+                            "decode() dispatch) — out of scope")
         elif marker in (0xC0, 0xC2):                        # SOF0 / SOF2
             if len(body) < 6:
                 raise JpegError("truncated SOF segment")

@@ -1,0 +1,339 @@
+"""Lossless JPEG — ITU-T T.81 process 14 (Huffman, non-hierarchical),
+the spec's Annex H: predictive coding of raw samples, no DCT and no
+quantization, so decode(encode(x)) == x exactly.
+
+Closes part of the "arithmetic/lossless/hierarchical JPEG" boundary
+declared by ``functions/jpeg.py`` the same way that module closed the
+baseline/progressive one: from the public bitstream spec only, gated by
+round-trip exactness (meaningful here — the mode is lossless), an
+INDEPENDENT scalar spec-derived reference decoder in the test file, and
+a hand-assembled golden bitstream pinning absolute conformance of the
+code layout (predictor mapping bugs that an encoder/decoder pair could
+share would survive a round-trip; the hand golden can't).
+
+Scope (documented like the sibling codecs' — precise errors outside it):
+
+- precision 2-16 bits per sample, 1-4 components, Hi = Vi = 1
+  (subsampling raw samples is legal in the spec but pointless and rare);
+- all seven predictors (Ss = 1..7, Table H.1) + point transform Al;
+- single interleaved scan, no restart markers (the encoder never emits
+  them; the decoder raises on DRI — restart semantics in lossless scans
+  reset the prediction context and we refuse rather than risk a silent
+  mismatch with other implementations), no DNL.
+
+Shapes: prediction/difference computation is fully vectorized (shifted
+views per Table H.1, mod-2^16 differences per H.1.2.3); the per-sample
+Huffman symbol loops are the same honest per-stream cost class as every
+entropy coder in this repo (see jpeg.py's notes).
+
+Reference semantics: T.81 Annex H; difference categories reuse the DC
+coding of F.1.2.1 extended to SSSS=16 (no appended bits, diff=32768).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpeg import (
+    JpegError,
+    _BitWriter,
+    _canonical_codes,
+    _decode_lut,
+    _entropy_segments,
+    _seg,
+)
+
+# one fixed complete 17-symbol difference-category table (0..16): three
+# 2-bit codes for the dominant small categories, then one code per
+# length 3..16 — Kraft sum 1 - 2^-16, so the all-ones 16-bit word stays
+# reserved as the spec's generation procedure guarantees (C.2)
+LL_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+LL_VALS = list(range(17))
+
+_MOD = 1 << 16
+
+
+def _predictions(x: np.ndarray, predictor: int, default: int) -> np.ndarray:
+    """Vectorized Table H.1 predictions for one component plane of
+    point-transformed samples (int64).  Boundary rules per H.1.1: the
+    very first sample predicts ``default`` (2^(P-Pt-1)), the rest of the
+    first line predicts Ra, the first column predicts Rb."""
+    h, w = x.shape
+    pred = np.empty_like(x)
+    pred[0, 0] = default
+    if w > 1:
+        pred[0, 1:] = x[0, :-1]
+    if h > 1:
+        pred[1:, 0] = x[:-1, 0]
+    if h > 1 and w > 1:
+        a = x[1:, :-1]
+        b = x[:-1, 1:]
+        c = x[:-1, :-1]
+        if predictor == 1:
+            p = a
+        elif predictor == 2:
+            p = b
+        elif predictor == 3:
+            p = c
+        elif predictor == 4:
+            p = a + b - c
+        elif predictor == 5:
+            p = a + ((b - c) >> 1)   # arithmetic shift == spec's /2
+        elif predictor == 6:
+            p = b + ((a - c) >> 1)
+        else:
+            p = (a + b) >> 1
+        pred[1:, 1:] = p
+    return pred
+
+
+def encode_lossless(img: np.ndarray, predictor: int = 4,
+                    point_transform: int = 0,
+                    precision: "int | None" = None) -> bytes:
+    """(h, w) or (h, w, C≤4) unsigned samples -> lossless JPEG bytes.
+
+    ``precision`` defaults to 8 for byte inputs, 16 otherwise; samples
+    must fit it.  With ``point_transform`` = Al the coded samples are
+    ``img >> Al`` and a conforming decoder outputs them re-scaled
+    ``<< Al`` (H.2.1), so round-trip equals ``(img >> Al) << Al``."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or not 1 <= img.shape[2] <= 4:
+        raise JpegError("expected (h, w) or (h, w, C<=4) samples")
+    h, w, ncomp = img.shape
+    if h < 1 or w < 1 or h > 0xFFFF or w > 0xFFFF:
+        raise JpegError("image dimensions out of range")
+    if precision is None:
+        precision = 8 if img.dtype.itemsize == 1 else 16
+    if not 2 <= precision <= 16:
+        raise JpegError("lossless precision must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise JpegError("predictor (Ss) must be 1..7")
+    if not 0 <= point_transform < precision:
+        raise JpegError("point transform must be < precision")
+    x_all = img.astype(np.int64)
+    if x_all.min() < 0 or x_all.max() > (1 << precision) - 1:
+        raise JpegError("samples exceed the declared precision")
+
+    pt = point_transform
+    default = 1 << (precision - pt - 1)
+    codes = {v: (c, l) for v, c, l in _canonical_codes(LL_BITS, LL_VALS)}
+
+    # vectorized diffs per component: mod-2^16 (H.1.2.3), then the
+    # symmetric representative in [-32768, 32767] (-32768 == category
+    # 16, which carries no appended bits)
+    diffs = np.empty((h, w, ncomp), np.int64)
+    for ci in range(ncomp):
+        x = x_all[:, :, ci] >> pt
+        pred = _predictions(x, predictor, default)
+        diffs[:, :, ci] = ((x - pred + 32768) & (_MOD - 1)) - 32768
+    flat = diffs.reshape(-1)                     # interleaved MCU order
+    mag = np.abs(flat)
+    # bit_length vectorized: frexp exponent of |d| (exact below 2^53)
+    cats = np.where(mag == 0, 0, np.frexp(mag.astype(np.float64))[1])
+    cats = np.where(flat == -32768, 16, cats).astype(np.int64)
+    bits_val = np.where(flat >= 0, flat, flat + (1 << cats) - 1)
+
+    bw = _BitWriter()
+    cats_l = cats.tolist()
+    bits_l = bits_val.tolist()
+    for i in range(flat.size):                   # honest per-symbol loop
+        s = cats_l[i]
+        c, l = codes[s]
+        bw.write(c, l)
+        if 0 < s < 16:
+            bw.write(bits_l[i], s)
+
+    out = b"\xff\xd8"                                         # SOI
+    out += _seg(0xFFC3, struct.pack(">BHHB", precision, h, w, ncomp)
+                + b"".join(bytes([ci + 1, 0x11, 0])
+                           for ci in range(ncomp)))           # SOF3
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(LL_BITS)
+                + bytes(LL_VALS))                             # DHT
+    out += _seg(0xFFDA, bytes([ncomp])
+                + b"".join(bytes([ci + 1, 0x00])
+                           for ci in range(ncomp))
+                + bytes([predictor, 0, pt]))                  # SOS
+    return out + bw.flush() + b"\xff\xd9"                     # EOI
+
+
+def decode_lossless(data: bytes) -> np.ndarray:
+    """Lossless JPEG bytes -> (h, w) or (h, w, C) samples, ``uint8`` for
+    precision ≤ 8 else ``uint16`` (point transform re-scaled per H.2.1).
+    Unsupported constructs raise precise ``JpegError``s."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (no SOI)")
+    i = 2
+    huff: dict[int, list] = {}
+    precision = h = w = None
+    comps: list[dict] = []
+    scan_params = None
+    scan_off = None
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise JpegError(f"expected marker at byte {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        body = data[i + 4:i + 2 + seg_len]
+        if marker == 0xC3:                                    # SOF3
+            if len(body) < 6:
+                raise JpegError("truncated SOF3 segment")
+            precision = body[0]
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if not 2 <= precision <= 16:
+                raise JpegError("bad lossless precision")
+            if not 1 <= ncomp <= 4 or len(body) < 6 + 3 * ncomp:
+                raise JpegError("bad SOF3 component count")
+            for c in range(ncomp):
+                cid, samp, _tq = body[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise JpegError(
+                        "subsampled lossless components unsupported "
+                        "(Hi=Vi=1 only)")
+                comps.append({"id": cid})
+        elif marker in (0xC0, 0xC1, 0xC2):
+            raise JpegError("DCT-mode SOF in lossless decoder — use "
+                            "jpeg.decode")
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError("arithmetic/hierarchical JPEG mode — out "
+                            "of scope")
+        elif marker == 0xC4:                                  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                if len(bits) < 16 or j + 17 + nv > len(body):
+                    raise JpegError("truncated DHT segment")
+                vals = list(body[j + 17:j + 17 + nv])
+                if tc == 0:
+                    huff[th] = _decode_lut(bits, vals).tolist()
+                j += 17 + nv
+        elif marker == 0xDD:                                  # DRI
+            if struct.unpack(">H", body[:2])[0]:
+                raise JpegError(
+                    "restart intervals in a lossless scan are "
+                    "unsupported (prediction-reset semantics)")
+        elif marker == 0xDA:                                  # SOS
+            if precision is None:
+                raise JpegError("SOS before SOF3")
+            ns = body[0]
+            if ns != len(comps) or len(body) < 4 + 2 * ns:
+                raise JpegError("lossless scan must cover all "
+                                "components once")
+            tds = []
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+                if cid != comps[si]["id"]:
+                    raise JpegError("scan component order mismatch")
+                tds.append(tt >> 4)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            al = body[3 + 2 * ns] & 0x0F
+            if not 1 <= ss <= 7 or se != 0:
+                raise JpegError("bad lossless scan header (Ss/Se)")
+            scan_params = (tds, ss, al)
+            scan_off = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if scan_params is None:
+        raise JpegError("no SOS in lossless stream")
+
+    tds, predictor, pt = scan_params
+    for td in tds:
+        if td not in huff:
+            raise JpegError("missing Huffman table")
+    W, seg_off_bits, seg_nbits, _ = _entropy_segments(data, scan_off)
+    if len(seg_off_bits) != 1:
+        raise JpegError(
+            "restart markers in a lossless scan are unsupported")
+    Wl = W.tolist()
+    nbits = int(seg_nbits[0])
+    ncomp = len(comps)
+    luts = [huff[td] for td in tds]
+    default = 1 << (precision - pt - 1)
+    mask = _MOD - 1
+
+    prev = [[0] * w for _ in range(ncomp)]
+    cur = [[0] * w for _ in range(ncomp)]
+    out = np.empty((h, w, ncomp), np.int64)
+    pos = 0
+    for row in range(h):
+        for col in range(w):
+            for ci in range(ncomp):
+                if pos >= nbits:
+                    raise JpegError("truncated lossless entropy stream")
+                f = luts[ci][Wl[pos]]
+                if f == 0:
+                    raise JpegError("bad lossless Huffman code")
+                pos += f >> 8
+                s = f & 0xFF
+                if s == 16:
+                    d = 32768
+                elif s:
+                    v = Wl[pos] >> (16 - s)
+                    pos += s
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    d = v
+                else:
+                    d = 0
+                c_row = cur[ci]
+                if row == 0:
+                    p = default if col == 0 else c_row[col - 1]
+                elif col == 0:
+                    p = prev[ci][0]
+                else:
+                    a = c_row[col - 1]
+                    b = prev[ci][col]
+                    cc = prev[ci][col - 1]
+                    if predictor == 1:
+                        p = a
+                    elif predictor == 2:
+                        p = b
+                    elif predictor == 3:
+                        p = cc
+                    elif predictor == 4:
+                        p = a + b - cc
+                    elif predictor == 5:
+                        p = a + ((b - cc) >> 1)
+                    elif predictor == 6:
+                        p = b + ((a - cc) >> 1)
+                    else:
+                        p = (a + b) >> 1
+                c_row[col] = (p + d) & mask
+        for ci in range(ncomp):
+            out[row, :, ci] = cur[ci]
+            prev[ci], cur[ci] = cur[ci], prev[ci]
+    if pos > nbits:
+        raise JpegError("truncated lossless entropy stream")
+
+    out <<= pt
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    out = out.astype(dtype)
+    return out[:, :, 0] if ncomp == 1 else out
+
+
+def is_lossless(data: bytes) -> bool:
+    """True iff the marker stream declares SOF3 before the first scan —
+    the dispatch probe ``jpeg.decode`` uses (never matches entropy
+    bytes: only real marker segments are walked)."""
+    if data[:2] != b"\xff\xd8":
+        return False
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return False
+        marker = data[i + 1]
+        if marker == 0xC3:
+            return True
+        if marker in (0xD9, 0xDA) or 0xD0 <= marker <= 0xD8:
+            return False
+        i += 2 + struct.unpack(">H", data[i + 2:i + 4])[0]
+    return False

@@ -1,0 +1,271 @@
+"""Lossless JPEG (T.81 process 14) gates.
+
+Round-trip exactness is meaningful for a lossless mode but cannot catch
+an encoder/decoder PAIR sharing one misreading (e.g. a wrong predictor
+mapping round-trips invisibly), so the gates add (1) an INDEPENDENT
+scalar spec-derived reference decoder in this file — own bit reader,
+own canonical-Huffman construction, no library code — pinned equal
+across an encoder-configuration matrix, and (2) a HAND-ASSEMBLED
+bitstream whose expected samples are derived by hand from Annex H,
+pinning the absolute code layout independent of our encoder."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from kafka_connect_plugins_ray.functions.jpeg import (
+    JpegError,
+    decode,
+    parse_dims,
+)
+from kafka_connect_plugins_ray.functions.jpeg_lossless import (
+    decode_lossless,
+    encode_lossless,
+    is_lossless,
+)
+
+
+# --------------------------------------------------------------------
+# independent scalar reference decoder (spec-derived, no library code)
+
+class _RefBits:
+    def __init__(self, entropy: bytes):
+        self.b = []
+        i = 0
+        while i < len(entropy):
+            v = entropy[i]
+            for k in range(7, -1, -1):
+                self.b.append((v >> k) & 1)
+            if v == 0xFF and i + 1 < len(entropy) and entropy[i + 1] == 0:
+                i += 2          # stuffed zero
+            else:
+                i += 1
+        self.p = 0
+
+    def take(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.b[self.p]
+            self.p += 1
+        return v
+
+
+def _ref_huffman(bits, vals):
+    """code string -> symbol via the C.2 canonical procedure."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[format(code, f"0{length}b")] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+def ref_decode(data: bytes) -> np.ndarray:
+    assert data[:2] == b"\xff\xd8"
+    i = 2
+    tables = {}
+    precision = h = w = ncomp = None
+    while True:
+        marker = data[i + 1]
+        ln = struct.unpack(">H", data[i + 2:i + 4])[0]
+        body = data[i + 4:i + 2 + ln]
+        if marker == 0xC3:
+            precision = body[0]
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            for c in range(ncomp):
+                assert body[7 + 3 * c] == 0x11
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                th = body[j] & 0x0F
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                tables[th] = _ref_huffman(bits,
+                                          list(body[j + 17:j + 17 + nv]))
+                j += 17 + nv
+        elif marker == 0xDA:
+            ns = body[0]
+            tds = [body[2 + 2 * s] >> 4 for s in range(ns)]
+            pred = body[1 + 2 * ns]
+            pt = body[3 + 2 * ns] & 0x0F
+            scan = data[i + 2 + ln:]
+            end = scan.find(b"\xff\xd9")
+            r = _RefBits(scan[:end])
+            break
+        i += 2 + ln
+
+    default = 1 << (precision - pt - 1)
+    out = np.zeros((h, w, ncomp), np.int64)
+
+    def huffsym(tbl):
+        code = ""
+        while code not in tbl:
+            code += str(r.take(1))
+            assert len(code) <= 16
+        return tbl[code]
+
+    for row in range(h):
+        for col in range(w):
+            for ci in range(ncomp):
+                s = huffsym(tables[tds[ci]])
+                if s == 16:
+                    d = 32768
+                elif s == 0:
+                    d = 0
+                else:
+                    v = r.take(s)
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    d = v
+                if row == 0 and col == 0:
+                    p = default
+                elif row == 0:
+                    p = out[0, col - 1, ci]
+                elif col == 0:
+                    p = out[row - 1, 0, ci]
+                else:
+                    a = out[row, col - 1, ci]
+                    b = out[row - 1, col, ci]
+                    c = out[row - 1, col - 1, ci]
+                    p = [None, a, b, c, a + b - c, a + ((b - c) >> 1),
+                         b + ((a - c) >> 1), (a + b) >> 1][pred]
+                out[row, col, ci] = (p + d) % 65536
+    return (out << pt)[:, :, 0] if ncomp == 1 else (out << pt)
+
+
+# --------------------------------------------------------------------
+
+@pytest.mark.parametrize("predictor", range(1, 8))
+def test_roundtrip_and_reference_all_predictors(predictor):
+    rng = np.random.RandomState(predictor)
+    img = rng.randint(0, 256, (13, 17)).astype(np.uint8)
+    enc = encode_lossless(img, predictor=predictor)
+    dec = decode_lossless(enc)
+    assert dec.dtype == np.uint8 and (dec == img).all()
+    ref = ref_decode(enc)
+    assert (ref == img).all()
+
+
+def test_multi_component_and_high_precision():
+    rng = np.random.RandomState(42)
+    rgb = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+    enc = encode_lossless(rgb, predictor=5)
+    assert (decode_lossless(enc) == rgb).all()
+    assert (ref_decode(enc) == rgb).all()
+    img12 = rng.randint(0, 4096, (11, 5)).astype(np.uint16)
+    enc12 = encode_lossless(img12, precision=12, predictor=6)
+    d = decode_lossless(enc12)
+    assert d.dtype == np.uint16 and (d == img12).all()
+    assert (ref_decode(enc12) == img12).all()
+    img16 = rng.randint(0, 65536, (6, 8)).astype(np.uint16)
+    enc16 = encode_lossless(img16, predictor=7)
+    assert (decode_lossless(enc16) == img16).all()
+    assert (ref_decode(enc16) == img16).all()
+
+
+def test_point_transform():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (10, 10)).astype(np.uint8)
+    enc = encode_lossless(img, predictor=4, point_transform=3)
+    dec = decode_lossless(enc)
+    assert (dec == (img >> 3) << 3).all()
+    assert (ref_decode(enc) == (img >> 3) << 3).all()
+
+
+def test_hand_assembled_golden():
+    """2×2 gray, predictor 1, trivial DHT (cat s coded as s in 4 bits,
+    s<=8).  Samples chosen by hand:
+
+      x[0,0]=130: pred=128 (default), d=+2  -> cat 2, bits '10'
+      x[0,1]=128: pred=a=130,         d=-2  -> cat 2, bits '01'
+      x[1,0]=129: pred=b=130 (col 0), d=-1  -> cat 1, bit  '0'
+      x[1,1]=133: pred=a=129,         d=+4  -> cat 3, bits '100'
+
+    Encoded bit string: 0010 10 | 0010 01 | 0001 0 | 0011 100 + 1-pad.
+    """
+    bits_tbl = [0, 0, 0, 9] + [0] * 12         # nine 4-bit codes
+    vals_tbl = list(range(9))                  # cat k -> code k (4 bits)
+    stream = "001010" + "001001" + "00010" + "0011100"
+    stream += "1" * (-len(stream) % 8)
+    entropy = bytes(int(stream[k:k + 8], 2)
+                    for k in range(0, len(stream), 8))
+    data = (b"\xff\xd8"
+            + b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, 2, 2, 1)
+            + bytes([1, 0x11, 0])
+            + b"\xff\xc4" + struct.pack(">HB", 2 + 17 + 9, 0x00)
+            + bytes(bits_tbl) + bytes(vals_tbl)
+            + b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+            + bytes([1, 0, 0])                 # Ss=1, Se=0, Ah/Al=0
+            + entropy + b"\xff\xd9")
+    want = np.array([[130, 128], [129, 133]], np.uint8)
+    assert (decode_lossless(data) == want).all()
+    assert (ref_decode(data) == want).all()
+    assert (decode(data) == want).all()        # public dispatch
+
+
+def test_public_decode_dispatch_and_dims():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (21, 34)).astype(np.uint8)
+    enc = encode_lossless(img)
+    assert is_lossless(enc)
+    assert (decode(enc) == img).all()          # jpeg.decode dispatches
+    assert parse_dims(enc) == (34, 21)
+    from kafka_connect_plugins_ray.functions.jpeg import encode_gray
+
+    base = encode_gray(img, quality=90)
+    assert not is_lossless(base)
+
+
+def test_media_decoder_accepts_lossless_payloads():
+    import pyarrow as pa
+
+    from kafka_connect_plugins_ray.pipelines.multimodal import MediaDecoder
+
+    img = (np.add.outer(np.arange(16), np.arange(24)) % 256) \
+        .astype(np.uint8)
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_lossless(img)], pa.binary()),
+    })
+    m = MediaDecoder(strict=True)(t).to_pylist()[0]
+    meta = m["media_meta"]
+    assert (meta["width"], meta["height"]) == (24, 16)
+    assert meta["n_bytes"] == img.size and meta["n_frames"] == 1
+
+
+def test_compression_on_smooth_data():
+    t = np.arange(96)
+    smooth = np.minimum(np.add.outer(t, t), 255).astype(np.uint8)
+    enc = encode_lossless(smooth, predictor=4)
+    assert len(enc) < smooth.size * 0.6
+
+
+def test_precise_errors():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    enc = bytearray(encode_lossless(img))
+    with pytest.raises(JpegError, match="truncated"):
+        decode_lossless(bytes(enc[:40]) + b"\xff\xd9")
+    with pytest.raises(JpegError, match="predictor"):
+        encode_lossless(img, predictor=0)
+    with pytest.raises(JpegError, match="precision"):
+        encode_lossless(img.astype(np.uint16) * 256, precision=8)
+    with pytest.raises(JpegError, match="DCT-mode"):
+        from kafka_connect_plugins_ray.functions.jpeg import encode_gray
+
+        decode_lossless(encode_gray(img))
+    # DRI before SOS: restart semantics refused precisely
+    i = bytes(enc).find(b"\xff\xda")
+    with_dri = bytes(enc[:i]) + b"\xff\xdd\x00\x04\x00\x08" \
+        + bytes(enc[i:])
+    with pytest.raises(JpegError, match="restart"):
+        decode_lossless(with_dri)
+    # subsampled lossless component
+    j = bytes(enc).find(b"\xff\xc3")
+    sub = bytearray(enc)
+    sub[j + 11] = 0x21                          # Hi=2
+    with pytest.raises(JpegError, match="subsampled"):
+        decode_lossless(bytes(sub))
