@@ -292,6 +292,73 @@ def run_media() -> None:
     }))
 
 
+def run_audio() -> None:
+    """Audio codec path evidence: the same deterministic PCM corpus
+    through BOTH containers — WAVE (vectorized header parse, the fast
+    path) and FLAC (per-stream entropy decode through
+    functions/flac.py, the honest codec floor) — decode + DSP features
+    in the actor pools, plus the cross-format content-hash identity
+    count (format-independent audio dedup)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.audio import (
+        attach_flac, attach_wav, PcmFeatures, WavDecoder)
+
+    n_rows = 2000
+    rng = np.random.RandomState(0)
+    texts = ["".join(chr(97 + c) for c in rng.randint(0, 26, 64))
+             * int(rng.randint(4, 64)) for _ in range(n_rows)]
+    t = pa.table({"doc_id": pa.array(range(n_rows), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pcm_bytes = sum((len(s) // ((i % 2 + 1) * 2)) * ((i % 2 + 1) * 2)
+                    for i, s in enumerate(texts))
+    report = {"metric": "audio_decode_features_wall_sec", "unit": "sec",
+              "rows": n_rows, "pcm_mb": round(pcm_bytes / 1e6, 1),
+              "num_cpus": NUM_CPUS}
+    hashes = {}
+    for name, writer in (("wav", attach_wav), ("flac", attach_flac)):
+        ds = rd.from_arrow([t.slice(i, 250)
+                            for i in range(0, n_rows, 250)])
+        t0 = time.perf_counter()
+        payloads = ds.map_batches(writer, batch_format="pyarrow") \
+            .materialize()
+        attach_wall = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        meta = payloads.map_batches(
+            WavDecoder, batch_format="pyarrow", batch_size=250,
+            concurrency=(2, 8)).to_pandas()
+        decode_wall = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        feats = payloads.map_batches(
+            PcmFeatures, batch_format="pyarrow", batch_size=250,
+            concurrency=(2, 8)).to_pandas()
+        feat_wall = time.perf_counter() - t2
+        meta = meta.sort_values("doc_id")
+        hashes[name] = [m["content_hash"] if m else None
+                        for m in meta["audio_meta"]]
+        report[f"{name}_attach_sec"] = round(attach_wall, 3)
+        report[f"{name}_decode_sec"] = round(decode_wall, 3)
+        report[f"{name}_features_sec"] = round(feat_wall, 3)
+        report[f"{name}_decoded_mb_per_sec"] = round(
+            pcm_bytes / 1e6 / decode_wall, 1)
+        assert feats["rms"].notna().sum() > 0
+    report["cross_format_hash_matches"] = int(sum(
+        a == b for a, b in zip(hashes["wav"], hashes["flac"])))
+    report["value"] = report["flac_decode_sec"]
+    ray.shutdown()
+    print(json.dumps(report))
+
+
 def run_corpus() -> None:
     """Sustained-throughput evidence for the text-dedup family on a
     corpus ~60× sf0.1: ~90 MB / 50k docs with planted boilerplate and
@@ -743,6 +810,8 @@ def main():
         run_blob()
     elif "--media" in sys.argv:
         run_media()
+    elif "--audio" in sys.argv:
+        run_audio()
     elif "--bpe" in sys.argv:
         run_bpe()
     elif "--codec" in sys.argv:

@@ -111,6 +111,20 @@ def main(argv: "list[str] | None" = None) -> int:
                          "reference Kotlin class names accepted; "
                          "${env:}/${file:} providers resolved)")
 
+    pd = sub.add_parser(
+        "dedup", help="dedup one segment against a persisted exact-dedup "
+                      "index (incremental: O(segment) per cycle)")
+    pd.add_argument("--index", required=True, help="index root directory")
+    pd.add_argument("--input", required=True,
+                    help="segment parquet file/dir with doc_id + text")
+    pd.add_argument("--segment-id", required=True,
+                    help="stable id for at-least-once redelivery")
+    pd.add_argument("--buckets", type=int, default=64)
+    pd.add_argument("--output",
+                    help="write the KEPT (deduped) rows as parquet here")
+    pd.add_argument("--query", action="store_true",
+                    help="read-only: report drops without committing")
+
     args = p.parse_args(argv)
 
     if args.cmd == "show":
@@ -225,6 +239,32 @@ def main(argv: "list[str] | None" = None) -> int:
             m = repartition_lake(args.lake, args.partitions)
             print(json.dumps({"version": m.version,
                               "num_partitions": m.num_partitions}))
+        elif args.cmd == "dedup":
+            import glob as _glob
+            import os as _os
+
+            import ray.data as rd
+
+            from .pipelines.dedup_index import DedupIndex, filter_segment
+
+            if args.output and _os.path.isdir(args.output) \
+                    and _glob.glob(f"{args.output}/*.parquet"):
+                raise SystemExit(
+                    f"output dir {args.output} already contains parquet "
+                    "— refusing to mix runs")
+            docs = rd.read_parquet(args.input)
+            idx = DedupIndex(args.index, num_buckets=args.buckets)
+            if args.query:
+                drops = idx.query(docs)
+                report = {"n_dropped": int(drops.size), "query": True}
+            else:
+                r = idx.update(docs, args.segment_id)
+                drops = r["drop_ids"]
+                report = {k: v for k, v in r.items() if k != "drop_ids"}
+            if args.output:
+                filter_segment(docs, drops).write_parquet(args.output)
+                report["output"] = args.output
+            print(json.dumps(report))
         elif args.cmd == "transform":
             import ray.data as rd
 

@@ -141,3 +141,47 @@ def test_cli_delta_mode_and_compact(tmp_path, capsys):
     res = _json.loads(capsys.readouterr().out)
     assert res["delta_partitions"] == 0
     assert _state_hash(lake) == h  # compaction is representation-only
+
+
+def test_cli_dedup_incremental(tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    idx = str(tmp_path / "idx")
+    seg1 = str(tmp_path / "seg1.parquet")
+    seg2 = str(tmp_path / "seg2.parquet")
+    out1 = str(tmp_path / "out1")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "b", "a", "c"], pa.string()),
+    }), seg1)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["b", "new"], pa.string()),
+    }), seg2)
+
+    assert main(["dedup", "--index", idx, "--input", seg1,
+                 "--segment-id", "s1", "--buckets", "4",
+                 "--output", out1]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["n_dropped"] == 1 and r1["n_new_signatures"] == 3
+    kept1 = pq.read_table(out1)
+    assert sorted(kept1.column("doc_id").to_pylist()) == [0, 1, 3]
+
+    assert main(["dedup", "--index", idx, "--input", seg2,
+                 "--segment-id", "s2", "--buckets", "4"]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["n_dropped"] == 1 and r2["n_new_signatures"] == 1
+
+    # read-only query: everything in seg2 is indexed now
+    assert main(["dedup", "--index", idx, "--input", seg2,
+                 "--segment-id", "ignored", "--buckets", "4",
+                 "--query"]) == 0
+    rq = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rq == {"n_dropped": 2, "query": True}
+
+    # redelivery of a committed segment is read-only and reproducible
+    assert main(["dedup", "--index", idx, "--input", seg2,
+                 "--segment-id", "s2", "--buckets", "4"]) == 0
+    r2b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2b["already_committed"] and r2b["version"] == 1

@@ -360,3 +360,14 @@ def test_randomized_matrix_vs_reference():
         assert (dec == sig.reshape(n, ch)).all(), trial
         ref, _, _ = ref_decode(enc)
         assert (ref == sig.reshape(n, ch)).all(), trial
+
+
+def test_crc16_lane_parallel_equals_scalar():
+    from kafka_connect_plugins_ray.functions.flac import (
+        _CRC16_LANE_MIN, _crc16_scalar, crc16)
+
+    rng = np.random.default_rng(2)
+    for n in [0, 1, 255, _CRC16_LANE_MIN - 1, _CRC16_LANE_MIN,
+              _CRC16_LANE_MIN + 1, 8192, 100_000, 100_001]:
+        buf = rng.integers(0, 256, n).astype(np.uint8)
+        assert crc16(buf) == _crc16_scalar(buf), n
