@@ -131,6 +131,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("dedup_simhash", Q.q_dedup_simhash)
     consume("dedup_embedding_cosine", Q.q_dedup_embedding)
     consume("dedup_embedding_cosine_lsh", Q.q_dedup_embedding_lsh)
+    consume("dedup_semantic", Q.q_dedup_semantic)
     consume("ann_cosine_topk", Q.q_knn)
     consume("sample_documents", Q.q_sample)
     consume("text_metrics", Q.q_text_metrics)

@@ -1405,6 +1405,35 @@ FROM embeddings
 """
 
 
+def q_dedup_semantic(sf_dir: str) -> pa.Table:
+    """SemDeDup-shape semantic dedup with the planted recall gate:
+    corpus ∪ id-shifted identical copy.  An identical pair always
+    co-clusters (same argmax) and always connects at threshold, and its
+    component min is always the original id, so EVERY planted id must
+    appear in the drop set — regardless of which natural near-dups the
+    clustering also removes (those can drop originals, which the filter
+    excludes; a planted id can never be a component min)."""
+    from .similarity import semantic_dedup
+
+    cands = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def dup(t: pa.Table) -> pa.Table:
+        t = t.select(["vec_id", "embedding"])
+        t2 = pa.table({"vec_id": pc.add(t["vec_id"], DUP_OFFSET),
+                       "embedding": t["embedding"]})
+        return pa.concat_tables([t, t2])
+
+    union = cands.map_batches(dup, batch_format="pyarrow")
+    drops = semantic_dedup(union, threshold=0.99, n_clusters=16)
+    planted = drops[drops >= DUP_OFFSET]
+    return pa.table({"dropped": pa.array(np.sort(planted), pa.int64())})
+
+
+DEDUP_SEMANTIC_ORACLE = f"""
+SELECT vec_id + {DUP_OFFSET} AS dropped FROM embeddings
+"""
+
+
 DEDUP_EMBEDDING_ORACLE = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2498,6 +2527,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_ivf": q_knn_ivf,
         "dedup_embedding_cosine": q_dedup_embedding,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_lsh,
+        "dedup_semantic": q_dedup_semantic,
         "hll_distinct_users": q_hll_distinct,
         "sample_documents": q_sample,
         "mixture_sample": q_mixture_sample,
@@ -2568,6 +2598,7 @@ def build_oracles() -> dict[str, str]:
         "ann_cosine_ivf": ANN_LSH_ORACLE,
         "dedup_embedding_cosine": DEDUP_EMBEDDING_ORACLE,
         "dedup_embedding_cosine_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
+        "dedup_semantic": DEDUP_SEMANTIC_ORACLE,
         "hll_distinct_users": HLL_ORACLE,
         "sample_documents": SAMPLE_ORACLE,
         "mixture_sample": MIXTURE_SAMPLE_ORACLE,

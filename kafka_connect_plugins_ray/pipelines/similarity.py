@@ -511,6 +511,107 @@ def embedding_neardup_pairs_lsh(candidates: "rd.Dataset",
     return _round_score(g.rename_columns(["vec_a", "vec_b", "score"]))
 
 
+def semantic_dedup(candidates: "rd.Dataset", threshold: float = 0.99,
+                   n_clusters: int = 32, num_buckets: int = 32,
+                   max_cluster: int = 20000, train_rows: int = 4096,
+                   centroids: "np.ndarray | None" = None,
+                   seed: int = 5) -> np.ndarray:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): spherical-k-means clusters partition the embedding
+    space, pairwise cosine runs ONLY within clusters, and every
+    connected near-dup component keeps its min-vec_id representative.
+    Returns the sorted vec_ids to DROP — O(duplicate volume), the same
+    bounded-broadcast contract as ``exact_dedup_drop``.
+
+    Scale shape: the quantizer trains once on a content-stable bottom-k
+    sample (or is passed in, the ``train_ivf_quantizer`` serving path)
+    and broadcasts; assignment is one batch matmul; ONE hash exchange
+    co-locates cluster-mates (a cluster never splits across tasks);
+    pair scoring and the union-find stay inside the reduce task.
+    Documented approximation (the published algorithm's own): near-dup
+    pairs split across cluster boundaries are missed — IDENTICAL
+    vectors always co-cluster (same argmax), which is what the planted
+    recall gate checks.  Clusters above ``max_cluster`` are skipped
+    with a log line (skip = keep everything in them: sound, never
+    over-drops)."""
+    if centroids is None:
+        centroids = train_ivf_quantizer(candidates, n_clusters,
+                                        train_rows=train_rows)
+    if centroids is None:
+        return np.zeros(0, np.int64)
+    side = Broadcast(np.ascontiguousarray(centroids))
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.select(["vec_id", "embedding"])
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": t.column("embedding"),
+                             "cluster": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int32())})
+        cent = side.get()
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cl = (m @ cent.T).argmax(axis=1).astype(np.int32)
+        return pa.table({
+            "vec_id": pa.compute.cast(t.column("vec_id"), pa.int64()),
+            "embedding": t.column("embedding").combine_chunks(),
+            "cluster": pa.array(cl, pa.int32()),
+            "bucket": pa.array((cl % num_buckets).astype(np.int32)),
+        })
+
+    assigned = candidates.map_batches(assign, batch_format="pyarrow")
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        cl = t.column("cluster").to_numpy()
+        order = np.argsort(cl, kind="stable")
+        t = t.take(pa.array(order, pa.int64()))
+        cl = cl[order]
+        bounds = np.nonzero(np.concatenate(
+            ([True], cl[1:] != cl[:-1], [True])))[0]
+        drops: list[int] = []
+        skipped = 0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            if e - s > max_cluster:
+                skipped += 1
+                continue
+            g = t.slice(s, e - s)
+            ids, mat = _norm_block(g)
+            p = _pairs_above(ids, mat, ids, mat, threshold, True)
+            if p is None:
+                continue
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(p.column("vec_a").to_pylist(),
+                            p.column("vec_b").to_pylist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            drops.extend(x for x in parent if find(x) != x)
+        if skipped:
+            print(f"[semdedup] bucket {pid}: skipped {skipped} clusters "
+                  f"over {max_cluster} vectors (kept everything there)")
+        if not drops:
+            return None
+        return pa.table({"vec_id": pa.array(sorted(drops), pa.int64())})
+
+    from ..exchange import hash_exchange
+
+    shards = hash_exchange(assigned, "bucket", num_buckets, reduce_bucket)
+    if not shards:
+        return np.zeros(0, np.int64)
+    return np.sort(np.concatenate(
+        [s.column("vec_id").to_numpy() for s in shards]))
+
+
 def load_queries(path: str, max_qid: int) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side load of the (tiny) query set: vec_id < max_qid."""
     import pyarrow.parquet as pq

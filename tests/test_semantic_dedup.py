@@ -1,0 +1,115 @@
+"""SemDeDup-shape semantic dedup gates: drop set vs a brute-force
+driver-side reference (all-pairs cosine + union-find) restricted to
+co-clustered pairs, identical-vector recall regardless of clustering,
+soundness (an isolated vector is never dropped), pre-trained-centroid
+identity, repartition invariance, and the oversized-cluster skip."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.similarity import (
+    semantic_dedup,
+    train_ivf_quantizer,
+    train_spherical_centroids,
+)
+
+
+def _emb_table(mat):
+    return pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+
+
+def _mk_corpus(rng, n_base=120, dim=16, n_dup_groups=15):
+    """Base vectors plus planted near-dup groups (identical + tiny
+    jitter), well-separated from each other."""
+    base = rng.randn(n_base, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [base]
+    for g in range(n_dup_groups):
+        v = base[g]
+        jit = v + 1e-4 * rng.randn(2, dim)      # cosine ~0.9999998
+        rows.append(jit / np.linalg.norm(jit, axis=1, keepdims=True))
+    return np.concatenate(rows)
+
+
+def _reference_drops(mat, centroids, threshold):
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign = (m @ centroids.T).argmax(axis=1)
+    sims = m @ m.T
+    n = len(m)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(n):
+        for b in range(a + 1, n):
+            if assign[a] == assign[b] and sims[a, b] >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    return np.array(sorted(i for i in range(n) if find(i) != i),
+                    np.int64)
+
+
+def test_drop_set_matches_bruteforce_reference():
+    rng = np.random.RandomState(11)
+    mat = _mk_corpus(rng)
+    ds = rd.from_arrow(_emb_table(mat)).repartition(4)
+    cent = train_spherical_centroids(mat, 8, seed=5)
+    got = semantic_dedup(ds, threshold=0.999, n_clusters=8,
+                         num_buckets=4, centroids=cent)
+    want = _reference_drops(mat, cent, 0.999)
+    assert np.array_equal(got, want)
+    assert want.size >= 15        # the planted groups actually dropped
+
+
+def test_identical_vectors_always_drop_and_isolated_never():
+    rng = np.random.RandomState(3)
+    mat = _mk_corpus(rng, n_dup_groups=0)
+    # plant exact copies of rows 0..9 at the end
+    mat = np.concatenate([mat, mat[:10]])
+    ds = rd.from_arrow(_emb_table(mat)).repartition(3)
+    got = semantic_dedup(ds, threshold=0.99, n_clusters=6, num_buckets=4)
+    # every copy id (120..129) dropped: identical pairs co-cluster
+    assert np.isin(np.arange(120, 130), got).all()
+    # soundness: a dropped id must have a >=threshold partner somewhere
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -1)
+    assert (sims[got].max(axis=1) >= 0.99).all()
+
+
+def test_pretrained_centroids_equal_inline_and_repartition_invariant():
+    rng = np.random.RandomState(7)
+    mat = _mk_corpus(rng)
+    t = _emb_table(mat)
+    cent = train_ivf_quantizer(rd.from_arrow(t), 8)
+    a = semantic_dedup(rd.from_arrow(t).repartition(2), threshold=0.999,
+                       centroids=cent, num_buckets=4)
+    b = semantic_dedup(rd.from_arrow(t).repartition(7), threshold=0.999,
+                       centroids=cent, num_buckets=8)
+    assert np.array_equal(a, b)
+
+
+def test_oversized_cluster_skip_is_sound(capsys):
+    rng = np.random.RandomState(5)
+    v = rng.randn(16)
+    # 50 near-identical vectors: one cluster far over the cap
+    mat = v + 1e-5 * rng.randn(50, 16)
+    got = semantic_dedup(rd.from_arrow(_emb_table(mat)), threshold=0.99,
+                         n_clusters=2, num_buckets=2, max_cluster=10)
+    assert got.size == 0          # skip keeps everything — never over-drops
+
+
+def test_empty_corpus():
+    t = _emb_table(np.zeros((0, 8)))
+    assert semantic_dedup(rd.from_arrow(t)).size == 0
