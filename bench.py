@@ -149,6 +149,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("budget_select", Q.q_budget_select)
     consume("global_shuffle", Q.q_global_shuffle)
     consume("web_prep", Q.q_web_prep)
+    consume("decontam_ngrams", Q.q_decontam_ngrams)
 
     ray.shutdown()
     return {

@@ -85,6 +85,109 @@ def benchmark_hash_pairs(benchmark: "rd.Dataset",
     return merged
 
 
+def _ngram_pairs_flat(col, n: int) \
+        -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Dual-seed uint64 hashes of every FULL n-token window of a string
+    column: ``(h1 flat, h2 flat, windows per doc)``.  Docs with fewer
+    than ``n`` tokens contribute NO windows (a doc shorter than the
+    n-gram cannot contain one — textbook GPT-3 decontamination
+    semantics, and what keeps the SQL mirror a plain containment
+    check).  Same vectorized shape as ``dedup.shingle_hash_flat``: one
+    whitespace split, one xxhash per token per seed, one global rolling
+    mix, a scatter at per-doc offsets."""
+    from ..functions.tokenize import flat_tokens
+    from ..functions.vhash import mix_columns_u64
+
+    toks, counts = flat_tokens(col)
+    counts = counts.astype(np.int64)
+    n_w = np.maximum(counts - n + 1, 0)
+    out1 = np.empty(int(n_w.sum()), dtype=np.uint64)
+    out2 = np.empty_like(out1)
+    total = int(counts.sum())
+    if out1.size == 0 or total < n:
+        return out1, out2, n_w
+    hA = hash64_column(toks, seed=_SEED_A)
+    hB = hash64_column(toks, seed=_SEED_B)
+    doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    w_start = np.concatenate(([0], np.cumsum(n_w)[:-1]))
+    full = counts >= n
+    winA = mix_columns_u64([hA[j:total - n + 1 + j] for j in range(n)])
+    winB = mix_columns_u64([hB[j:total - n + 1 + j] for j in range(n)])
+    nw_full = n_w[full]
+    intra = np.arange(int(nw_full.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(nw_full)[:-1])), nw_full)
+    dst = np.repeat(w_start[full], nw_full) + intra
+    src = np.repeat(doc_start[full], nw_full) + intra
+    out1[dst] = winA[src]
+    out2[dst] = winB[src]
+    return out1, out2, n_w
+
+
+def benchmark_ngram_pairs(benchmark: "rd.Dataset", n: int = 13,
+                          text_col: str = "text") -> pa.Table:
+    """Distinct dual-hash pairs of every n-token window in the benchmark
+    set — per-block partials deduped up the fan-in tree, like
+    ``benchmark_hash_pairs`` (the summary is 16 B per DISTINCT window,
+    not per benchmark token)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _drop_null_texts(t, text_col)
+        h1, h2, _ = _ngram_pairs_flat(t.column(text_col), n)
+        return _pairs_table(h1, h2)
+
+    partials = benchmark.map_batches(partial, batch_format="pyarrow")
+    merged = tree_aggregate(
+        partials, lambda t: t.group_by(["h1", "h2"]).aggregate([]))
+    if merged is None:
+        return pa.table({"h1": pa.array([], pa.uint64()),
+                         "h2": pa.array([], pa.uint64())})
+    return merged
+
+
+def decontaminate_ngrams(corpus: "rd.Dataset", benchmark: "rd.Dataset",
+                         n: int = 13, text_col: str = "text",
+                         num_bits: int = 1 << 24,
+                         num_hashes: int = 4) -> "rd.Dataset":
+    """GPT-3-style n-gram decontamination (Brown et al. 2020 Appendix C
+    shape): drop every corpus doc sharing ANY n-token window with the
+    benchmark set.  The benchmark window summary broadcasts once
+    (Bloom pre-filter + exact sorted-pair verify, the
+    ``decontaminate(mode="exact")`` machinery); the corpus streams
+    through one vectorized map_batches — per batch: one rolling window
+    hash pass, one Bloom probe per window, exact membership only for
+    Bloom hits, then a per-doc any() via offset differencing."""
+    import ray
+
+    pairs = benchmark_ngram_pairs(benchmark, n=n, text_col=text_col)
+    h1 = pairs.column("h1").to_numpy()
+    h2 = pairs.column("h2").to_numpy()
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    if len(h1):
+        _set_bits(words, _bloom_indices(h1, h2, num_bits, num_hashes))
+    words_ref = ray.put(words)
+    order = np.lexsort((h2, h1))
+    pairs_ref = ray.put((h1[order], h2[order]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        w1, w2, n_w = _ngram_pairs_flat(batch.column(text_col), n)
+        if w1.size == 0:
+            return batch
+        hit = _test_bits(ray.get(words_ref),
+                         _bloom_indices(w1, w2, num_bits, num_hashes))
+        if hit.any():
+            sh1, sh2 = ray.get(pairs_ref)
+            idx = np.nonzero(hit)[0]
+            hit[idx] = _pair_membership(w1[idx], w2[idx], sh1, sh2)
+        bounds = np.concatenate(([0], np.cumsum(n_w)))
+        cum = np.concatenate(([0], np.cumsum(hit.astype(np.int64))))
+        doc_hit = cum[bounds[1:]] - cum[bounds[:-1]] > 0
+        return batch.filter(pa.array(~doc_hit))
+
+    return corpus.map_batches(keep, batch_format="pyarrow")
+
+
 def _bloom_indices(h1: np.ndarray, h2: np.ndarray, num_bits: int,
                    num_hashes: int) -> np.ndarray:
     """(n, k) bit indices via double hashing: idx_j = (h1 + j*h2) mod m."""

@@ -1434,6 +1434,56 @@ SELECT vec_id + {DUP_OFFSET} AS dropped FROM embeddings
 """
 
 
+_NGRAM_N = 13
+
+
+def q_decontam_ngrams(sf_dir: str) -> "rd.Dataset":
+    """GPT-3-style 13-gram decontamination, fully SQL-gated: the
+    benchmark set is DERIVED from the corpus itself (tokens 4..16 of
+    every doc_id < 30 with ≥ 16 tokens), so the oracle can rebuild the
+    exact snippet set and check consecutive-token containment as plain
+    substring search over the canonical single-space token stream with
+    space sentinels.  Window-hash equality (dual xxhash64) on the Ray
+    side == token-sequence equality on the SQL side."""
+    from .decontam import decontaminate_ngrams
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snippets(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.less(t["doc_id"], 30),
+                             pc.is_valid(t["text"])))
+        outs = []
+        for s in t.column("text").to_pylist():   # ≤ 30 rows, driver-free
+            toks = s.split()
+            if len(toks) >= _NGRAM_N + 3:
+                outs.append(" ".join(toks[3:3 + _NGRAM_N]))
+        return pa.table({"text": pa.array(outs, pa.string())})
+
+    bench = docs.map_batches(snippets, batch_format="pyarrow")
+    kept = decontaminate_ngrams(docs, bench, n=_NGRAM_N)
+    return kept.map_batches(lambda t: t.select(["doc_id"]),
+                            batch_format="pyarrow")
+
+
+DECONTAM_NGRAMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
+), bench AS (
+  SELECT DISTINCT array_to_string(ts[4:{3 + _NGRAM_N}], ' ') AS snippet
+  FROM toks WHERE doc_id < 30 AND len(ts) >= {3 + _NGRAM_N}
+), hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM toks t JOIN bench b
+    ON contains(' ' || array_to_string(t.ts, ' ') || ' ',
+                ' ' || b.snippet || ' ')
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
 DEDUP_EMBEDDING_ORACLE = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2528,6 +2578,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": q_dedup_embedding,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_lsh,
         "dedup_semantic": q_dedup_semantic,
+        "decontam_ngrams": q_decontam_ngrams,
         "hll_distinct_users": q_hll_distinct,
         "sample_documents": q_sample,
         "mixture_sample": q_mixture_sample,
@@ -2599,6 +2650,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_embedding_cosine": DEDUP_EMBEDDING_ORACLE,
         "dedup_embedding_cosine_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
         "dedup_semantic": DEDUP_SEMANTIC_ORACLE,
+        "decontam_ngrams": DECONTAM_NGRAMS_ORACLE,
         "hll_distinct_users": HLL_ORACLE,
         "sample_documents": SAMPLE_ORACLE,
         "mixture_sample": MIXTURE_SAMPLE_ORACLE,

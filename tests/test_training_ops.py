@@ -1801,3 +1801,60 @@ def test_substring_dedup_viral_class_bypass_identity():
     kept = viral.set_index("doc_id")["text"]
     assert unit in kept[0]
     assert all(unit not in kept[i] for i in range(2, 120, 2))
+
+
+def test_decontaminate_ngrams_matches_python_reference():
+    import ray
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.decontam import (
+        decontaminate_ngrams)
+
+    rng = np.random.RandomState(4)
+    vocab = ["w%d" % i for i in range(60)]
+    snippet = " ".join("leak%d" % i for i in range(5))        # 5 tokens
+    corpus_texts = []
+    for i in range(120):
+        toks = [vocab[v] for v in rng.randint(0, 60, rng.randint(2, 30))]
+        if i % 9 == 0:                       # plant mid-document
+            pos = rng.randint(0, len(toks) + 1)
+            toks = toks[:pos] + snippet.split() + toks[pos:]
+        corpus_texts.append(" ".join(toks))
+    corpus_texts += [snippet,                # exactly n tokens
+                     " ".join(snippet.split()[:4]),   # n-1: never dropped
+                     "  " + snippet.replace(" ", "\t \n") + " ",  # ws runs
+                     "", None]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(corpus_texts)), pa.int64()),
+        "text": pa.array(corpus_texts, pa.string()),
+    })).repartition(3)
+    bench = rd.from_arrow(pa.table({
+        "text": pa.array(["pre1 pre2 " + snippet + " post1", None],
+                         pa.string())}))
+    # benchmark windows = all 5-grams of its 8-token doc
+    bt = ("pre1 pre2 " + snippet + " post1").split()
+    bench_grams = {" ".join(bt[i:i + 5]) for i in range(len(bt) - 4)}
+
+    out = decontaminate_ngrams(corpus, bench, n=5)
+    kept = set(pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    ).column("doc_id").to_pylist())
+    for i, txt in enumerate(corpus_texts):
+        toks = txt.split() if txt else []
+        grams = {" ".join(toks[j:j + 5]) for j in range(len(toks) - 4)}
+        want_drop = bool(grams & bench_grams)
+        assert (i not in kept) == want_drop, (i, txt)
+
+
+def test_decontaminate_ngrams_empty_benchmark_keeps_all():
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.decontam import (
+        decontaminate_ngrams)
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b c d e f", "g h"], pa.string())}))
+    bench = rd.from_arrow(pa.table({
+        "text": pa.array(["too short"], pa.string())}))  # < n tokens
+    assert decontaminate_ngrams(corpus, bench, n=5).count() == 2
