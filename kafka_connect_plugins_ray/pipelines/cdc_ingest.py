@@ -178,6 +178,58 @@ def _partial_lww(t: pa.Table, key_cols: list[str], order_cols: list[str],
     return reduced
 
 
+def _view_contrib(t: pa.Table, group_by, sums,
+                  negate: bool = False) -> pa.Table:
+    """Per-group (n_rows, sum_*) contribution of one row set;
+    ``negate=True`` emits the RETRACTION (the incremental-view algebra:
+    maintained state = Σ insertions − Σ retractions, exactly-once per
+    row because each lake row is inserted once and retracted once)."""
+    for c in list(group_by) + list(sums):
+        if c not in t.column_names:
+            raise ValueError(
+                f"materialized-view column {c!r} is missing from a row "
+                "set — view columns must exist in every lake row "
+                "(views over columns added by later schema evolution "
+                "are unsupported)")
+    sel = t.select(list(group_by) + list(sums))
+    sign = np.int64(-1 if negate else 1)
+    sel = sel.append_column(
+        "n_rows", pa.array(np.full(t.num_rows, sign), pa.int64()))
+    aggs = [(c, "sum") for c in sums] + [("n_rows", "sum")]
+    g = sel.group_by(list(group_by)).aggregate(aggs)
+    g = g.rename_columns(list(group_by) + [f"sum_{c}" for c in sums]
+                         + ["n_rows"])
+    if negate and sums:
+        for c in sums:
+            i = g.column_names.index(f"sum_{c}")
+            g = g.set_column(i, f"sum_{c}",
+                             pc.negate_checked(g.column(f"sum_{c}")))
+    return g.select(list(group_by) + ["n_rows"]
+                    + [f"sum_{c}" for c in sums])
+
+
+def _fold_views(tables: "list[pa.Table]", group_by, sums,
+                final: bool = False) -> pa.Table:
+    """Group-sum a list of contribution tables.  ``final=True`` checks
+    the maintained-state invariant (no group may net negative) and drops
+    emptied groups; intermediate folds keep negatives (a cycle's
+    retractions can legitimately exceed its insertions per group)."""
+    t = pa.concat_tables(tables, promote_options="permissive")
+    aggs = [("n_rows", "sum")] + [(f"sum_{c}", "sum") for c in sums]
+    g = t.group_by(list(group_by)).aggregate(aggs)
+    g = g.rename_columns(list(group_by) + ["n_rows"]
+                         + [f"sum_{c}" for c in sums])
+    if final:
+        n = g.column("n_rows")
+        if pc.min(n).as_py() is not None and pc.min(n).as_py() < 0:
+            raise RuntimeError(
+                "materialized view went negative — retraction without a "
+                "matching insertion (corrupt view state?)")
+        g = g.filter(pc.greater(n, 0))
+        g = g.sort_by([(c, "ascending") for c in group_by])
+    return g
+
+
 class MergeGroup:
     """map_groups callable: merge one partition's new events with its
     previous lake file and write the next version's file.
@@ -192,7 +244,8 @@ class MergeGroup:
     def __init__(self, lake_root: str, parent_files: dict[int, str],
                  data_dir: str, key_cols: Sequence[str],
                  order_cols: Sequence[str], lsn_col: str, op_col: str,
-                 parent_deltas: "dict[int, list] | None" = None):
+                 parent_deltas: "dict[int, list] | None" = None,
+                 views: "dict[str, dict] | None" = None):
         self.lake_root = lake_root
         self.parent_files = parent_files
         self.parent_deltas = parent_deltas or {}
@@ -201,6 +254,7 @@ class MergeGroup:
         self.order_cols = list(order_cols)
         self.lsn_col = lsn_col
         self.op_col = op_col
+        self.views = views or {}
 
     def __call__(self, pid: int, group: pa.Table) -> dict:
         events = group.drop_columns(["partition_id"])
@@ -230,6 +284,28 @@ class MergeGroup:
             self.lake_root, self.parent_files.get(pid),
             self.parent_deltas.get(pid, []), self.key_cols, self.op_col)
 
+        # incremental-view deltas: +contrib(new upserts) − contrib(old
+        # rows of TOUCHED keys) — computed here because the merge is the
+        # one place that sees both sides of every row transition
+        view_deltas: dict[str, pa.Table] = {}
+        if self.views:
+            touched_keys = final_events.select(self.key_cols)
+            old_touched = (old.join(touched_keys, keys=self.key_cols,
+                                    join_type="left semi")
+                           if old is not None and old.num_rows else None)
+            for vname, spec in self.views.items():
+                parts = []
+                if upserts.num_rows:
+                    parts.append(_view_contrib(
+                        upserts, spec["group_by"], spec["sums"]))
+                if old_touched is not None and old_touched.num_rows:
+                    parts.append(_view_contrib(
+                        old_touched, spec["group_by"], spec["sums"],
+                        negate=True))
+                if parts:
+                    view_deltas[vname] = _fold_views(
+                        parts, spec["group_by"], spec["sums"])
+
         if old is not None and old.num_rows:
             # remove every touched key from the old state (deletes AND
             # upserted keys), then append the new upserts
@@ -250,7 +326,7 @@ class MergeGroup:
         pq.write_table(merged, tmp)
         os.replace(tmp, abspath)  # deterministic name => idempotent retry
 
-        return {
+        out = {
             "partition_id": pid,
             "file": rel,
             "rows": merged.num_rows,
@@ -262,6 +338,9 @@ class MergeGroup:
             "lsn_max": lsn_max,
             "columns": ",".join(merged.column_names),
         }
+        if view_deltas:
+            out["views"] = view_deltas
+        return out
 
 
 class DeltaGroup:
@@ -331,7 +410,8 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
            lsn_col: str = "lsn", op_col: str = "op",
            num_partitions: int = DEFAULT_NUM_PARTITIONS,
            resume: bool = True, pre_reduce: bool = True,
-           mode: str = "cow") -> Manifest:
+           mode: str = "cow",
+           views: "dict[str, dict] | None" = None) -> Manifest:
     """One ingest cycle; returns the committed manifest.
 
     ``resume=True`` skips events at or below the current manifest's
@@ -363,6 +443,33 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     store = LakeStore(lake_root)
     parent = store.current()
     version = (parent.version + 1) if parent else 1
+
+    # materialized views: specs are PINNED like key_cols — carried from
+    # the manifest; registering on an existing lake goes through
+    # create_view (which bootstraps from current state)
+    if parent is not None and parent.views:
+        carried = {n: {"group_by": v["group_by"], "sums": v["sums"]}
+                   for n, v in parent.views.items()}
+        if views is not None and {
+                n: {"group_by": list(s["group_by"]),
+                    "sums": list(s.get("sums", []))}
+                for n, s in views.items()} != carried:
+            raise ValueError(
+                "views= differs from the manifest's pinned view specs — "
+                "use create_view to add a view to an existing lake")
+        eff_views = carried
+    else:
+        if parent is not None and views:
+            raise ValueError(
+                "this lake has no views yet — register with create_view "
+                "(ingest(views=) only creates views on a NEW lake)")
+        eff_views = {n: {"group_by": list(s["group_by"]),
+                         "sums": list(s.get("sums", []))}
+                     for n, s in (views or {}).items()}
+    if eff_views and mode == "delta":
+        raise ValueError(
+            "materialized views require mode='cow' (delta ingests never "
+            "read the base, so the view retractions cannot be computed)")
 
     if parent is not None and parent.num_partitions is not None:
         # the lake's layout is pinned at creation: routing new events with a
@@ -409,6 +516,7 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
             lake_root, parent.files if parent else {}, data_dir,
             key_cols, order_cols, lsn_col, op_col,
             parent_deltas=parent.deltas if parent else None,
+            views=eff_views,
         )
     # the ONE wide step: explicit two-stage hash exchange (see exchange.py
     # for why this outperforms Dataset.groupby here by ~10x)
@@ -452,6 +560,36 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         hw = max(hw, int(row["lsn_max"]))
         columns.update(row["columns"].split(","))
 
+    # fold this cycle's per-partition view deltas into the previous
+    # committed view state; untouched views carry forward by reference.
+    # Driver-side by design: a view's group cardinality is its contract
+    # (low-cardinality aggregates); the per-cycle deltas are bounded by
+    # touched groups.
+    views_out: dict[str, dict] = {}
+    for vname, spec in eff_views.items():
+        prev_rel = (parent.views[vname].get("file")
+                    if parent and vname in parent.views else None)
+        parts = []
+        if prev_rel:
+            parts.append(pq.read_table(os.path.join(lake_root, prev_rel)))
+        deltas_v = [row["views"][vname] for row in lineage_rows
+                    if row.get("views", {}).get(vname) is not None]
+        if not deltas_v and prev_rel:
+            rel: "str | None" = prev_rel      # nothing touched: carry
+        elif not deltas_v and not parts:
+            rel = None                        # empty lake, empty cycle
+        else:
+            folded = _fold_views(parts + deltas_v, spec["group_by"],
+                                 spec["sums"], final=True)
+            rel = f"{data_dir}/view-{vname}.parquet"
+            abspath = os.path.join(lake_root, rel)
+            os.makedirs(os.path.dirname(abspath), exist_ok=True)
+            tmp = abspath + f".tmp-{os.getpid()}"
+            pq.write_table(folded, tmp)
+            os.replace(tmp, abspath)
+        views_out[vname] = {"group_by": list(spec["group_by"]),
+                            "sums": list(spec["sums"]), "file": rel}
+
     manifest = Manifest(
         version=version,
         parent=parent.version if parent else None,
@@ -463,6 +601,7 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         deltas={k: v for k, v in deltas.items() if v},
         key_cols=list(key_cols),
         op_col=op_col,
+        views=views_out,
     )
     store.commit(manifest, expected_parent=parent.version if parent else None)
     return manifest
@@ -500,6 +639,76 @@ def lookup_key(lake_root: str, key_values: Sequence[str],
         m = pc.equal(t[col], val)
         mask = m if mask is None else pc.and_(mask, m)
     return t.filter(mask)
+
+
+def read_view(lake_root: str, name: str,
+              version: "int | None" = None) -> pa.Table:
+    """The committed materialized-view table at CURRENT (or a historical
+    version — views time-travel with their manifests like data files)."""
+    store = LakeStore(lake_root)
+    manifest = (store.current() if version is None
+                else store.read_manifest(version))
+    if manifest is None or name not in manifest.views:
+        raise KeyError(f"no view {name!r} in lake {lake_root}")
+    spec = manifest.views[name]
+    if spec.get("file") is None:
+        return pa.table({c: pa.array([], pa.string())
+                         for c in spec["group_by"]}) \
+            .append_column("n_rows", pa.array([], pa.int64()))
+    return pq.read_table(store.abspath(spec["file"]))
+
+
+def create_view(lake_root: str, name: str, group_by: Sequence[str],
+                sums: Sequence[str] = ()) -> Manifest:
+    """Register a materialized view on an EXISTING lake: bootstrap its
+    state from the current committed snapshot (one distributed pass —
+    per-block contributions folded up the fan-in tree), stage the view
+    file attempt-scoped, commit a new manifest version.  Subsequent
+    ``ingest`` cycles maintain it incrementally from the merge diffs."""
+    import secrets
+
+    from ..exchange import tree_aggregate
+
+    store = LakeStore(lake_root)
+    parent = store.current()
+    if parent is None:
+        raise ValueError("create_view needs a committed lake — pass "
+                         "views= to the first ingest instead")
+    if name in parent.views:
+        raise ValueError(f"view {name!r} already exists")
+    if parent.deltas:
+        raise ValueError("compact the delta chain before registering a "
+                         "view (views require cow-mode lakes)")
+    gb, sm = list(group_by), list(sums)
+    state = read_lake(lake_root)
+    partials = state.map_batches(
+        lambda t: _view_contrib(t, gb, sm), batch_format="pyarrow")
+    folded = tree_aggregate(
+        partials, lambda t: _fold_views([t], gb, sm))
+    if folded is not None:
+        folded = _fold_views([folded], gb, sm, final=True)
+    version = parent.version + 1
+    data_dir = f"data/v{version}-{secrets.token_hex(4)}"
+    rel: "str | None" = None
+    if folded is not None and folded.num_rows:
+        rel = f"{data_dir}/view-{name}.parquet"
+        abspath = os.path.join(lake_root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp-{os.getpid()}"
+        pq.write_table(folded, tmp)
+        os.replace(tmp, abspath)
+    manifest = Manifest(
+        version=version, parent=parent.version,
+        high_water_lsn=parent.high_water_lsn,
+        files=parent.files, partitions=parent.partitions,
+        schema=parent.schema, num_partitions=parent.num_partitions,
+        deltas=parent.deltas, key_cols=parent.key_cols,
+        op_col=parent.op_col,
+        views={**parent.views,
+               name: {"group_by": gb, "sums": sm, "file": rel}},
+    )
+    store.commit(manifest, expected_parent=parent.version)
+    return manifest
 
 
 def read_lake(lake_root: str, columns: "list[str] | None" = None,

@@ -47,6 +47,9 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
         out = set(man.files.values())
         for chain in man.deltas.values():
             out.update(chain)
+        for v in man.views.values():
+            if v.get("file"):
+                out.add(v["file"])
         return out
 
     m = store.read_manifest(current)
@@ -297,6 +300,7 @@ def compact_lake(lake_root: str) -> Manifest:
         files=files, partitions=partitions, schema=parent.schema,
         num_partitions=parent.num_partitions,
         deltas=deltas, key_cols=parent.key_cols, op_col=parent.op_col,
+        views=parent.views,  # group aggregates don't depend on layout
     )
     store.commit(manifest, expected_parent=parent.version)
     return manifest
@@ -354,6 +358,7 @@ def repartition_lake(lake_root: str, new_num_partitions: int,
         files=files, partitions=partitions, schema=parent.schema,
         num_partitions=new_num_partitions,
         key_cols=parent.key_cols, op_col=parent.op_col,
+        views=parent.views,  # group aggregates don't depend on layout
         # deltas deliberately empty: read_lake resolved any pending chain,
         # so the rewrite is also a full compaction
     )

@@ -103,7 +103,8 @@ def cdc_full_state(sf_dir: str) -> "rd.Dataset":
 
 
 def _two_segment_lake(sf_dir: str, with_metadata: bool = False,
-                      seg2_mode: str = "cow") -> str:
+                      seg2_mode: str = "cow",
+                      views: "dict[str, dict] | None" = None) -> str:
     """Base binlog ingest + a later rounds=1 segment into one lake.
     Segment 2's lsn base must (a) clear segment 1's high water at ANY
     fixture size (seg-1 lsn <= 4*max_doc + 3) and (b) be derivable in SQL
@@ -111,7 +112,7 @@ def _two_segment_lake(sf_dir: str, with_metadata: bool = False,
     import pyarrow.parquet as pq
 
     lake = tempfile.mkdtemp(prefix="kcp_lake_2seg_")
-    m1 = ingest(lake, binlog_from_documents(sf_dir))
+    m1 = ingest(lake, binlog_from_documents(sf_dir), views=views)
     max_doc = pc.max(pq.read_table(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id"])["doc_id"]).as_py()
@@ -144,6 +145,34 @@ SELECT 'repo-' || (doc_id % 50) AS repo,
          + doc_id * 5 + (doc_id % 3 + 1) AS lsn
 FROM documents
 WHERE doc_id % 17 <> 0
+"""
+
+
+def cdc_view_state(sf_dir: str) -> pa.Table:
+    """Incrementally-MAINTAINED materialized aggregate, driver-gated:
+    the view (GROUP BY lang: count + sum(lsn)) registers at lake
+    creation and is maintained per ingest cycle from the COW merge's
+    insertion/retraction diff — never recomputed from the lake.  After
+    the two segments (every key updated once, 1/17 of keys deleted) the
+    maintained table must equal a plain GROUP BY over the full
+    final-state recompute SQL."""
+    from .cdc_ingest import read_view
+
+    lake = _two_segment_lake(
+        sf_dir, views={"by_lang": {"group_by": ["lang"],
+                                   "sums": ["lsn"]}})
+    return read_view(lake, "by_lang")
+
+
+CDC_VIEW_ORACLE = """
+SELECT lang, count(*) AS n_rows, CAST(sum(lsn) AS BIGINT) AS sum_lsn
+FROM (
+  SELECT lang,
+         (SELECT max(doc_id) * 4 + 4 FROM documents)
+           + doc_id * 5 + (doc_id % 3 + 1) AS lsn
+  FROM documents
+  WHERE doc_id % 17 <> 0
+) GROUP BY lang
 """
 
 
@@ -2536,6 +2565,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "budget_select": q_budget_select,
         "cdc_incremental_state": cdc_incremental_state,
+        "cdc_view_state": cdc_view_state,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_full_state": cdc_full_state,
@@ -2612,6 +2642,7 @@ def build_oracles() -> dict[str, str]:
         "pii_redact": PII_REDACT_ORACLE,
         "budget_select": BUDGET_SELECT_ORACLE,
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
+        "cdc_view_state": CDC_VIEW_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,
         "cdc_full_state": CDC_FULL_ORACLE,

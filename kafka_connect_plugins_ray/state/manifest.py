@@ -61,6 +61,9 @@ class Manifest:
     # delta chains without out-of-band knowledge
     key_cols: "list | None" = None
     op_col: "str | None" = None
+    # incrementally-maintained materialized views (cdc_ingest.ViewSpec):
+    # name -> {"group_by": [...], "sums": [...], "file": relpath}
+    views: dict = field(default_factory=dict)
 
     def partition_files(self, pid: int) -> "tuple[str | None, list]":
         """(base file, ordered delta files) for one partition."""
@@ -79,6 +82,7 @@ class Manifest:
                 "deltas": {str(k): v for k, v in self.deltas.items() if v},
                 "key_cols": self.key_cols,
                 "op_col": self.op_col,
+                "views": self.views,
             },
             indent=1,
             sort_keys=True,
@@ -98,6 +102,7 @@ class Manifest:
             deltas={int(k): list(v) for k, v in d.get("deltas", {}).items()},
             key_cols=d.get("key_cols"),
             op_col=d.get("op_col"),
+            views=d.get("views", {}),
         )
 
 

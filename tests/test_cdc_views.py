@@ -1,0 +1,156 @@
+"""Incrementally-maintained materialized views: the maintained table
+must equal a full recompute (pandas GROUP BY over read_lake) after
+every cycle — updates, deletes, replays, bootstrap, carry-forward —
+with exactly-once semantics through the attempt-dir + manifest-swap
+protocol the data files already use."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.cdc_ingest import (
+    create_view,
+    ingest,
+    read_lake,
+    read_view,
+)
+
+VIEW = {"by_lang": {"group_by": ["lang"], "sums": ["size"]}}
+
+
+def _events(rows):
+    """rows: (repo, path, commit, lang, size, lsn, op)."""
+    cols = list(zip(*rows))
+    return rd.from_arrow(pa.table({
+        "repo": pa.array(cols[0], pa.string()),
+        "path": pa.array(cols[1], pa.string()),
+        "commit": pa.array(cols[2], pa.string()),
+        "lang": pa.array(cols[3], pa.string()),
+        "size": pa.array(cols[4], pa.int64()),
+        "lsn": pa.array(cols[5], pa.int64()),
+        "op": pa.array(cols[6], pa.string()),
+    }))
+
+
+def _recompute(lake):
+    df = read_lake(lake).to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["lang", "n_rows", "sum_size"])
+    g = df.groupby("lang", dropna=False).agg(
+        n_rows=("lang", "size"), sum_size=("size", "sum")).reset_index()
+    return g.sort_values("lang").reset_index(drop=True)
+
+
+def _view_df(lake):
+    t = read_view(lake, "by_lang").to_pandas()
+    return t.sort_values("lang").reset_index(drop=True)[
+        ["lang", "n_rows", "sum_size"]].astype(
+            {"n_rows": "int64", "sum_size": "int64"})
+
+
+def _check(lake):
+    got = _view_df(lake)
+    want = _recompute(lake).astype({"n_rows": "int64",
+                                    "sum_size": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_view_tracks_updates_deletes_and_replay(tmp_path):
+    lake = str(tmp_path / "lake")
+    seg1 = [("r", f"p{i}", "c1", "py" if i % 2 else "go", 10 + i, i, "upsert")
+            for i in range(20)]
+    ingest(lake, _events(seg1), num_partitions=4, views=VIEW)
+    _check(lake)
+    # updates move keys ACROSS groups (lang change), plus deletes
+    seg2 = [("r", f"p{i}", "c2", "rs", 100 + i, 100 + i, "upsert")
+            for i in range(0, 8)]
+    seg2 += [("r", f"p{i}", "c2", "py", 0, 120 + i, "delete")
+             for i in range(8, 12)]
+    ingest(lake, _events(seg2), num_partitions=4)
+    _check(lake)
+    # full replay of segment 2 with resume OFF: LWW no-ops the data and
+    # the view's retraction algebra must net zero
+    before = _view_df(lake)
+    ingest(lake, _events(seg2), num_partitions=4, resume=False)
+    pd.testing.assert_frame_equal(_view_df(lake), before)
+    _check(lake)
+    # resume ON replay: everything filtered, view carried by reference
+    m_before = read_view(lake, "by_lang")
+    ingest(lake, _events(seg2), num_partitions=4)
+    assert read_view(lake, "by_lang").equals(m_before)
+
+
+def test_view_time_travel_and_gc(tmp_path):
+    from kafka_connect_plugins_ray.pipelines.maintenance import gc
+
+    lake = str(tmp_path / "lake")
+    ingest(lake, _events([("r", "a", "c1", "py", 5, 0, "upsert")]),
+           num_partitions=2, views=VIEW)
+    v1 = read_view(lake, "by_lang", version=1)
+    ingest(lake, _events([("r", "a", "c2", "go", 7, 1, "upsert")]),
+           num_partitions=2)
+    assert _view_df(lake)["lang"].tolist() == ["go"]
+    assert v1.to_pandas()["lang"].tolist() == ["py"]
+    gc(lake, keep_versions=2)
+    _check(lake)                     # live view file survives gc
+
+
+def test_delta_mode_with_views_raises(tmp_path):
+    lake = str(tmp_path / "lake")
+    ingest(lake, _events([("r", "a", "c1", "py", 5, 0, "upsert")]),
+           num_partitions=2, views=VIEW)
+    with pytest.raises(ValueError, match="cow"):
+        ingest(lake, _events([("r", "a", "c2", "py", 6, 1, "upsert")]),
+               num_partitions=2, mode="delta")
+
+
+def test_create_view_bootstrap_then_maintain(tmp_path):
+    lake = str(tmp_path / "lake")
+    seg1 = [("r", f"p{i}", "c1", ["py", "go", "rs"][i % 3], i, i, "upsert")
+            for i in range(30)]
+    ingest(lake, _events(seg1), num_partitions=4)       # no views yet
+    with pytest.raises(ValueError, match="create_view"):
+        ingest(lake, _events([("r", "x", "c1", "py", 1, 99, "upsert")]),
+               num_partitions=4, views=VIEW)
+    create_view(lake, "by_lang", ["lang"], ["size"])
+    _check(lake)
+    seg2 = [("r", f"p{i}", "c2", "py", 1000, 100 + i, "upsert")
+            for i in range(5)] + \
+           [("r", "p6", "c2", "go", 0, 140, "delete")]
+    ingest(lake, _events(seg2), num_partitions=4)       # maintained now
+    _check(lake)
+
+
+def test_view_spec_pinned(tmp_path):
+    lake = str(tmp_path / "lake")
+    ingest(lake, _events([("r", "a", "c1", "py", 5, 0, "upsert")]),
+           num_partitions=2, views=VIEW)
+    with pytest.raises(ValueError, match="pinned|create_view"):
+        ingest(lake, _events([("r", "b", "c1", "py", 5, 1, "upsert")]),
+               num_partitions=2,
+               views={"other": {"group_by": ["repo"], "sums": []}})
+
+
+def test_crash_before_commit_replay_view_identical(tmp_path, monkeypatch):
+    from kafka_connect_plugins_ray.state import manifest as man_mod
+
+    lake = str(tmp_path / "lake")
+    seg1 = [("r", f"p{i}", "c1", "py" if i % 2 else "go", i, i, "upsert")
+            for i in range(12)]
+    ingest(lake, _events(seg1), num_partitions=2, views=VIEW)
+    seg2 = [("r", f"p{i}", "c2", "rs", 50, 50 + i, "upsert")
+            for i in range(6)]
+    orig = man_mod.LakeStore.commit
+    boom = RuntimeError("injected crash before manifest swap")
+
+    def crash(self, m, **kw):
+        raise boom
+
+    monkeypatch.setattr(man_mod.LakeStore, "commit", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest(lake, _events(seg2), num_partitions=2)
+    monkeypatch.setattr(man_mod.LakeStore, "commit", orig)
+    ingest(lake, _events(seg2), num_partitions=2)       # replay
+    _check(lake)
