@@ -111,6 +111,19 @@ def main(argv: "list[str] | None" = None) -> int:
                          "reference Kotlin class names accepted; "
                          "${env:}/${file:} providers resolved)")
 
+    pv = sub.add_parser(
+        "view", help="materialized views: create (bootstrap on an "
+                     "existing lake) or show (print the maintained table)")
+    pv.add_argument("action", choices=["create", "show"])
+    pv.add_argument("--lake", required=True)
+    pv.add_argument("--name", required=True)
+    pv.add_argument("--group-by", help="comma-separated group columns "
+                                       "(create)")
+    pv.add_argument("--sums", default="",
+                    help="comma-separated numeric columns to sum (create)")
+    pv.add_argument("--version", type=int, default=None,
+                    help="time-travel version (show)")
+
     pd = sub.add_parser(
         "dedup", help="dedup one segment against a persisted exact-dedup "
                       "index (incremental: O(segment) per cycle)")
@@ -239,6 +252,22 @@ def main(argv: "list[str] | None" = None) -> int:
             m = repartition_lake(args.lake, args.partitions)
             print(json.dumps({"version": m.version,
                               "num_partitions": m.num_partitions}))
+        elif args.cmd == "view":
+            from .pipelines.cdc_ingest import create_view, read_view
+
+            if args.action == "create":
+                if not args.group_by:
+                    raise SystemExit("view create needs --group-by")
+                m = create_view(
+                    args.lake, args.name,
+                    [c for c in args.group_by.split(",") if c],
+                    [c for c in args.sums.split(",") if c])
+                print(json.dumps({"version": m.version,
+                                  "view": args.name,
+                                  "file": m.views[args.name]["file"]}))
+            else:
+                t = read_view(args.lake, args.name, version=args.version)
+                print(json.dumps(t.to_pylist(), default=str))
         elif args.cmd == "dedup":
             import glob as _glob
             import os as _os

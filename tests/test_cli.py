@@ -185,3 +185,23 @@ def test_cli_dedup_incremental(tmp_path, capsys):
                  "--segment-id", "s2", "--buckets", "4"]) == 0
     r2b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2b["already_committed"] and r2b["version"] == 1
+
+
+def test_cli_view_create_and_show(tmp_path, capsys):
+    lake = str(tmp_path / "viewlake")
+    assert main(["ingest", "--lake", lake, "--sf-dir",
+                 "/root/testdata/sf0.001", "--partitions", "4"]) == 0
+    capsys.readouterr()
+    assert main(["view", "create", "--lake", lake, "--name", "by_lang",
+                 "--group-by", "lang", "--sums", "lsn"]) == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["view"] == "by_lang" and created["version"] == 2
+    # another ingest cycle maintains it; show prints the table
+    assert main(["ingest", "--lake", lake, "--sf-dir",
+                 "/root/testdata/sf0.001", "--rounds", "1"]) == 0
+    capsys.readouterr()
+    assert main(["view", "show", "--lake", lake, "--name", "by_lang"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and all(r["n_rows"] > 0 for r in rows)
+    langs = {r["lang"] for r in rows}
+    assert len(langs) == len(rows)
