@@ -238,7 +238,8 @@ class DedupIndex:
                 }), tmp)
                 os.replace(tmp, out)
             return {"bucket": pid, "rel": rel, "n_new": n_new,
-                    "n_sigs": old_keys.size + n_new, "drops": drops}
+                    "n_sigs": old_keys.size + n_new, "drops": drops,
+                    "n_docs": int(n.sum())}
 
         partials = docs.map_batches(self._partial, batch_format="pyarrow")
         results = hash_exchange(partials, "bucket", nb, reduce_bucket)
@@ -321,13 +322,14 @@ class DedupIndex:
 
         files = dict(old_files)
         n_new = 0
+        n_docs = 0       # from the exchange partials — no extra pass
         for r in results:
             if r is None:
                 continue
             n_new += r["n_new"]
+            n_docs += r["n_docs"]
             if r["rel"] is not None:
                 files[r["bucket"]] = r["rel"]
-        n_docs = int(docs.count())
         new_man = IndexManifest(
             version=version, parent=parent, num_buckets=self.num_buckets,
             files=files,

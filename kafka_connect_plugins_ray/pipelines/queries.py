@@ -1243,7 +1243,12 @@ def q_dedup_incremental(sf_dir: str) -> "rd.Dataset":
 
     from .dedup_index import DedupIndex, filter_segment
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # gate-harness plumbing: the corpus arrives pre-segmented at scale
+    # (binlog files through cli dedup); here we split one table by id
+    # range and MATERIALIZE the small segments once so each index
+    # update's passes reuse blocks instead of re-reading the parquet
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text"]).materialize()
     mx = int(docs.max("doc_id"))
     cuts = [(mx + 1) // 3, 2 * (mx + 1) // 3, mx + 1]
 
@@ -1261,7 +1266,7 @@ def q_dedup_incremental(sf_dir: str) -> "rd.Dataset":
         lo = 0
         for i, hi in enumerate(cuts):
             seg = docs.map_batches(seg_filter(lo, hi),
-                                   batch_format="pyarrow")
+                                   batch_format="pyarrow").materialize()
             r = idx.update(seg, f"segment-{i}")
             kept.append(filter_segment(seg, r["drop_ids"]))
             lo = hi
