@@ -150,6 +150,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("global_shuffle", Q.q_global_shuffle)
     consume("web_prep", Q.q_web_prep)
     consume("decontam_ngrams", Q.q_decontam_ngrams)
+    consume("chunk_documents", Q.q_chunk_documents)
 
     ray.shutdown()
     return {

@@ -1470,6 +1470,36 @@ SELECT vec_id + {DUP_OFFSET} AS dropped FROM embeddings
 
 _NGRAM_N = 13
 
+_CHUNK, _CHUNK_OVL = 200, 32
+
+
+def q_chunk_documents(sf_dir: str) -> "rd.Dataset":
+    """Overlapping character chunking (RAG/context-window prep) over the
+    documents table — chunk/overlap sized so sf texts produce multi-chunk
+    docs; exact SQL mirror via substr + a lateral generate_series."""
+    from .text import chunk_documents
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_chars=_CHUNK, overlap=_CHUNK_OVL)
+
+
+CHUNK_DOCUMENTS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+), n AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(ceil((L - {_CHUNK_OVL})
+                               / {_CHUNK - _CHUNK_OVL}.0) AS BIGINT))
+           AS nc
+  FROM d
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+       k * {_CHUNK - _CHUNK_OVL} AS start_char,
+       substr(text, k * {_CHUNK - _CHUNK_OVL} + 1, {_CHUNK}) AS chunk_text
+FROM n, UNNEST(generate_series(0, nc - 1)) AS t(k)
+"""
+
 
 def q_decontam_ngrams(sf_dir: str) -> "rd.Dataset":
     """GPT-3-style 13-gram decontamination, fully SQL-gated: the
@@ -2614,6 +2644,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_lsh,
         "dedup_semantic": q_dedup_semantic,
         "decontam_ngrams": q_decontam_ngrams,
+        "chunk_documents": q_chunk_documents,
         "hll_distinct_users": q_hll_distinct,
         "sample_documents": q_sample,
         "mixture_sample": q_mixture_sample,
@@ -2687,6 +2718,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_embedding_cosine_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
         "dedup_semantic": DEDUP_SEMANTIC_ORACLE,
         "decontam_ngrams": DECONTAM_NGRAMS_ORACLE,
+        "chunk_documents": CHUNK_DOCUMENTS_ORACLE,
         "hll_distinct_users": HLL_ORACLE,
         "sample_documents": SAMPLE_ORACLE,
         "mixture_sample": MIXTURE_SAMPLE_ORACLE,

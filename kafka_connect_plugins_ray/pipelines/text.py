@@ -311,3 +311,59 @@ def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
     # merges, non-SQL-expressible, pytest-gated + bench --bpe)
     out["n_subtokens"] = text.str.count(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]").astype("int64")
     return out
+
+
+def chunk_documents(docs, chunk_chars: int = 512, overlap: int = 64,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-size overlapping character chunks —
+    the RAG / context-window preprocessing shape: chunk k covers
+    characters [k·stride, k·stride + chunk_chars) with stride =
+    chunk_chars − overlap, so consecutive chunks share ``overlap``
+    characters and every character is covered.  A non-empty doc yields
+    ≥ 1 chunk; null/empty docs yield none.  Character (codepoint)
+    semantics on both engines: pyarrow ``utf8_slice_codeunits`` ==
+    DuckDB ``substr``/``length``.
+
+    Vectorized per CHUNK INDEX: iteration k slices the whole batch once
+    at scalar offsets (no per-row Python); per-batch cost is
+    O(max_chunks_in_batch × rows), so corpora with giant outlier docs
+    want smaller ``batch_size`` (or a length-bucketed repartition)
+    rather than a bigger one.  Output: (id, chunk_idx, start_char,
+    chunk_text)."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        lens = np.asarray(pc.fill_null(pc.utf8_length(t.column(text_col)),
+                                       0), dtype=np.int64)
+        n_chunks = np.where(
+            lens > 0,
+            np.maximum(1, -(-(lens - overlap) // stride)), 0)
+        outs = []
+        kmax = int(n_chunks.max()) if n_chunks.size else 0
+        for k in range(kmax):
+            mask = pa.array(n_chunks > k)
+            sub_ids = ids.filter(mask)
+            sliced = pc.utf8_slice_codeunits(
+                t.column(text_col).filter(mask),
+                k * stride, k * stride + chunk_chars)
+            m = len(sub_ids)
+            outs.append(pa.table({
+                id_col: sub_ids,
+                "chunk_idx": pa.array(np.full(m, k, np.int32), pa.int32()),
+                "start_char": pa.array(np.full(m, k * stride, np.int64),
+                                       pa.int64()),
+                "chunk_text": sliced,
+            }))
+        if not outs:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int32()),
+                "start_char": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            })
+        return pa.concat_tables(outs)
+
+    return docs.map_batches(chunk, batch_format="pyarrow")

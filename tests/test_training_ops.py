@@ -1858,3 +1858,60 @@ def test_decontaminate_ngrams_empty_benchmark_keeps_all():
     bench = rd.from_arrow(pa.table({
         "text": pa.array(["too short"], pa.string())}))  # < n tokens
     assert decontaminate_ngrams(corpus, bench, n=5).count() == 2
+
+
+def test_chunk_documents_matches_python_reference():
+    import ray
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.text import chunk_documents
+
+    texts = ["abcdefghij" * 7,            # 70 chars: multi-chunk
+             "x" * 20,                    # exactly chunk size
+             "x" * 21,                    # one char over
+             "short",                     # under overlap
+             "héllö wörld " * 5,          # multibyte codepoints
+             "", None]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    size, ovl = 20, 6
+    stride = size - ovl
+    out = pa.concat_tables([t for t in ray.get(
+        chunk_documents(docs, size, ovl).to_arrow_refs()) if t.num_rows])
+    got = sorted(zip(out["doc_id"].to_pylist(),
+                     out["chunk_idx"].to_pylist(),
+                     out["start_char"].to_pylist(),
+                     out["chunk_text"].to_pylist()))
+    want = []
+    for i, txt in enumerate(texts):
+        if not txt:
+            continue
+        n = max(1, -(-(len(txt) - ovl) // stride))
+        for k in range(n):
+            want.append((i, k, k * stride,
+                         txt[k * stride:k * stride + size]))
+    assert got == sorted(want)
+    # coverage: concatenating chunks with the overlap removed rebuilds
+    # every doc exactly
+    by_doc = {}
+    for d, k, s, c in got:
+        by_doc.setdefault(d, []).append((k, c))
+    for i, txt in enumerate(texts):
+        if not txt:
+            continue
+        parts = [c if k == 0 else c[ovl:]
+                 for k, c in sorted(by_doc[i])]
+        assert "".join(parts) == txt, i
+
+
+def test_chunk_documents_validates_params():
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.text import chunk_documents
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                   "text": pa.array(["x"], pa.string())}))
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_chars=10, overlap=10)
