@@ -175,6 +175,8 @@ def decode_lossless(data: bytes) -> np.ndarray:
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             raise JpegError(f"expected marker at byte {i}")
+        while i + 2 < len(data) and data[i + 1] == 0xFF:
+            i += 1                      # spec-legal fill bytes (B.1.1.2)
         marker = data[i + 1]
         if marker == 0xD9:
             break
@@ -330,6 +332,8 @@ def is_lossless(data: bytes) -> bool:
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             return False
+        while i + 2 < len(data) and data[i + 1] == 0xFF:
+            i += 1                      # fill bytes
         marker = data[i + 1]
         if marker == 0xC3:
             return True

@@ -269,3 +269,23 @@ def test_precise_errors():
     sub[j + 11] = 0x21                          # Hi=2
     with pytest.raises(JpegError, match="subsampled"):
         decode_lossless(bytes(sub))
+
+
+def test_fill_bytes_between_markers_tolerated():
+    # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    # bytes; doctor a stream with fill runs before SOF3/DHT/SOS
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (9, 9)).astype(np.uint8)
+    enc = encode_lossless(img)
+    doctored = bytearray()
+    i = 0
+    doctored += enc[:2]
+    i = 2
+    while i + 4 <= len(enc) and enc[i] == 0xFF and enc[i + 1] != 0xDA:
+        doctored += b"\xff\xff\xff"        # fill run before the marker
+        seg_len = struct.unpack(">H", enc[i + 2:i + 4])[0]
+        doctored += enc[i:i + 2 + seg_len]
+        i += 2 + seg_len
+    doctored += enc[i:]
+    assert is_lossless(bytes(doctored))
+    assert (decode_lossless(bytes(doctored)) == img).all()
