@@ -151,6 +151,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("web_prep", Q.q_web_prep)
     consume("decontam_ngrams", Q.q_decontam_ngrams)
     consume("chunk_documents", Q.q_chunk_documents)
+    consume("text_search", Q.q_text_search)
 
     ray.shutdown()
     return {

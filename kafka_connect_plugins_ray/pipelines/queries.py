@@ -1472,6 +1472,44 @@ _NGRAM_N = 13
 
 _CHUNK, _CHUNK_OVL = 200, 32
 
+_SEARCH_TERMS = ("merge", "scan", "window")
+
+
+def q_text_search(sf_dir: str) -> pa.Table:
+    """Persisted inverted-index term search, fully SQL-gated on its
+    integer surface: build the index (one segment update), then AND-
+    search three fixed vocabulary terms — (doc_id, n_terms_matched,
+    total_tf) must equal the SQL token-unnest mirror.  The index read
+    touches only the buckets the terms hash to."""
+    import shutil
+    import tempfile
+
+    from .search import SearchIndex
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="kcp-search-index-")
+    try:
+        idx = SearchIndex(root, num_buckets=16)
+        idx.update(docs, "segment-0")
+        return idx.search(list(_SEARCH_TERMS), mode="and")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TEXT_SEARCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN {_SEARCH_TERMS!r}
+  GROUP BY doc_id, tok
+)
+SELECT doc_id, count(*) AS n_terms_matched,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
+"""
+
 
 def q_chunk_documents(sf_dir: str) -> "rd.Dataset":
     """Overlapping character chunking (RAG/context-window prep) over the
@@ -2645,6 +2683,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": q_dedup_semantic,
         "decontam_ngrams": q_decontam_ngrams,
         "chunk_documents": q_chunk_documents,
+        "text_search": q_text_search,
         "hll_distinct_users": q_hll_distinct,
         "sample_documents": q_sample,
         "mixture_sample": q_mixture_sample,
@@ -2719,6 +2758,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_semantic": DEDUP_SEMANTIC_ORACLE,
         "decontam_ngrams": DECONTAM_NGRAMS_ORACLE,
         "chunk_documents": CHUNK_DOCUMENTS_ORACLE,
+        "text_search": TEXT_SEARCH_ORACLE,
         "hll_distinct_users": HLL_ORACLE,
         "sample_documents": SAMPLE_ORACLE,
         "mixture_sample": MIXTURE_SAMPLE_ORACLE,

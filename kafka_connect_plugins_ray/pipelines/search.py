@@ -1,0 +1,392 @@
+"""Persisted inverted text index — the third maintained-state structure
+next to the lake and the dedup signature index: term-bucketed postings
+(term, doc_id, tf) plus doc-length shards, committed with the same
+exactly-once manifest protocol, updated incrementally per binlog
+segment, and queried by reading ONLY the buckets the query terms hash
+to (parquet predicate pushdown inside each bucket).
+
+Why an engine for LLM training data wants this: corpus exploration and
+curation are retrieval problems — "which documents mention X", "rank
+docs against this query" (BM25) — and at 100 TB you cannot grep; you
+maintain the index as segments arrive, exactly like the dedup state.
+
+Layout (the lake's conventions):
+
+    <root>/
+      data/v<V>-<attempt>/postings-<b>.parquet  # sorted (term, doc_id, tf)
+      data/v<V>-<attempt>/doclen-<b>.parquet    # sorted (doc_id, dl)
+      manifest-v<V>.json                        # files + totals + segments
+      CURRENT
+
+Scale shape per update: one exchange ships the NEW segment's per-block
+(term, doc_id, tf) partials (pre-reduced per block — ≤ one row per
+distinct (term, doc) per block); each bucket reduce merges its own
+shard only; untouched buckets carry forward by reference.  Query cost:
+len(terms) bucket reads with a term predicate (row-group pruning), no
+corpus scan.  Skew: a stop-word's postings land in one bucket — the
+inherent posting-list shape; the bucket count is the knob and postings
+stay (8+8+len) B/row.
+
+Tokenization matches ``functions/tokenize.flat_tokens`` (== SQL
+``regexp_split_to_array(trim(text), '\\s+')`` — the repo's pinned
+convention), so term search is exactly SQL-mirrorable.  BM25 (Robertson
+k1/b defaults) is scored in numpy over the candidate union and gated
+against a pure-python reference (float scoring is not stable enough for
+the hash-equality oracle; the INTEGER search surface is the SQL gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..exchange import hash_exchange
+from ..functions.tokenize import flat_tokens
+from ..functions.vhash import hash64_column, murmur64
+from ..state.manifest import _atomic_write
+
+SEARCH_INDEX_BUCKETS = 32
+
+
+@dataclass
+class SearchManifest:
+    version: int
+    parent: "int | None"
+    num_buckets: int
+    postings: dict = field(default_factory=dict)   # bucket -> relpath
+    doclens: dict = field(default_factory=dict)    # bucket -> relpath
+    segments: list = field(default_factory=list)
+    n_docs: int = 0
+    total_tokens: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "version": self.version, "parent": self.parent,
+            "num_buckets": self.num_buckets,
+            "postings": {str(k): v for k, v in self.postings.items()},
+            "doclens": {str(k): v for k, v in self.doclens.items()},
+            "segments": self.segments,
+            "n_docs": self.n_docs, "total_tokens": self.total_tokens,
+        }, indent=1)
+
+    @staticmethod
+    def from_json(s: str) -> "SearchManifest":
+        d = json.loads(s)
+        return SearchManifest(
+            version=d["version"], parent=d["parent"],
+            num_buckets=d["num_buckets"],
+            postings={int(k): v for k, v in d["postings"].items()},
+            doclens={int(k): v for k, v in d["doclens"].items()},
+            segments=list(d["segments"]),
+            n_docs=d["n_docs"], total_tokens=d["total_tokens"])
+
+
+def _term_bucket(terms: "pa.Array | list[str]", num_buckets: int):
+    return (hash64_column(pa.array(terms, pa.string())
+                          if isinstance(terms, list) else terms)
+            % np.uint64(num_buckets)).astype(np.int32)
+
+
+class SearchIndex:
+    """Open (or create on first update) the inverted index at ``root``;
+    ``num_buckets`` pins like the lake's partition count."""
+
+    def __init__(self, root: str, num_buckets: int = SEARCH_INDEX_BUCKETS):
+        self.root = root
+        man = self.current()
+        if man is not None and man.num_buckets != num_buckets:
+            raise ValueError(
+                f"index at {root} is pinned to num_buckets="
+                f"{man.num_buckets}; got {num_buckets}")
+        self.num_buckets = num_buckets
+
+    def current_version(self) -> "int | None":
+        try:
+            with open(os.path.join(self.root, "CURRENT")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def read_manifest(self, version: int) -> SearchManifest:
+        with open(os.path.join(self.root,
+                               f"manifest-v{version}.json")) as f:
+            return SearchManifest.from_json(f.read())
+
+    def current(self) -> "SearchManifest | None":
+        v = self.current_version()
+        return None if v is None else self.read_manifest(v)
+
+    def _commit(self, man: SearchManifest):
+        cur = self.current_version()
+        if cur != man.parent:
+            raise RuntimeError(
+                f"index advanced to v{cur} while this update planned "
+                f"against v{man.parent} — concurrent writer?")
+        _atomic_write(
+            os.path.join(self.root, f"manifest-v{man.version}.json"),
+            man.to_json())
+        _atomic_write(os.path.join(self.root, "CURRENT"),
+                      str(man.version))
+
+    # ------------------------------------------------------------ build
+
+    def _partials(self, batch: pa.Table) -> pa.Table:
+        """(term, doc_id, tf) per distinct (term, doc) of the batch plus
+        one doc-length row per doc, tagged by kind — ≤ one posting row
+        per distinct pair per BLOCK (the skew-safe pre-reduce)."""
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        toks, counts = flat_tokens(batch.column("text"))
+        doc_of = np.repeat(ids, counts)
+        t = pa.table({
+            "term": toks,
+            "doc_id": pa.array(doc_of, pa.int64()),
+            "one": pa.array(np.ones(len(toks), np.int64), pa.int64()),
+        })
+        g = t.group_by(["term", "doc_id"]).aggregate([("one", "sum")])
+        g = g.rename_columns(["term", "doc_id", "tf"])
+        post = pa.table({
+            "term": g.column("term"),
+            "doc_id": g.column("doc_id"),
+            "tf": pc.cast(g.column("tf"), pa.int64()),
+            "bucket": pa.array(_term_bucket(g.column("term").combine_chunks(),
+                                            self.num_buckets), pa.int32()),
+            "kind": pa.array(np.zeros(g.num_rows, np.int8), pa.int8()),
+        })
+        dl = pa.table({
+            "term": pa.array([""] * len(ids), pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "tf": pa.array(counts, pa.int64()),     # dl rides the tf col
+            "bucket": pa.array((murmur64(ids) % np.uint64(
+                self.num_buckets)).astype(np.int32), pa.int32()),
+            "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+        })
+        return pa.concat_tables([post, dl])
+
+    def update(self, docs, segment_id: str) -> dict:
+        """Index one segment (columns doc_id:int64 — unique per corpus —
+        and text) and commit.  Redelivery of a committed segment id is a
+        no-op (the postings would double otherwise)."""
+        man = self.current()
+        if man is not None and segment_id in man.segments:
+            return {"already_committed": True, "version": man.version}
+        parent = man.version if man is not None else None
+        version = parent + 1 if parent is not None else 0
+        write_dir = f"data/v{version}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.join(self.root, write_dir), exist_ok=True)
+        old_post = dict(man.postings) if man else {}
+        old_dl = dict(man.doclens) if man else {}
+        root = self.root
+
+        def reduce_bucket(pid: int, t: pa.Table):
+            out = {"bucket": pid, "post_rel": None, "dl_rel": None,
+                   "n_docs": 0, "tokens": 0}
+            for kind, old_rels, name, sort_keys in (
+                    (0, old_post, "postings", ["term", "doc_id"]),
+                    (1, old_dl, "doclen", ["doc_id"])):
+                part = t.filter(pc.equal(t.column("kind"), kind))
+                if part.num_rows == 0:
+                    continue
+                if kind == 0:
+                    new = part.select(["term", "doc_id", "tf"])
+                else:
+                    new = part.select(["doc_id", "tf"]) \
+                        .rename_columns(["doc_id", "dl"])
+                    out["n_docs"] = part.num_rows
+                    out["tokens"] = int(pc.sum(part.column("tf"))
+                                        .as_py() or 0)
+                old_rel = old_rels.get(pid)
+                if old_rel is not None:
+                    new = pa.concat_tables(
+                        [pq.read_table(os.path.join(root, old_rel)), new])
+                new = new.sort_by([(c, "ascending") for c in sort_keys])
+                rel = f"{write_dir}/{name}-{pid:04d}.parquet"
+                ab = os.path.join(root, rel)
+                tmp = ab + f".tmp-{uuid.uuid4().hex[:8]}"
+                pq.write_table(new, tmp)
+                os.replace(tmp, ab)
+                out["post_rel" if kind == 0 else "dl_rel"] = rel
+            return out
+
+        partials = docs.map_batches(self._partials,
+                                    batch_format="pyarrow")
+        results = hash_exchange(partials, "bucket", self.num_buckets,
+                                reduce_bucket)
+        postings = dict(old_post)
+        doclens = dict(old_dl)
+        n_docs = 0
+        tokens = 0
+        for r in results:
+            if r is None:
+                continue
+            if r["post_rel"]:
+                postings[r["bucket"]] = r["post_rel"]
+            if r["dl_rel"]:
+                doclens[r["bucket"]] = r["dl_rel"]
+            n_docs += r["n_docs"]
+            tokens += r["tokens"]
+        new_man = SearchManifest(
+            version=version, parent=parent, num_buckets=self.num_buckets,
+            postings=postings, doclens=doclens,
+            segments=(man.segments if man else []) + [segment_id],
+            n_docs=(man.n_docs if man else 0) + n_docs,
+            total_tokens=(man.total_tokens if man else 0) + tokens)
+        self._commit(new_man)
+        return {"already_committed": False, "version": version,
+                "n_docs": n_docs, "tokens": tokens}
+
+    # ------------------------------------------------------------ query
+
+    def _postings(self, terms: "list[str]") -> pa.Table:
+        """(term, doc_id, tf) rows for the query terms: reads ONLY the
+        buckets the terms hash to, with a term predicate pushed into the
+        parquet read."""
+        man = self.current()
+        if man is None or not terms:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        buckets: dict[int, list[str]] = {}
+        for term, b in zip(terms, _term_bucket(list(terms),
+                                               self.num_buckets)):
+            buckets.setdefault(int(b), []).append(term)
+        parts = []
+        for b, ts in buckets.items():
+            rel = man.postings.get(b)
+            if rel is None:
+                continue
+            parts.append(pq.read_table(
+                os.path.join(self.root, rel),
+                filters=[("term", "in", ts)]))
+        if not parts:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
+
+    def search(self, terms: "list[str]", mode: str = "and") -> pa.Table:
+        """Exact term search: (doc_id, n_terms_matched, total_tf) for
+        docs matching ALL (``and``) or ANY (``or``) of the DISTINCT
+        query terms — integer surface, SQL-mirrorable."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"unknown search mode {mode!r}")
+        terms = sorted(set(terms))
+        p = self._postings(terms)
+        if p.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_terms_matched": pa.array([], pa.int64()),
+                             "total_tf": pa.array([], pa.int64())})
+        g = p.group_by(["doc_id"]).aggregate(
+            [("term", "count"), ("tf", "sum")])
+        g = g.rename_columns(["doc_id", "n_terms_matched", "total_tf"])
+        if mode == "and":
+            g = g.filter(pc.equal(g.column("n_terms_matched"),
+                                  len(terms)))
+        return g.select(["doc_id", "n_terms_matched", "total_tf"])
+
+    def _doc_lengths(self, doc_ids: np.ndarray) -> np.ndarray:
+        man = self.current()
+        dl = np.zeros(doc_ids.size, np.int64)
+        if man is None or doc_ids.size == 0:
+            return dl
+        b_of = (murmur64(doc_ids) % np.uint64(self.num_buckets)) \
+            .astype(np.int64)
+        for b in np.unique(b_of):
+            rel = man.doclens.get(int(b))
+            if rel is None:
+                continue
+            t = pq.read_table(os.path.join(self.root, rel))
+            ids = t.column("doc_id").to_numpy()
+            lens = t.column("dl").to_numpy()
+            sel = np.nonzero(b_of == b)[0]
+            pos = np.clip(np.searchsorted(ids, doc_ids[sel]),
+                          0, max(ids.size - 1, 0))
+            hit = ids.size > 0
+            if hit:
+                ok = ids[pos] == doc_ids[sel]
+                dl[sel[ok]] = lens[pos[ok]]
+        return dl
+
+    def bm25(self, terms: "list[str]", k: int = 10, k1: float = 1.2,
+             b: float = 0.75) -> pa.Table:
+        """Okapi BM25 top-k over the candidate union (docs matching any
+        query term): numpy scoring against the maintained df/dl/avgdl
+        statistics; reference-gated in tests (float scoring is not part
+        of the SQL surface)."""
+        man = self.current()
+        terms = sorted(set(terms))
+        p = self._postings(terms)
+        if man is None or p.num_rows == 0 or man.n_docs == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        term_col = p.column("term").to_pylist()
+        doc = p.column("doc_id").to_numpy()
+        tf = p.column("tf").to_numpy().astype(np.float64)
+        n_docs = man.n_docs
+        avgdl = man.total_tokens / n_docs
+        df = {t: 0 for t in terms}
+        for t in term_col:
+            df[t] += 1
+        idf = {t: np.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+               for t in terms}
+        cand, inv = np.unique(doc, return_inverse=True)
+        dl = self._doc_lengths(cand).astype(np.float64)
+        denom_norm = k1 * (1.0 - b + b * dl / avgdl)
+        idf_row = np.array([idf[t] for t in term_col])
+        contrib = idf_row * tf * (k1 + 1.0) / (tf + denom_norm[inv])
+        scores = np.bincount(inv, weights=contrib, minlength=cand.size)
+        top = np.argsort(-scores, kind="stable")[:k]
+        # stable tie-break on doc_id for determinism
+        order = np.lexsort((cand[top], -scores[top]))
+        top = top[order]
+        return pa.table({"doc_id": pa.array(cand[top], pa.int64()),
+                         "score": pa.array(scores[top], pa.float64())})
+
+
+def gc_search_index(root: str, keep_versions: int = 2) -> dict:
+    """Remove data files of versions older than the kept window (same
+    in-flight protection as the other index stores)."""
+    idx = SearchIndex.__new__(SearchIndex)
+    idx.root = root
+    cur = idx.current_version()
+    if cur is None:
+        return {"removed_files": 0}
+    live: set = set()
+    kept = []
+    for v in range(max(0, cur - keep_versions + 1), cur + 1):
+        try:
+            m = idx.read_manifest(v)
+        except FileNotFoundError:
+            continue
+        kept.append(v)
+        live.update(m.postings.values())
+        live.update(m.doclens.values())
+    removed = 0
+    data_root = os.path.join(root, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            try:
+                v = int(d.split("-")[0][1:])
+            except (ValueError, IndexError):
+                continue
+            if v > cur:
+                continue
+            full = os.path.join(data_root, d)
+            for f in os.listdir(full):
+                if f"data/{d}/{f}" not in live:
+                    os.unlink(os.path.join(full, f))
+                    removed += 1
+            if not os.listdir(full):
+                os.rmdir(full)
+    for fname in os.listdir(root):
+        if fname.startswith("manifest-v"):
+            v = int(fname[len("manifest-v"):-len(".json")])
+            if v < min(kept, default=cur):
+                os.unlink(os.path.join(root, fname))
+    return {"removed_files": removed}

@@ -1,0 +1,132 @@
+"""Inverted-index gates: search results vs a pure-python reference
+after MULTI-SEGMENT incremental updates, BM25 vs a from-the-formula
+reference (df/dl/avgdl over the whole indexed corpus), bucket pruning
+(only query-term buckets are read), redelivery no-op, pinning, gc."""
+
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.search import (
+    SearchIndex,
+    gc_search_index,
+)
+
+
+def _docs(rows, start=0):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(start, start + len(rows)), pa.int64()),
+        "text": pa.array(rows, pa.string()),
+    }))
+
+
+def _corpus(rng, n, start=0):
+    vocab = ["w%d" % i for i in range(40)]
+    return ["" if i % 19 == 7 else " ".join(
+        vocab[v] for v in rng.randint(0, 40, rng.randint(1, 60)))
+        for i in range(n)], start
+
+
+def test_multi_segment_search_matches_reference(tmp_path):
+    rng = np.random.RandomState(3)
+    seg1, s1 = _corpus(rng, 80, 0)
+    seg2, s2 = _corpus(rng, 60, 80)
+    idx = SearchIndex(str(tmp_path / "idx"), num_buckets=8)
+    idx.update(_docs(seg1, s1).repartition(3), "a")
+    idx.update(_docs(seg2, s2).repartition(2), "b")
+    all_texts = {i: t for i, t in enumerate(seg1 + seg2)}
+    for terms, mode in ([["w1", "w2"], "and"], [["w1", "w2"], "or"],
+                        [["w0", "w5", "w39"], "and"],
+                        [["nosuchterm"], "or"]):
+        got = sorted(idx.search(terms, mode=mode).to_pylist(),
+                     key=lambda r: r["doc_id"])
+        want = []
+        for i, txt in all_texts.items():
+            c = Counter(txt.split())
+            hit = [t for t in sorted(set(terms)) if c[t] > 0]
+            keep = (len(hit) == len(set(terms))) if mode == "and" \
+                else bool(hit)
+            if keep:
+                want.append({"doc_id": i, "n_terms_matched": len(hit),
+                             "total_tf": sum(c[t] for t in hit)})
+        assert got == want, (terms, mode)
+
+
+def test_bm25_matches_formula_reference(tmp_path):
+    rng = np.random.RandomState(11)
+    texts, _ = _corpus(rng, 120, 0)
+    idx = SearchIndex(str(tmp_path / "idx"), num_buckets=8)
+    idx.update(_docs(texts, 0).repartition(4), "a")
+    terms = ["w3", "w17"]
+    got = idx.bm25(terms, k=15)
+    # reference straight from the Okapi formula
+    toks = [t.split() for t in texts]
+    n_docs = len(texts)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    k1, b = 1.2, 0.75
+    scores = {}
+    for i, tk in enumerate(toks):
+        c = Counter(tk)
+        s = 0.0
+        for term in terms:
+            if c[term] == 0:
+                continue
+            df = sum(1 for t2 in toks if term in t2)
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * c[term] * (k1 + 1) / (
+                c[term] + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            scores[i] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert got.column("doc_id").to_pylist() == [d for d, _ in want]
+    np.testing.assert_allclose(got.column("score").to_numpy(),
+                               [s for _, s in want], rtol=1e-12)
+
+
+def test_query_reads_only_term_buckets(tmp_path, monkeypatch):
+    import pyarrow.parquet as pq_mod
+
+    rng = np.random.RandomState(5)
+    texts, _ = _corpus(rng, 50, 0)
+    idx = SearchIndex(str(tmp_path / "idx"), num_buckets=8)
+    idx.update(_docs(texts, 0), "a")
+    reads = []
+    orig = pq_mod.read_table
+
+    def spy(path, *a, **k):
+        reads.append(os.path.basename(str(path)))
+        return orig(path, *a, **k)
+
+    monkeypatch.setattr(
+        "kafka_connect_plugins_ray.pipelines.search.pq.read_table", spy)
+    idx.search(["w1"])
+    posting_reads = [r for r in reads if r.startswith("postings-")]
+    assert len(posting_reads) == 1      # exactly the one term bucket
+
+
+def test_redelivery_noop_and_pinning_and_gc(tmp_path):
+    rng = np.random.RandomState(9)
+    texts, _ = _corpus(rng, 40, 0)
+    root = str(tmp_path / "idx")
+    idx = SearchIndex(root, num_buckets=4)
+    idx.update(_docs(texts, 0), "a")
+    before = idx.search(["w1"], mode="or").to_pylist()
+    r = idx.update(_docs(texts, 0), "a")    # redelivery: would double tf
+    assert r["already_committed"]
+    assert idx.search(["w1"], mode="or").to_pylist() == before
+    with pytest.raises(ValueError, match="pinned"):
+        SearchIndex(root, num_buckets=8)
+    texts2, _ = _corpus(rng, 30, 100)
+    idx.update(_docs(texts2, 100), "b")
+    idx.update(_docs(["w1 w1"], 200), "c")
+    state = sorted(idx.search(["w1"], mode="or").to_pylist(),
+                   key=lambda x: x["doc_id"])
+    gc_search_index(root, keep_versions=2)
+    assert sorted(idx.search(["w1"], mode="or").to_pylist(),
+                  key=lambda x: x["doc_id"]) == state
+    assert not os.path.exists(os.path.join(root, "manifest-v0.json"))
