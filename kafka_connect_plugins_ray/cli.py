@@ -124,6 +124,23 @@ def main(argv: "list[str] | None" = None) -> int:
     pv.add_argument("--version", type=int, default=None,
                     help="time-travel version (show)")
 
+    pj = sub.add_parser(
+        "join-view",
+        help="aggregate-JOIN view across two lakes: create (bootstrap "
+             "from the lakes' supporting views), refresh (incremental "
+             "bilinear delta rule; re-bootstraps if gc ate the history) "
+             "or show (print the maintained table)")
+    pj.add_argument("action", choices=["create", "refresh", "show"])
+    pj.add_argument("--root", required=True, help="join-view directory")
+    pj.add_argument("--lake-a", help="fact lake root (create)")
+    pj.add_argument("--a-view", help="A-side per-FK view name (create)")
+    pj.add_argument("--lake-b", help="dimension lake root (create)")
+    pj.add_argument("--b-view", help="B-side keymap view name (create)")
+    pj.add_argument("--on", help="comma-separated a_col=b_col join-key "
+                                 "pairs (create)")
+    pj.add_argument("--version", type=int, default=None,
+                    help="time-travel version (show)")
+
     pd = sub.add_parser(
         "dedup", help="dedup one segment against a persisted exact-dedup "
                       "index (incremental: O(segment) per cycle)")
@@ -267,6 +284,36 @@ def main(argv: "list[str] | None" = None) -> int:
                                   "file": m.views[args.name]["file"]}))
             else:
                 t = read_view(args.lake, args.name, version=args.version)
+                print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "join-view":
+            from .pipelines.join_view import (create_join_view,
+                                              read_join_view,
+                                              refresh_join_view)
+
+            if args.action == "create":
+                missing = [f for f in ("lake_a", "a_view", "lake_b",
+                                       "b_view", "on")
+                           if not getattr(args, f)]
+                if missing:
+                    raise SystemExit(
+                        "join-view create needs --"
+                        + " --".join(m.replace("_", "-") for m in missing))
+                on = []
+                for pair in args.on.split(","):
+                    a, sep, b = pair.partition("=")
+                    on.append((a, b if sep else a))
+                m = create_join_view(
+                    args.root, lake_a=args.lake_a, a_view=args.a_view,
+                    lake_b=args.lake_b, b_view=args.b_view, on=on)
+                print(json.dumps({"version": m.version, "va": m.va,
+                                  "vb": m.vb, "file": m.file}))
+            elif args.action == "refresh":
+                m = refresh_join_view(args.root)
+                print(json.dumps({"version": m.version, "va": m.va,
+                                  "vb": m.vb,
+                                  "incremental": m.incremental}))
+            else:
+                t = read_join_view(args.root, version=args.version)
                 print(json.dumps(t.to_pylist(), default=str))
         elif args.cmd == "dedup":
             import glob as _glob

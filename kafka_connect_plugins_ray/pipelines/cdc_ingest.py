@@ -566,6 +566,7 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     # (low-cardinality aggregates); the per-cycle deltas are bounded by
     # touched groups.
     views_out: dict[str, dict] = {}
+    view_deltas_out: dict[str, str] = {}
     for vname, spec in eff_views.items():
         prev_rel = (parent.views[vname].get("file")
                     if parent and vname in parent.views else None)
@@ -587,6 +588,18 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
             tmp = abspath + f".tmp-{os.getpid()}"
             pq.write_table(folded, tmp)
             os.replace(tmp, abspath)
+        if deltas_v:
+            # persist THIS cycle's net delta (O(touched groups), signed —
+            # intermediate folds keep negatives) for downstream
+            # incremental maintainers (join views): they replay delta
+            # files instead of diffing two full view states
+            cycle = _fold_views(deltas_v, spec["group_by"], spec["sums"])
+            drel = f"{data_dir}/view-{vname}-delta.parquet"
+            dabs = os.path.join(lake_root, drel)
+            dtmp = dabs + f".tmp-{os.getpid()}"
+            pq.write_table(cycle, dtmp)
+            os.replace(dtmp, dabs)
+            view_deltas_out[vname] = drel
         views_out[vname] = {"group_by": list(spec["group_by"]),
                             "sums": list(spec["sums"]), "file": rel}
 
@@ -602,6 +615,7 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         key_cols=list(key_cols),
         op_col=op_col,
         views=views_out,
+        view_deltas=view_deltas_out,
     )
     store.commit(manifest, expected_parent=parent.version if parent else None)
     return manifest
@@ -706,6 +720,9 @@ def create_view(lake_root: str, name: str, group_by: Sequence[str],
         op_col=parent.op_col,
         views={**parent.views,
                name: {"group_by": gb, "sums": sm, "file": rel}},
+        # bootstrap = the delta from empty: downstream maintainers that
+        # replay delta files see the view appear atomically at this version
+        view_deltas={name: rel} if rel else {},
     )
     store.commit(manifest, expected_parent=parent.version)
     return manifest

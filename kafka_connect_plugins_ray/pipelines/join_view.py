@@ -1,0 +1,357 @@
+"""Incrementally-maintained aggregate-JOIN views across two CDC lakes.
+
+Extends the single-lake materialized views (cdc_ingest.py) to the classic
+warehouse shape: a fact lake A joined to a dimension lake B, aggregated by
+dimension attributes —
+
+    SELECT b.attr..., count(*) AS n_rows, sum(a.x) AS sum_x...
+    FROM a JOIN b ON a.fk... = b.key...
+    GROUP BY b.attr...
+
+Factorization (the textbook aggregate-join IVM, cf. DBToaster / Materialize
+delta-query literature): the view is a bilinear form over two maintained
+group-by views —
+
+    J(g) = sum_k  f(k) * m(k, g)
+
+where ``f`` ("fkagg") is the per-FK aggregate of A — an ordinary
+materialized view on lake A with ``group_by = fk cols`` — and ``m``
+("keymap") is the key -> attribute multiplicity of B — an ordinary view on
+lake B with ``group_by = key cols + attr cols`` (counts only).  Both are
+maintained exactly-once by their lakes' ingest cycles; the join view only
+has to maintain the product.
+
+Delta rule (exact telescoping identity, any number of interleaved A/B
+cycles between refreshes):
+
+    J_new - J_old = apply(Δm, f_old) + apply(m_new, Δf)
+
+where ``Δf = f_new - f_old`` and ``Δm = m_new - m_old`` are the SUMS of the
+per-cycle view-delta files each ingest persists in its manifest
+(``Manifest.view_deltas`` — O(touched groups) per cycle), ``f_old`` is the
+fkagg state at the version the join view last reflected, ``m_new`` the
+keymap state now, and ``apply(m, f)`` inner-joins on the FK and multiplies
+B-side multiplicity into A-side (count, sums).  Proof: sum_k [f'm' - fm] =
+sum_k f(m'-m) + sum_k (f'-f)m'.
+
+Refresh cost is O(touched groups) for the deltas plus one read of each
+supporting view file (bounded by the views' group-cardinality contract;
+at larger FK cardinality the supporting views would be hash-bucketed like
+pipelines/search.py's postings so only the touched buckets are read).  If
+gc has collected the needed history (old manifests / delta / view files),
+refresh falls back to a full re-bootstrap from the CURRENT supporting
+views — always correct, never silently wrong.
+
+Commit protocol mirrors the lake's (state/manifest.py): attempt-scoped
+data dir, manifest-v{V}.json, atomic CURRENT swap with an
+expected-parent check — refresh is exactly-once per (va, vb) pair and a
+no-op when neither lake advanced.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import secrets
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..state.manifest import ConcurrentCommitError, LakeStore, _atomic_write
+from .cdc_ingest import _fold_views, read_view
+
+
+class StaleHistoryError(RuntimeError):
+    """The manifests / delta files needed for an incremental refresh were
+    garbage-collected — the caller re-bootstraps from current state."""
+
+
+@dataclass
+class JoinViewManifest:
+    version: int
+    parent: "int | None"
+    spec: dict                      # lake_a/a_view/lake_b/b_view/on/attrs/sums
+    va: int                         # lake A manifest version reflected
+    vb: int                         # lake B manifest version reflected
+    file: "str | None"              # relpath of the state parquet (None=empty)
+    incremental: bool = True        # False when this commit re-bootstrapped
+    lineage: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "JoinViewManifest":
+        return JoinViewManifest(**json.loads(s))
+
+
+class JoinViewStore:
+    """CURRENT-pointer manifest chain for one join view (same atomic
+    protocol as LakeStore, minus lake-specific fields)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current_version(self) -> "int | None":
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def current(self) -> "JoinViewManifest | None":
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.read_manifest(v)
+
+    def read_manifest(self, version: int) -> JoinViewManifest:
+        with open(os.path.join(self.root, f"manifest-v{version}.json")) as f:
+            return JoinViewManifest.from_json(f.read())
+
+    def abspath(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def commit(self, manifest: JoinViewManifest, *,
+               expected_parent: "int | None"):
+        cur = self.current_version()
+        if cur != expected_parent:
+            raise ConcurrentCommitError(
+                f"join view advanced to v{cur} while this refresh planned "
+                f"against v{expected_parent} — concurrent refresher?")
+        _atomic_write(
+            os.path.join(self.root, f"manifest-v{manifest.version}.json"),
+            manifest.to_json())
+        _atomic_write(self._current_path(), str(manifest.version))
+
+
+def _apply(km: pa.Table, fa: pa.Table, on_a: list, on_b: list,
+           attrs: list, sums: list) -> pa.Table:
+    """apply(m, f): inner-join keymap rows with fkagg rows on the FK and
+    multiply the B-side multiplicity (km.n_rows, signed for deltas) into
+    the A-side vector (f.n_rows, f.sum_*); returns per-attr contributions
+    (non-final fold — signs preserved)."""
+    km = km.rename_columns(
+        ["__m_n" if c == "n_rows"
+         else on_a[on_b.index(c)] if c in on_b else c
+         for c in km.column_names])
+    joined = km.join(fa, keys=on_a, join_type="inner")
+    if joined.num_rows == 0:
+        return _empty_state(attrs, sums, km.schema, fa.schema)
+    m_n = joined.column("__m_n")
+    out = {c: joined.column(c) for c in attrs}
+    out["n_rows"] = pc.multiply_checked(m_n, joined.column("n_rows"))
+    for c in sums:
+        out[f"sum_{c}"] = pc.multiply_checked(
+            pc.cast(m_n, joined.column(f"sum_{c}").type),
+            joined.column(f"sum_{c}"))
+    return _fold_views([pa.table(out)], attrs, sums)
+
+
+def _empty_state(attrs: list, sums: list,
+                 km_schema: "pa.Schema | None" = None,
+                 fa_schema: "pa.Schema | None" = None) -> pa.Table:
+    cols: dict = {}
+    for c in attrs:
+        typ = (km_schema.field(c).type
+               if km_schema is not None and c in km_schema.names
+               else pa.string())
+        cols[c] = pa.array([], typ)
+    cols["n_rows"] = pa.array([], pa.int64())
+    for c in sums:
+        typ = (fa_schema.field(f"sum_{c}").type
+               if fa_schema is not None and f"sum_{c}" in fa_schema.names
+               else pa.int64())
+        cols[f"sum_{c}"] = pa.array([], typ)
+    return pa.table(cols)
+
+
+def _collect_deltas(lake_root: str, vname: str, v_from: int, v_to: int,
+                    group_by: list, sums: list) -> "pa.Table | None":
+    """Net view delta over manifest versions (v_from, v_to] by replaying
+    the per-cycle delta files (O(touched groups) per cycle).  Raises
+    StaleHistoryError when gc has collected a needed manifest or file."""
+    store = LakeStore(lake_root)
+    parts: list[pa.Table] = []
+    v: "int | None" = v_to
+    while v is not None and v != v_from:
+        try:
+            man = store.read_manifest(v)
+        except FileNotFoundError as e:
+            raise StaleHistoryError(
+                f"manifest v{v} of {lake_root} was gc'd") from e
+        drel = man.view_deltas.get(vname)
+        if drel is not None:
+            p = store.abspath(drel)
+            if not os.path.exists(p):
+                raise StaleHistoryError(f"view delta {drel} was gc'd")
+            parts.append(pq.read_table(p))
+        if vname not in man.views and drel is None:
+            raise StaleHistoryError(
+                f"view {vname!r} does not exist at v{v} of {lake_root} — "
+                "join view predates the supporting view?")
+        v = man.parent
+    if v is None:
+        raise StaleHistoryError(
+            f"manifest chain of {lake_root} ends before v{v_from}")
+    if not parts:
+        return None
+    return _fold_views(parts, group_by, sums)
+
+
+def _validate_spec(lake_a: str, a_view: str, lake_b: str, b_view: str,
+                   on: "list[tuple[str, str]]") -> tuple:
+    ma, mb = LakeStore(lake_a).current(), LakeStore(lake_b).current()
+    if ma is None or a_view not in ma.views:
+        raise KeyError(f"no view {a_view!r} on lake {lake_a}")
+    if mb is None or b_view not in mb.views:
+        raise KeyError(f"no view {b_view!r} on lake {lake_b}")
+    a_spec, b_spec = ma.views[a_view], mb.views[b_view]
+    on_a = [a for a, _ in on]
+    on_b = [b for _, b in on]
+    if list(a_spec["group_by"]) != on_a:
+        raise ValueError(
+            f"A-side view {a_view!r} must group by exactly the join keys "
+            f"{on_a} (got {a_spec['group_by']})")
+    missing = [b for b in on_b if b not in b_spec["group_by"]]
+    if missing:
+        raise ValueError(
+            f"B-side view {b_view!r} group_by lacks join keys {missing}")
+    if b_spec.get("sums"):
+        raise ValueError(
+            "B-side view must be counts-only (sums would not distribute "
+            "over the join multiplicity)")
+    attrs = [c for c in b_spec["group_by"] if c not in on_b]
+    if not attrs:
+        raise ValueError("B-side view has no attribute columns beyond the "
+                         "join keys — the join view would have no groups")
+    sums = list(a_spec["sums"])
+    clash = (set(attrs) & (set(on_a) | {"n_rows"}
+                           | {f"sum_{c}" for c in sums}))
+    if clash:
+        raise ValueError(f"attribute columns clash with output names: "
+                         f"{sorted(clash)}")
+    return ma, mb, attrs, sums, on_a, on_b
+
+
+def _write_state(store: JoinViewStore, version: int,
+                 state: "pa.Table | None") -> "str | None":
+    if state is None or state.num_rows == 0:
+        return None
+    rel = f"data/v{version}-{secrets.token_hex(4)}/join.parquet"
+    abspath = store.abspath(rel)
+    os.makedirs(os.path.dirname(abspath), exist_ok=True)
+    tmp = abspath + f".tmp-{os.getpid()}"
+    pq.write_table(state, tmp)
+    os.replace(tmp, abspath)
+    return rel
+
+
+def create_join_view(root: str, *, lake_a: str, a_view: str,
+                     lake_b: str, b_view: str,
+                     on: "list[tuple[str, str]]") -> JoinViewManifest:
+    """Register a join view and bootstrap its state from the two lakes'
+    CURRENT supporting views (one apply + fold — no lake scan ever)."""
+    store = JoinViewStore(root)
+    if store.current() is not None:
+        raise ValueError(f"join view already exists at {root}")
+    ma, mb, attrs, sums, on_a, on_b = _validate_spec(
+        lake_a, a_view, lake_b, b_view, on)
+    fa = read_view(lake_a, a_view)
+    km = read_view(lake_b, b_view)
+    state = (_fold_views([_apply(km, fa, on_a, on_b, attrs, sums)],
+                         attrs, sums, final=True)
+             if fa.num_rows and km.num_rows else None)
+    man = JoinViewManifest(
+        version=1, parent=None,
+        spec={"lake_a": lake_a, "a_view": a_view,
+              "lake_b": lake_b, "b_view": b_view,
+              "on": [list(p) for p in on], "attrs": attrs, "sums": sums},
+        va=ma.version, vb=mb.version,
+        file=_write_state(store, 1, state),
+        incremental=False,
+        lineage={"bootstrap": True})
+    store.commit(man, expected_parent=None)
+    return man
+
+
+def refresh_join_view(root: str) -> JoinViewManifest:
+    """Advance the join view to the lakes' CURRENT versions.
+
+    Incremental path: replay the supporting views' per-cycle delta files
+    and apply the bilinear delta rule (module docstring).  Falls back to a
+    full re-bootstrap when gc collected the history.  No-op (no new
+    version) when neither lake advanced."""
+    store = JoinViewStore(root)
+    prev = store.current()
+    if prev is None:
+        raise FileNotFoundError(f"no join view at {root} — create first")
+    spec = prev.spec
+    on = [tuple(p) for p in spec["on"]]
+    on_a, on_b = [a for a, _ in on], [b for _, b in on]
+    attrs, sums = list(spec["attrs"]), list(spec["sums"])
+    lake_a, lake_b = spec["lake_a"], spec["lake_b"]
+    a_view, b_view = spec["a_view"], spec["b_view"]
+    a_gb = on_a
+    b_gb = on_b + attrs
+
+    va2 = LakeStore(lake_a).current_version()
+    vb2 = LakeStore(lake_b).current_version()
+    if va2 is None or vb2 is None:
+        raise FileNotFoundError("a supporting lake has no committed state")
+    if (va2, vb2) == (prev.va, prev.vb):
+        return prev
+
+    incremental = True
+    try:
+        d_fa = (None if va2 == prev.va else _collect_deltas(
+            lake_a, a_view, prev.va, va2, a_gb, sums))
+        d_km = (None if vb2 == prev.vb else _collect_deltas(
+            lake_b, b_view, prev.vb, vb2, b_gb, []))
+        parts: list[pa.Table] = []
+        if prev.file is not None:
+            parts.append(pq.read_table(store.abspath(prev.file)))
+        if d_km is not None and d_km.num_rows:
+            fa_old = read_view(lake_a, a_view, version=prev.va)
+            parts.append(_apply(d_km, fa_old, on_a, on_b, attrs, sums))
+        if d_fa is not None and d_fa.num_rows:
+            km_new = read_view(lake_b, b_view, version=vb2)
+            parts.append(_apply(km_new, d_fa, on_a, on_b, attrs, sums))
+        state = _fold_views(parts, attrs, sums, final=True) if parts \
+            else None
+    except (StaleHistoryError, FileNotFoundError, KeyError):
+        # gc collected the history — re-bootstrap from CURRENT views
+        # (correct by definition; costs one apply over the full views)
+        incremental = False
+        fa = read_view(lake_a, a_view, version=va2)
+        km = read_view(lake_b, b_view, version=vb2)
+        state = (_fold_views([_apply(km, fa, on_a, on_b, attrs, sums)],
+                             attrs, sums, final=True)
+                 if fa.num_rows and km.num_rows else None)
+
+    version = prev.version + 1
+    man = JoinViewManifest(
+        version=version, parent=prev.version, spec=spec,
+        va=va2, vb=vb2,
+        file=_write_state(store, version, state),
+        incremental=incremental,
+        lineage={"from": [prev.va, prev.vb], "to": [va2, vb2]})
+    store.commit(man, expected_parent=prev.version)
+    return man
+
+
+def read_join_view(root: str, version: "int | None" = None) -> pa.Table:
+    """The committed join-view table at CURRENT (or a historical version —
+    time travel, like lake manifests)."""
+    store = JoinViewStore(root)
+    man = store.current() if version is None else store.read_manifest(version)
+    if man is None:
+        raise FileNotFoundError(f"no join view at {root}")
+    if man.file is None:
+        return _empty_state(list(man.spec["attrs"]), list(man.spec["sums"]))
+    return pq.read_table(store.abspath(man.file))

@@ -50,6 +50,7 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
         for v in man.views.values():
             if v.get("file"):
                 out.add(v["file"])
+        out.update(man.view_deltas.values())
         return out
 
     m = store.read_manifest(current)

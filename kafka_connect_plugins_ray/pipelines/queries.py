@@ -176,6 +176,67 @@ FROM (
 """
 
 
+def cdc_join_view_state(sf_dir: str) -> pa.Table:
+    """Incrementally-maintained aggregate-JOIN view across TWO lakes,
+    driver-gated (pipelines/join_view.py): fact lake A (documents binlog,
+    per-repo count+sum(lsn) view) joined to dimension lake B (repo→team
+    changelog, keymap view), grouped by team.  The view bootstraps after
+    the first segments, then BOTH lakes take a second segment (A: every
+    key updated + 1/17 deleted; B: team moves + repo deletes) and ONE
+    incremental refresh applies the bilinear delta rule — the maintained
+    table must equal a plain join+group-by over both lakes' full
+    final-state recompute SQL."""
+    import pyarrow.parquet as pq
+
+    from ..sources.binlog import repo_dim_binlog
+    from .cdc_ingest import ingest as _jv_ingest
+    from .join_view import (create_join_view, read_join_view,
+                            refresh_join_view)
+
+    lake_a = tempfile.mkdtemp(prefix="kcp_jv_a_")
+    lake_b = tempfile.mkdtemp(prefix="kcp_jv_b_")
+    jroot = tempfile.mkdtemp(prefix="kcp_jv_view_")
+    _jv_ingest(lake_a, binlog_from_documents(sf_dir),
+               views={"by_repo": {"group_by": ["repo"], "sums": ["lsn"]}})
+    _jv_ingest(lake_b, repo_dim_binlog(sf_dir, segment=1),
+               key_cols=("repo",), order_cols=("lsn",),
+               views={"repo_team": {"group_by": ["repo", "team"],
+                                    "sums": []}})
+    create_join_view(jroot, lake_a=lake_a, a_view="by_repo",
+                     lake_b=lake_b, b_view="repo_team",
+                     on=[("repo", "repo")])
+    max_doc = pc.max(pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"])["doc_id"]).as_py()
+    _jv_ingest(lake_a, binlog_from_documents(sf_dir, rounds=1,
+                                             base_lsn=4 * max_doc + 4))
+    _jv_ingest(lake_b, repo_dim_binlog(sf_dir, segment=2),
+               key_cols=("repo",), order_cols=("lsn",))
+    man = refresh_join_view(jroot)
+    assert man.incremental, "refresh unexpectedly fell back to bootstrap"
+    return read_join_view(jroot)
+
+
+CDC_JOIN_VIEW_ORACLE = """
+WITH repos AS (SELECT DISTINCT doc_id % 50 AS rnum FROM documents),
+dim AS (
+  SELECT 'repo-' || rnum AS repo,
+         'team-' || ((rnum + CASE WHEN rnum % 5 = 0 THEN 1 ELSE 0 END) % 7)
+           AS team
+  FROM repos WHERE rnum % 13 <> 3
+),
+docs AS (
+  SELECT 'repo-' || (doc_id % 50) AS repo,
+         (SELECT max(doc_id) * 4 + 4 FROM documents)
+           + doc_id * 5 + (doc_id % 3 + 1) AS lsn
+  FROM documents WHERE doc_id % 17 <> 0
+)
+SELECT team, count(*) AS n_rows, CAST(sum(lsn) AS BIGINT) AS sum_lsn
+FROM docs JOIN dim USING (repo)
+GROUP BY team
+"""
+
+
 def cdc_compacted_state(sf_dir: str) -> "rd.Dataset":
     """Small-file compaction, driver-gated end-to-end: segment 2 lands as
     DELTA files (``ingest(mode="delta")`` — append-only, no base
@@ -2639,6 +2700,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "budget_select": q_budget_select,
         "cdc_incremental_state": cdc_incremental_state,
         "cdc_view_state": cdc_view_state,
+        "cdc_join_view_state": cdc_join_view_state,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_full_state": cdc_full_state,
@@ -2718,6 +2780,7 @@ def build_oracles() -> dict[str, str]:
         "budget_select": BUDGET_SELECT_ORACLE,
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
         "cdc_view_state": CDC_VIEW_ORACLE,
+        "cdc_join_view_state": CDC_JOIN_VIEW_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,
         "cdc_full_state": CDC_FULL_ORACLE,

@@ -119,3 +119,60 @@ def binlog_from_documents(sf_dir: str, *, rounds: int = 0,
             batch_format="pyarrow",
         )
     return ds
+
+
+TEAM_BUCKETS = 7
+DIM_MOVE_EVERY = 5       # segment 2: rnum % 5 == 0 moves team
+DIM_DELETE_MOD = 13      # segment 2: rnum % 13 == 3 is deleted
+
+
+def repo_dim_binlog(sf_dir: str, *, segment: int = 1,
+                    base_lsn: int = 1000) -> "rd.Dataset":
+    """Deterministic DIMENSION-table changelog over the repo domain —
+    the small side of a fact⋈dimension join view (pipelines/join_view.py).
+
+    Derived from the same documents table so the final dimension state is
+    exactly expressible in SQL:
+
+    - repos = DISTINCT ``doc_id % 50`` (the fact binlog's repo buckets)
+    - segment 1: insert every repo with ``team = 'team-' || (rnum % 7)``,
+      ``lsn = rnum * 2``
+    - segment 2 (``base_lsn`` offsets past segment 1's high water):
+      repos with ``rnum % 5 == 0`` move to ``team-((rnum + 1) % 7)``;
+      repos with ``rnum % 13 == 3`` are deleted (the two sets are
+      disjoint over 0..49, so event interleaving is immaterial)
+
+    Final state: ``team = 'team-' || ((rnum + (rnum%5=0)) % 7)`` for
+    ``rnum % 13 <> 3``.  Key = (repo,), order = (lsn,).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    doc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"]
+    rnum = np.unique(doc.to_numpy(zero_copy_only=False).astype(np.int64)
+                     % REPO_BUCKETS)
+    if segment == 1:
+        repo = ["repo-%d" % r for r in rnum]
+        team = ["team-%d" % (r % TEAM_BUCKETS) for r in rnum]
+        lsn = rnum * 2
+        op = ["insert"] * len(rnum)
+    elif segment == 2:
+        moved = rnum[rnum % DIM_MOVE_EVERY == 0]
+        deleted = rnum[rnum % DIM_DELETE_MOD == 3]
+        repo = (["repo-%d" % r for r in moved]
+                + ["repo-%d" % r for r in deleted])
+        team = (["team-%d" % ((r + 1) % TEAM_BUCKETS) for r in moved]
+                + [None] * len(deleted))
+        lsn = np.concatenate([base_lsn + moved * 2,
+                              base_lsn + deleted * 2 + 1]).astype(np.int64)
+        op = ["update"] * len(moved) + ["delete"] * len(deleted)
+    else:
+        raise ValueError(f"unknown segment {segment}")
+    return rd.from_arrow(pa.table({
+        "repo": pa.array(repo, pa.string()),
+        "team": pa.array(team, pa.string()),
+        "lsn": pa.array(lsn, pa.int64()),
+        "op": pa.array(op, pa.string()),
+    }))

@@ -64,6 +64,15 @@ class Manifest:
     # incrementally-maintained materialized views (cdc_ingest.ViewSpec):
     # name -> {"group_by": [...], "sums": [...], "file": relpath}
     views: dict = field(default_factory=dict)
+    # THIS version's per-cycle view delta files (name -> relpath): the
+    # folded insertion/retraction contribution the cycle applied to each
+    # touched view, sized O(touched groups).  Deliberately a separate
+    # field from ``views`` so carry-forward commits (compaction,
+    # repartition) — which copy ``parent.views`` by reference — can never
+    # re-attribute an old cycle's delta to a new version.  Consumed by
+    # downstream incremental maintainers (pipelines/join_view.py), which
+    # fall back to a full rebootstrap when gc has collected the history.
+    view_deltas: dict = field(default_factory=dict)
 
     def partition_files(self, pid: int) -> "tuple[str | None, list]":
         """(base file, ordered delta files) for one partition."""
@@ -83,6 +92,7 @@ class Manifest:
                 "key_cols": self.key_cols,
                 "op_col": self.op_col,
                 "views": self.views,
+                "view_deltas": self.view_deltas,
             },
             indent=1,
             sort_keys=True,
@@ -103,6 +113,7 @@ class Manifest:
             key_cols=d.get("key_cols"),
             op_col=d.get("op_col"),
             views=d.get("views", {}),
+            view_deltas=d.get("view_deltas", {}),
         )
 
 

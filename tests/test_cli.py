@@ -205,3 +205,43 @@ def test_cli_view_create_and_show(tmp_path, capsys):
     assert rows and all(r["n_rows"] > 0 for r in rows)
     langs = {r["lang"] for r in rows}
     assert len(langs) == len(rows)
+
+
+def test_cli_join_view_create_refresh_show(tmp_path, capsys):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.cdc_ingest import ingest
+
+    lake_a, lake_b = str(tmp_path / "jva"), str(tmp_path / "jvb")
+    root = str(tmp_path / "jv")
+    ingest(lake_a, rd.from_arrow(pa.table({
+        "repo": ["r0", "r0", "r1"], "path": ["a", "b", "c"],
+        "commit": ["c", "c", "c"], "size": [1, 2, 4],
+        "lsn": [0, 1, 2], "op": ["upsert"] * 3})),
+        num_partitions=2,
+        views={"by_repo": {"group_by": ["repo"], "sums": ["size"]}})
+    ingest(lake_b, rd.from_arrow(pa.table({
+        "repo": ["r0", "r1"], "team": ["t0", "t1"],
+        "lsn": [0, 1], "op": ["insert"] * 2})),
+        num_partitions=2, key_cols=("repo",), order_cols=("lsn",),
+        views={"repo_team": {"group_by": ["repo", "team"], "sums": []}})
+
+    assert main(["join-view", "create", "--root", root,
+                 "--lake-a", lake_a, "--a-view", "by_repo",
+                 "--lake-b", lake_b, "--b-view", "repo_team",
+                 "--on", "repo=repo"]) == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["version"] == 1
+
+    # advance the fact lake, refresh incrementally, show
+    ingest(lake_a, rd.from_arrow(pa.table({
+        "repo": ["r1"], "path": ["d"], "commit": ["c"], "size": [10],
+        "lsn": [3], "op": ["upsert"]})), num_partitions=2)
+    assert main(["join-view", "refresh", "--root", root]) == 0
+    ref = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ref["version"] == 2 and ref["incremental"] is True
+    assert main(["join-view", "show", "--root", root]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {r["team"]: (r["n_rows"], r["sum_size"]) for r in rows}
+    assert got == {"t0": (2, 3), "t1": (2, 14)}

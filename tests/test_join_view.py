@@ -1,0 +1,220 @@
+"""Incrementally-maintained aggregate-JOIN views across two CDC lakes
+(pipelines/join_view.py): after every refresh the maintained table must
+equal a plain pandas join+group-by recompute over BOTH lakes' full state
+— through interleaved A/B cycles, group moves, deletes, gc fallback,
+time travel and the exactly-once commit protocol."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.cdc_ingest import (
+    create_view,
+    ingest,
+    read_lake,
+)
+from kafka_connect_plugins_ray.pipelines.join_view import (
+    JoinViewStore,
+    create_join_view,
+    read_join_view,
+    refresh_join_view,
+)
+
+A_VIEW = {"by_repo": {"group_by": ["repo"], "sums": ["size"]}}
+B_VIEW = {"repo_team": {"group_by": ["repo", "team"], "sums": []}}
+ON = [("repo", "repo")]
+
+
+def _facts(rows):
+    """rows: (repo, path, size, lsn, op)."""
+    cols = list(zip(*rows))
+    return rd.from_arrow(pa.table({
+        "repo": pa.array(cols[0], pa.string()),
+        "path": pa.array(cols[1], pa.string()),
+        "commit": pa.array(["c"] * len(rows), pa.string()),
+        "size": pa.array(cols[2], pa.int64()),
+        "lsn": pa.array(cols[3], pa.int64()),
+        "op": pa.array(cols[4], pa.string()),
+    }))
+
+
+def _dims(rows):
+    """rows: (repo, team, lsn, op)."""
+    cols = list(zip(*rows))
+    return rd.from_arrow(pa.table({
+        "repo": pa.array(cols[0], pa.string()),
+        "team": pa.array(cols[1], pa.string()),
+        "lsn": pa.array(cols[2], pa.int64()),
+        "op": pa.array(cols[3], pa.string()),
+    }))
+
+
+def _ingest_a(lake, rows, **kw):
+    return ingest(lake, _facts(rows), num_partitions=2, **kw)
+
+
+def _ingest_b(lake, rows, **kw):
+    return ingest(lake, _dims(rows), num_partitions=2,
+                  key_cols=("repo",), order_cols=("lsn",), **kw)
+
+
+def _recompute(lake_a, lake_b):
+    fa = read_lake(lake_a).to_pandas()
+    kb = read_lake(lake_b).to_pandas()
+    if fa.empty or kb.empty:
+        return pd.DataFrame(columns=["team", "n_rows", "sum_size"])
+    j = fa.merge(kb[["repo", "team"]], on="repo", how="inner")
+    g = j.groupby("team", dropna=False).agg(
+        n_rows=("team", "size"), sum_size=("size", "sum")).reset_index()
+    return (g.sort_values("team").reset_index(drop=True)
+            .astype({"n_rows": "int64", "sum_size": "int64"}))
+
+
+def _view_df(root):
+    t = read_join_view(root).to_pandas()
+    return (t.sort_values("team").reset_index(drop=True)
+            [["team", "n_rows", "sum_size"]]
+            .astype({"n_rows": "int64", "sum_size": "int64"}))
+
+
+def _check(root, lake_a, lake_b):
+    pd.testing.assert_frame_equal(_view_df(root), _recompute(lake_a, lake_b))
+
+
+def _bootstrap(tmp_path):
+    lake_a, lake_b = str(tmp_path / "a"), str(tmp_path / "b")
+    root = str(tmp_path / "jv")
+    _ingest_a(lake_a,
+              [("r%d" % (i % 4), "p%d" % i, 10 + i, i, "upsert")
+               for i in range(12)],
+              views=A_VIEW)
+    _ingest_b(lake_b,
+              [("r%d" % i, "t%d" % (i % 2), i, "insert") for i in range(4)],
+              views=B_VIEW)
+    create_join_view(root, lake_a=lake_a, a_view="by_repo",
+                     lake_b=lake_b, b_view="repo_team", on=ON)
+    return root, lake_a, lake_b
+
+
+def test_bootstrap_matches_recompute(tmp_path):
+    root, lake_a, lake_b = _bootstrap(tmp_path)
+    _check(root, lake_a, lake_b)
+
+
+def test_interleaved_cycles_incremental(tmp_path):
+    root, lake_a, lake_b = _bootstrap(tmp_path)
+    # A-only cycle: size updates move FK aggregates, one key deleted
+    _ingest_a(lake_a, [("r0", "p0", 999, 100, "upsert"),
+                       ("r1", "p1", 0, 101, "delete")])
+    man = refresh_join_view(root)
+    assert man.incremental
+    _check(root, lake_a, lake_b)
+    # B-only cycle: a repo moves team, another repo's dim row deleted
+    _ingest_b(lake_b, [("r2", "t5", 50, "update"),
+                       ("r3", None, 51, "delete")])
+    man = refresh_join_view(root)
+    assert man.incremental
+    _check(root, lake_a, lake_b)
+    # both lakes advance TWICE before one refresh (multi-cycle replay)
+    _ingest_a(lake_a, [("r3", "p99", 7, 200, "upsert")])
+    _ingest_a(lake_a, [("r2", "p4", 1, 201, "upsert")])
+    _ingest_b(lake_b, [("r3", "t9", 60, "insert")])
+    _ingest_b(lake_b, [("r0", "t5", 61, "update")])
+    man = refresh_join_view(root)
+    assert man.incremental
+    _check(root, lake_a, lake_b)
+
+
+def test_refresh_noop_when_lakes_unchanged(tmp_path):
+    root, lake_a, lake_b = _bootstrap(tmp_path)
+    v = JoinViewStore(root).current_version()
+    man = refresh_join_view(root)
+    assert man.version == v            # no new version committed
+    assert JoinViewStore(root).current_version() == v
+
+
+def test_gc_fallback_rebootstrap(tmp_path):
+    from kafka_connect_plugins_ray.pipelines.maintenance import gc
+
+    root, lake_a, lake_b = _bootstrap(tmp_path)
+    for i in range(3):                 # 3 cycles, then collect history
+        _ingest_a(lake_a, [("r0", "p0", 500 + i, 300 + i, "upsert")])
+    gc(lake_a, keep_versions=1)
+    man = refresh_join_view(root)
+    assert not man.incremental         # fell back, did not fail
+    _check(root, lake_a, lake_b)
+    # after the rebootstrap, incremental maintenance resumes
+    _ingest_a(lake_a, [("r1", "p9", 3, 400, "upsert")])
+    man = refresh_join_view(root)
+    assert man.incremental
+    _check(root, lake_a, lake_b)
+
+
+def test_group_emptied_by_deletes_disappears(tmp_path):
+    root, lake_a, lake_b = _bootstrap(tmp_path)
+    # delete every fact row of the repos mapping to team t1 (r1, r3)
+    _ingest_a(lake_a,
+              [("r%d" % (i % 4), "p%d" % i, 0, 500 + i, "delete")
+               for i in range(12) if i % 4 in (1, 3)])
+    refresh_join_view(root)
+    _check(root, lake_a, lake_b)
+    assert "t1" not in _view_df(root)["team"].tolist()
+
+
+def test_time_travel(tmp_path):
+    root, lake_a, lake_b = _bootstrap(tmp_path)
+    v1 = read_join_view(root, version=1)
+    _ingest_a(lake_a, [("r0", "p0", 100000, 600, "upsert")])
+    refresh_join_view(root)
+    assert read_join_view(root, version=1).equals(v1)
+    assert not read_join_view(root).equals(v1)
+
+
+def test_spec_validation(tmp_path):
+    lake_a, lake_b = str(tmp_path / "a"), str(tmp_path / "b")
+    _ingest_a(lake_a, [("r0", "p0", 1, 0, "upsert")],
+              views={"by_repo_path": {"group_by": ["repo", "path"],
+                                      "sums": []}})
+    _ingest_b(lake_b, [("r0", "t0", 0, "insert")],
+              views={"by_repo_only": {"group_by": ["repo"], "sums": []},
+                     "with_sums": {"group_by": ["repo", "team"],
+                                   "sums": ["lsn"]}})
+    # A view must group by exactly the join keys
+    with pytest.raises(ValueError, match="exactly the join keys"):
+        create_join_view(str(tmp_path / "j1"), lake_a=lake_a,
+                         a_view="by_repo_path", lake_b=lake_b,
+                         b_view="by_repo_only", on=ON)
+    # B view needs attribute columns beyond the join keys
+    _ingest_a(str(tmp_path / "a2"), [("r0", "p0", 1, 0, "upsert")],
+              views=A_VIEW)
+    with pytest.raises(ValueError, match="no attribute columns"):
+        create_join_view(str(tmp_path / "j2"),
+                         lake_a=str(tmp_path / "a2"), a_view="by_repo",
+                         lake_b=lake_b, b_view="by_repo_only", on=ON)
+    # B view must be counts-only
+    with pytest.raises(ValueError, match="counts-only"):
+        create_join_view(str(tmp_path / "j3"),
+                         lake_a=str(tmp_path / "a2"), a_view="by_repo",
+                         lake_b=lake_b, b_view="with_sums", on=ON)
+    # unknown view name
+    with pytest.raises(KeyError, match="nope"):
+        create_join_view(str(tmp_path / "j4"),
+                         lake_a=str(tmp_path / "a2"), a_view="nope",
+                         lake_b=lake_b, b_view="by_repo_only", on=ON)
+
+
+def test_create_twice_raises_and_commit_is_fenced(tmp_path):
+    from kafka_connect_plugins_ray.state.manifest import ConcurrentCommitError
+
+    root, lake_a, lake_b = _bootstrap(tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        create_join_view(root, lake_a=lake_a, a_view="by_repo",
+                         lake_b=lake_b, b_view="repo_team", on=ON)
+    # a stale refresher (planned against an older version) must lose
+    store = JoinViewStore(root)
+    stale = store.current()
+    _ingest_a(lake_a, [("r0", "p0", 2, 700, "upsert")])
+    refresh_join_view(root)
+    with pytest.raises(ConcurrentCommitError):
+        store.commit(stale, expected_parent=stale.parent)
