@@ -141,6 +141,22 @@ def main(argv: "list[str] | None" = None) -> int:
     pj.add_argument("--version", type=int, default=None,
                     help="time-travel version (show)")
 
+    pc_ = sub.add_parser(
+        "changes",
+        help="change data feed: row-level changes between two committed "
+             "lake versions (net or per-version; captured change files "
+             "when available, endpoint state diff otherwise)")
+    pc_.add_argument("--lake", required=True)
+    pc_.add_argument("--from", dest="from_version", type=int, required=True,
+                     help="exclusive start version (0 = empty lake)")
+    pc_.add_argument("--to", dest="to_version", type=int, default=None,
+                     help="inclusive end version (default CURRENT)")
+    pc_.add_argument("--per-version", action="store_true",
+                     help="raw feed with _commit_version attribution "
+                          "instead of the net composition")
+    pc_.add_argument("--mode", choices=["auto", "captured", "diff"],
+                     default="auto")
+
     pd = sub.add_parser(
         "dedup", help="dedup one segment against a persisted exact-dedup "
                       "index (incremental: O(segment) per cycle)")
@@ -285,6 +301,16 @@ def main(argv: "list[str] | None" = None) -> int:
             else:
                 t = read_view(args.lake, args.name, version=args.version)
                 print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "changes":
+            from .pipelines.change_feed import read_changes
+
+            ds = read_changes(
+                args.lake, args.from_version, args.to_version,
+                granularity="per_version" if args.per_version else "net",
+                mode=args.mode)
+            for batch in ds.iter_batches(batch_format="pyarrow"):
+                for row in batch.to_pylist():
+                    print(json.dumps(row, default=str))
         elif args.cmd == "join-view":
             from .pipelines.join_view import (create_join_view,
                                               read_join_view,

@@ -72,6 +72,14 @@ def _last_per_key(t: pa.Table, key_cols: Sequence[str]) -> pa.Table:
 _SEG_COL = "_kcp_seg"
 _OP_UPSERT_SENTINEL = "upsert"
 
+# change-data-feed row tag (pipelines/change_feed.py) — the four Delta
+# Lake CDF change types.
+CHANGE_TYPE_COL = "change_type"
+CT_DELETE = "delete"
+CT_INSERT = "insert"
+CT_UPDATE_PRE = "update_preimage"
+CT_UPDATE_POST = "update_postimage"
+
 
 def _read_projected(path: str, columns: "list[str] | None") -> pa.Table:
     """pq.read_table with the projection intersected against the file's
@@ -245,7 +253,8 @@ class MergeGroup:
                  data_dir: str, key_cols: Sequence[str],
                  order_cols: Sequence[str], lsn_col: str, op_col: str,
                  parent_deltas: "dict[int, list] | None" = None,
-                 views: "dict[str, dict] | None" = None):
+                 views: "dict[str, dict] | None" = None,
+                 change_capture: bool = False):
         self.lake_root = lake_root
         self.parent_files = parent_files
         self.parent_deltas = parent_deltas or {}
@@ -255,6 +264,7 @@ class MergeGroup:
         self.lsn_col = lsn_col
         self.op_col = op_col
         self.views = views or {}
+        self.change_capture = change_capture
 
     def __call__(self, pid: int, group: pa.Table) -> dict:
         events = group.drop_columns(["partition_id"])
@@ -306,6 +316,60 @@ class MergeGroup:
                     view_deltas[vname] = _fold_views(
                         parts, spec["group_by"], spec["sums"])
 
+        # change data feed: row-level change rows for THIS cycle, sized
+        # O(changed rows) — computed here because the merge already holds
+        # both sides of every row transition (same reason the view deltas
+        # live here).  Deletes of absent keys and re-upserts emit per the
+        # applied WRITES (a value-identical re-upsert is still an update
+        # pre/post pair — Delta CDF semantics; net composition in
+        # read_changes drops value-no-ops at the endpoints).
+        change_rel: "str | None" = None
+        if self.change_capture:
+            old_keys = (old.select(self.key_cols)
+                        if old is not None and old.num_rows
+                        else None)
+            parts: list[pa.Table] = []
+
+            def _tag(t: pa.Table, ct: str) -> pa.Table:
+                return t.append_column(
+                    CHANGE_TYPE_COL,
+                    pa.array(np.full(t.num_rows, ct), pa.string()))
+
+            if upserts.num_rows:
+                if old_keys is not None:
+                    ins = upserts.join(old_keys, keys=self.key_cols,
+                                       join_type="left anti")
+                    upd_post = upserts.join(old_keys, keys=self.key_cols,
+                                            join_type="left semi")
+                else:
+                    ins, upd_post = upserts, upserts.slice(0, 0)
+                if ins.num_rows:
+                    parts.append(_tag(ins, CT_INSERT))
+                if upd_post.num_rows:
+                    parts.append(_tag(upd_post, CT_UPDATE_POST))
+                    upd_pre = old.join(
+                        upserts.select(self.key_cols), keys=self.key_cols,
+                        join_type="left semi")
+                    parts.append(_tag(upd_pre, CT_UPDATE_PRE))
+            if n_deletes and old is not None and old.num_rows:
+                del_keys = final_events.filter(delete_mask) \
+                    .select(self.key_cols)
+                dels = old.join(del_keys, keys=self.key_cols,
+                                join_type="left semi")
+                if dels.num_rows:
+                    parts.append(_tag(dels, CT_DELETE))
+            if parts:
+                changes = pa.concat_tables(unify_tables(parts))
+                changes = changes.sort_by(
+                    [(c, "ascending")
+                     for c in self.key_cols + [CHANGE_TYPE_COL]])
+                change_rel = f"{self.data_dir}/changes-{pid:05d}.parquet"
+                cabs = os.path.join(self.lake_root, change_rel)
+                os.makedirs(os.path.dirname(cabs), exist_ok=True)
+                ctmp = cabs + f".tmp-{os.getpid()}"
+                pq.write_table(changes, ctmp)
+                os.replace(ctmp, cabs)
+
         if old is not None and old.num_rows:
             # remove every touched key from the old state (deletes AND
             # upserted keys), then append the new upserts
@@ -340,6 +404,8 @@ class MergeGroup:
         }
         if view_deltas:
             out["views"] = view_deltas
+        if change_rel is not None:
+            out["change_file"] = change_rel
         return out
 
 
@@ -411,7 +477,8 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
            num_partitions: int = DEFAULT_NUM_PARTITIONS,
            resume: bool = True, pre_reduce: bool = True,
            mode: str = "cow",
-           views: "dict[str, dict] | None" = None) -> Manifest:
+           views: "dict[str, dict] | None" = None,
+           change_feed: "bool | None" = None) -> Manifest:
     """One ingest cycle; returns the committed manifest.
 
     ``resume=True`` skips events at or below the current manifest's
@@ -471,6 +538,17 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
             "materialized views require mode='cow' (delta ingests never "
             "read the base, so the view retractions cannot be computed)")
 
+    # change data feed: like views, the flag is a lake property — carried
+    # from the manifest when the param is None; passing change_feed=True
+    # on an existing lake turns capture on from this version (the Delta
+    # 'enableChangeDataFeed' table-property semantics); False turns it off
+    eff_change_feed = (change_feed if change_feed is not None
+                       else (parent.change_feed if parent else False))
+    if eff_change_feed and mode == "delta":
+        raise ValueError(
+            "change_feed requires mode='cow' (delta ingests never read "
+            "the base, so pre-images cannot be captured)")
+
     if parent is not None and parent.num_partitions is not None:
         # the lake's layout is pinned at creation: routing new events with a
         # different P would put a key's events in a partition that does not
@@ -517,6 +595,7 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
             key_cols, order_cols, lsn_col, op_col,
             parent_deltas=parent.deltas if parent else None,
             views=eff_views,
+            change_capture=eff_change_feed,
         )
     # the ONE wide step: explicit two-stage hash exchange (see exchange.py
     # for why this outperforms Dataset.groupby here by ~10x)
@@ -528,6 +607,7 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
               if parent else {})
     hw = parent.high_water_lsn if parent else -1
     columns: set[str] = set(parent.schema or []) if parent else set()
+    changes_out: dict[int, str] = {}
     for row in lineage_rows:
         pid = int(row["partition_id"])
         lineage = {
@@ -559,6 +639,8 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         partitions[pid] = lineage
         hw = max(hw, int(row["lsn_max"]))
         columns.update(row["columns"].split(","))
+        if row.get("change_file"):
+            changes_out[pid] = row["change_file"]
 
     # fold this cycle's per-partition view deltas into the previous
     # committed view state; untouched views carry forward by reference.
@@ -616,6 +698,8 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         op_col=op_col,
         views=views_out,
         view_deltas=view_deltas_out,
+        change_feed=eff_change_feed,
+        changes=changes_out,
     )
     store.commit(manifest, expected_parent=parent.version if parent else None)
     return manifest
@@ -723,6 +807,7 @@ def create_view(lake_root: str, name: str, group_by: Sequence[str],
         # bootstrap = the delta from empty: downstream maintainers that
         # replay delta files see the view appear atomically at this version
         view_deltas={name: rel} if rel else {},
+        change_feed=parent.change_feed,  # state-preserving: no change rows
     )
     store.commit(manifest, expected_parent=parent.version)
     return manifest

@@ -1,0 +1,331 @@
+"""Change data feed: row-level changes between two committed lake versions.
+
+The engine's re-realization of what the reference's users get from the
+Kafka changelog topic itself (the connector's output IS a change feed —
+SURVEY.md §3): downstream consumers subscribe to row-level deltas instead
+of re-reading snapshots.  The design follows the published Delta Lake
+Change Data Feed shape (Armbrust et al., VLDB 2020; the
+``_change_data`` convention): each cow ingest cycle persists per-partition
+change files sized O(changed rows) — types ``insert`` /
+``update_preimage`` / ``update_postimage`` / ``delete`` — and
+``read_changes`` serves any committed version span from them.
+
+Two modes:
+
+- **captured** — every version in the span recorded change files
+  (``ingest(change_feed=True)``).  Reading is O(changed rows): one remote
+  task per touched partition, no state reads at all.
+- **diff** — capture was off for part of the span: fall back to a state
+  diff of the two endpoint snapshots.  Partitions whose (base, delta
+  chain) file identity is unchanged between the endpoints are pruned
+  without reading them (COW carry-forward is by reference), so the cost
+  is O(touched partition bytes), never O(lake).
+
+Two granularities:
+
+- ``per_version`` — the raw feed: every captured change row, tagged with
+  ``_commit_version`` (captured mode only; a state diff cannot attribute
+  rows to intermediate commits).
+- ``net`` — one change per key for the whole span, composed by the
+  telescoping rule: the key's net pre-image is its FIRST captured
+  pre-state in the span, the net post-image its LAST captured post-state;
+  keys whose endpoint values are equal (insert→delete inside the span, or
+  a circular update) vanish.  Net output is therefore identical between
+  captured and diff modes — pinned in tests.
+
+Partitioning assumption: per-partition composition requires the lake's
+pinned ``crc32 % P`` routing to be constant over the span; a
+``repartition_lake`` inside the span raises (read the endpoints
+snapshot-wise instead).
+
+Scale notes (SCALE.md): the driver touches only manifests (O(P) each);
+change rows move straight from per-partition files into Dataset blocks
+via ``from_arrow_refs``.  No exchange — change files are already
+co-partitioned by the lake's pinned routing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..schema import align_to_schema, unify_tables
+from ..state.manifest import LakeStore, Manifest
+from .cdc_ingest import (CHANGE_TYPE_COL, CT_DELETE, CT_INSERT,
+                         CT_UPDATE_POST, CT_UPDATE_PRE, _key_boundaries,
+                         _resolve_partition)
+
+COMMIT_VERSION_COL = "_commit_version"
+
+# event-order rank of a change type within one commit: pre-image rows
+# describe the state BEFORE the commit, post-image rows the state after
+_PRE_TYPES = (CT_UPDATE_PRE, CT_DELETE)
+_POST_TYPES = (CT_UPDATE_POST, CT_INSERT)
+
+
+def _type_rank(types: pa.ChunkedArray) -> pa.Array:
+    return pc.if_else(pc.is_in(types, value_set=pa.array(_PRE_TYPES)),
+                      pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8()))
+
+
+def _null_safe_all_equal(a: pa.Table, b: pa.Table,
+                         cols: Sequence[str]) -> np.ndarray:
+    """Row-wise: every column in ``cols`` equal (nulls compare equal)."""
+    n = max(a.num_rows, 0)
+    eq = np.ones(n, dtype=bool)
+    for c in cols:
+        ca, cb = a.column(c), b.column(c)
+        both_null = pc.and_(pc.is_null(ca), pc.is_null(cb))
+        same = pc.or_(pc.fill_null(pc.equal(ca, cb), False), both_null)
+        eq &= np.asarray(same.combine_chunks())
+    return eq
+
+
+def classify_changes(pre: "pa.Table | None", post: "pa.Table | None",
+                     key_cols: Sequence[str]) -> pa.Table:
+    """Net change rows between two per-key states (each ≤ 1 row per key):
+    keys only in ``post`` → insert, only in ``pre`` → delete, in both with
+    any value difference → update pre/post pair, value-identical → no row.
+    Fully vectorized: one sort + run-boundary scan, no per-row Python."""
+    key_cols = list(key_cols)
+    parts = [t for t in (pre, post) if t is not None and t.num_rows]
+    if not parts:
+        return pa.table({})
+    if pre is None or pre.num_rows == 0:
+        return post.append_column(CHANGE_TYPE_COL, pa.array(
+            np.full(post.num_rows, CT_INSERT), pa.string()))
+    if post is None or post.num_rows == 0:
+        return pre.append_column(CHANGE_TYPE_COL, pa.array(
+            np.full(pre.num_rows, CT_DELETE), pa.string()))
+    seg = "_cf_seg"
+    pre, post = unify_tables([pre, post])
+    tagged = pa.concat_tables([
+        pre.append_column(seg, pa.array(np.zeros(pre.num_rows, np.int8))),
+        post.append_column(seg, pa.array(np.ones(post.num_rows, np.int8))),
+    ])
+    tagged = tagged.sort_by([(c, "ascending") for c in key_cols + [seg]])
+    last = _key_boundaries(tagged, key_cols)
+    starts = np.concatenate(([0], last[:-1] + 1))
+    lens = last - starts + 1
+    segs = np.asarray(tagged.column(seg).combine_chunks())
+    data = tagged.drop_columns([seg])
+    val_cols = [c for c in data.column_names if c not in key_cols]
+
+    out: list[pa.Table] = []
+
+    def _tag(t: pa.Table, ct: str) -> pa.Table:
+        return t.append_column(CHANGE_TYPE_COL, pa.array(
+            np.full(t.num_rows, ct), pa.string()))
+
+    single = starts[lens == 1]
+    dels = single[segs[single] == 0]
+    ins = single[segs[single] == 1]
+    if dels.size:
+        out.append(_tag(data.take(pa.array(dels, pa.int64())), CT_DELETE))
+    if ins.size:
+        out.append(_tag(data.take(pa.array(ins, pa.int64())), CT_INSERT))
+    pair_start = starts[lens == 2]
+    if pair_start.size:
+        a = data.take(pa.array(pair_start, pa.int64()))
+        b = data.take(pa.array(pair_start + 1, pa.int64()))
+        changed = ~_null_safe_all_equal(a, b, val_cols)
+        if changed.any():
+            mask = pa.array(changed)
+            out.append(_tag(a.filter(mask), CT_UPDATE_PRE))
+            out.append(_tag(b.filter(mask), CT_UPDATE_POST))
+    if not out:
+        return _tag(data.slice(0, 0), CT_INSERT).slice(0, 0)
+    res = pa.concat_tables(unify_tables(out))
+    return res.sort_by([(c, "ascending")
+                        for c in key_cols + [CHANGE_TYPE_COL]])
+
+
+def _compose_captured(tables: "list[tuple[int, pa.Table]]",
+                      key_cols: Sequence[str]) -> pa.Table:
+    """Net-compose one partition's captured change rows across a version
+    span: per key, first pre-state vs last post-state (telescoping — the
+    intermediate states cancel), then classify."""
+    key_cols = list(key_cols)
+    ver = "_cf_ver"
+    rank = "_cf_rank"
+    stamped = []
+    for v, t in tables:
+        t = t.append_column(ver, pa.array(np.full(t.num_rows, v, np.int64)))
+        t = t.append_column(rank, _type_rank(t.column(CHANGE_TYPE_COL)))
+        stamped.append(t)
+    all_t = pa.concat_tables(unify_tables(stamped))
+    all_t = all_t.sort_by([(c, "ascending")
+                           for c in key_cols + [ver, rank]])
+    last = _key_boundaries(all_t, key_cols)
+    starts = np.concatenate(([0], last[:-1] + 1))
+    types = all_t.column(CHANGE_TYPE_COL)
+    is_pre = np.asarray(pc.is_in(
+        types, value_set=pa.array(_PRE_TYPES)).combine_chunks())
+    data = all_t.drop_columns([ver, rank, CHANGE_TYPE_COL])
+    first_rows = data.take(pa.array(starts, pa.int64()))
+    last_rows = data.take(pa.array(last, pa.int64()))
+    pre_tbl = first_rows.filter(pa.array(is_pre[starts]))
+    post_tbl = last_rows.filter(pa.array(~is_pre[last]))
+    return classify_changes(pre_tbl, post_tbl, key_cols)
+
+
+def _diff_partition(lake_root: str, old_base, old_deltas, new_base,
+                    new_deltas, key_cols, op_col) -> pa.Table:
+    old = (_resolve_partition(lake_root, old_base, old_deltas, key_cols,
+                              op_col)
+           if (old_base is not None or old_deltas) else None)
+    new = (_resolve_partition(lake_root, new_base, new_deltas, key_cols,
+                              op_col)
+           if (new_base is not None or new_deltas) else None)
+    return classify_changes(old, new, key_cols)
+
+
+def _read_captured(lake_root: str, rels_with_ver, key_cols,
+                   granularity: str) -> pa.Table:
+    tables = [(v, pq.read_table(os.path.join(lake_root, rel)))
+              for v, rel in rels_with_ver]
+    if granularity == "per_version":
+        stamped = [t.append_column(COMMIT_VERSION_COL, pa.array(
+            np.full(t.num_rows, v, np.int64))) for v, t in tables]
+        return pa.concat_tables(unify_tables(stamped))
+    return _compose_captured(tables, key_cols)
+
+
+def read_changes(lake_root: str, from_version: int,
+                 to_version: "int | None" = None, *,
+                 granularity: str = "net",
+                 mode: str = "auto") -> "rd.Dataset":
+    """Dataset of row-level changes between two committed versions.
+
+    ``from_version`` is EXCLUSIVE (0 = empty lake before the first
+    commit), ``to_version`` inclusive (default CURRENT) — the span is the
+    commits ``(from_version, to_version]``, matching the Delta CDF
+    convention.  See the module docstring for ``granularity`` / ``mode``.
+    Output schema: the lake's data columns + ``change_type`` (+
+    ``_commit_version`` for per_version granularity)."""
+    import ray
+
+    if granularity not in ("net", "per_version"):
+        raise ValueError(f"unknown granularity {granularity!r}")
+    if mode not in ("auto", "captured", "diff"):
+        raise ValueError(f"unknown mode {mode!r}")
+    store = LakeStore(lake_root)
+    if to_version is None:
+        to_version = store.current_version()
+        if to_version is None:
+            raise ValueError(f"lake {lake_root} has no committed version")
+    if not 0 <= from_version <= to_version:
+        raise ValueError(
+            f"need 0 <= from_version <= to_version, got "
+            f"{from_version}..{to_version}")
+    empty = rd.from_arrow(pa.table({CHANGE_TYPE_COL: pa.array([],
+                                                              pa.string())}))
+    if from_version == to_version:
+        return empty
+    try:
+        man_to = store.read_manifest(to_version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"captured change feed unavailable: manifest v{to_version} "
+            "was garbage-collected") from None
+    key_cols = list(man_to.key_cols or ["repo", "path"])
+    op_col = man_to.op_col or "op"
+
+    span: "list[Manifest] | None" = []
+    for v in range(from_version + 1, to_version + 1):
+        try:
+            m = store.read_manifest(v)
+        except FileNotFoundError:
+            span = None  # gc'd history: captured mode unavailable
+            break
+        if not m.change_feed:
+            span = None
+            break
+        span.append(m)
+    if mode == "captured" and span is None:
+        raise ValueError(
+            "captured change feed unavailable for "
+            f"v{from_version}..v{to_version} (capture off or history "
+            "gc'd) — use mode='diff' for an endpoint state diff")
+    use_captured = span is not None and mode != "diff"
+
+    if use_captured:
+        if any(m.num_partitions != man_to.num_partitions for m in span):
+            raise NotImplementedError(
+                "the lake was repartitioned inside the span — change "
+                "composition needs constant key routing; read the "
+                "endpoint snapshots instead")
+        by_pid: dict[int, list] = {}
+        all_rels = []
+        for m in span:
+            for pid, rel in m.changes.items():
+                by_pid.setdefault(int(pid), []).append((m.version, rel))
+                all_rels.append(rel)
+        if not by_pid:
+            return empty
+        schemas = [pq.read_schema(store.abspath(rel)) for rel in all_rels]
+        target = pa.unify_schemas(schemas, promote_options="permissive")
+        if granularity == "per_version":
+            target = target.append(pa.field(COMMIT_VERSION_COL, pa.int64()))
+        read = ray.remote(
+            lambda rels: align_to_schema(
+                _read_captured(lake_root, rels, key_cols, granularity),
+                target))
+        refs = [read.remote(rels) for _, rels in sorted(by_pid.items())]
+        return rd.from_arrow_refs(refs)
+
+    # endpoint state diff (capture off somewhere in the span, or forced)
+    if granularity == "per_version":
+        raise ValueError(
+            "per_version granularity needs captured change files — a "
+            "state diff cannot attribute rows to intermediate commits")
+    man_from = (store.read_manifest(from_version)
+                if from_version > 0 else None)
+    if man_from is not None and \
+            man_from.num_partitions != man_to.num_partitions:
+        raise NotImplementedError(
+            "the lake was repartitioned inside the span — per-partition "
+            "diffing needs constant key routing; read the endpoint "
+            "snapshots instead")
+
+    def _ident(m: "Manifest | None", pid: int):
+        if m is None:
+            return None
+        base, deltas = m.partition_files(pid)
+        return (base, tuple(deltas)) if (base or deltas) else None
+
+    pids = sorted(set(man_to.files) | set(man_to.deltas)
+                  | (set(man_from.files) | set(man_from.deltas)
+                     if man_from else set()))
+    touched = [p for p in pids if _ident(man_from, p) != _ident(man_to, p)]
+    if not touched:
+        return empty
+    # unified output schema from the touched files' footers
+    rels = []
+    for m in (man_from, man_to):
+        if m is None:
+            continue
+        for p in touched:
+            base, deltas = m.partition_files(p)
+            rels.extend(([base] if base else []) + list(deltas))
+    uni = pa.unify_schemas([pq.read_schema(store.abspath(r)) for r in rels],
+                           promote_options="permissive")
+    drop = {op_col, "_kcp_seg"}
+    target = pa.schema([f for f in uni if f.name not in drop]).append(
+        pa.field(CHANGE_TYPE_COL, pa.string()))
+    diff = ray.remote(
+        lambda ob, od, nb, nd: align_to_schema(
+            _diff_partition(lake_root, ob, od, nb, nd, key_cols, op_col),
+            target))
+    refs = []
+    for p in touched:
+        ob, od = (man_from.partition_files(p) if man_from else (None, []))
+        nb, nd = man_to.partition_files(p)
+        refs.append(diff.remote(ob, od, nb, nd))
+    return rd.from_arrow_refs(refs)

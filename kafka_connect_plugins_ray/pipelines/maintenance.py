@@ -51,6 +51,7 @@ def gc(lake_root: str, keep_versions: int = 2) -> dict:
             if v.get("file"):
                 out.add(v["file"])
         out.update(man.view_deltas.values())
+        out.update(man.changes.values())
         return out
 
     m = store.read_manifest(current)
@@ -302,6 +303,7 @@ def compact_lake(lake_root: str) -> Manifest:
         num_partitions=parent.num_partitions,
         deltas=deltas, key_cols=parent.key_cols, op_col=parent.op_col,
         views=parent.views,  # group aggregates don't depend on layout
+        change_feed=parent.change_feed,  # state-preserving: no change rows
     )
     store.commit(manifest, expected_parent=parent.version)
     return manifest
@@ -360,6 +362,7 @@ def repartition_lake(lake_root: str, new_num_partitions: int,
         num_partitions=new_num_partitions,
         key_cols=parent.key_cols, op_col=parent.op_col,
         views=parent.views,  # group aggregates don't depend on layout
+        change_feed=parent.change_feed,  # state-preserving: no change rows
         # deltas deliberately empty: read_lake resolved any pending chain,
         # so the rewrite is also a full compaction
     )

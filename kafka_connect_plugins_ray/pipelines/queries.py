@@ -237,6 +237,79 @@ GROUP BY team
 """
 
 
+def cdc_change_feed(sf_dir: str) -> "rd.Dataset":
+    """Change data feed, driver-gated end to end
+    (pipelines/change_feed.py): segment 1 ingests with capture on —
+    EVEN docs only, delete events filtered so 17-divisible keys stay
+    live at v1 — then segment 2 replays the full rounds=1 binlog.  The
+    net captured feed v1→v2 must contain all four change classes:
+    updates (even, non-17) with exact pre AND post images, deletes
+    (even, 17-divisible: live at v1, tombstoned at v2), inserts (odd,
+    non-17), and NOTHING for odd 17-divisible keys (inserted and
+    deleted inside the span — the telescoping composition must cancel
+    them)."""
+    import pyarrow.parquet as pq
+
+    from .change_feed import read_changes
+
+    lake = tempfile.mkdtemp(prefix="kcp_lake_cf_")
+    seg1 = binlog_from_documents(sf_dir)
+
+    def even_docs_no_deletes(t: pa.Table) -> pa.Table:
+        # segment-1 lsn = doc_id*4 + seq with seq < 4, so doc parity is
+        # derivable from the event itself (no side channel)
+        doc = t.column("lsn").to_numpy() // 4
+        keep = pa.array((doc % 2 == 0)
+                        & (t.column("op").to_numpy(zero_copy_only=False)
+                           != "delete"))
+        return t.filter(keep)
+
+    seg1 = seg1.map_batches(even_docs_no_deletes, batch_format="pyarrow")
+    ingest(lake, seg1, change_feed=True)
+    max_doc = pc.max(pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"])["doc_id"]).as_py()
+    ingest(lake, binlog_from_documents(sf_dir, rounds=1,
+                                       base_lsn=4 * max_doc + 4))
+    return read_changes(lake, 1, 2, granularity="net", mode="captured")
+
+
+CDC_CHANGE_FEED_ORACLE = """
+WITH pre AS (
+  SELECT 'repo-' || (doc_id % 50) AS repo,
+         'src/doc_' || doc_id || '.txt' AS path,
+         printf('c%06d-', (doc_id % 3)::INT)
+           || substr(md5(doc_id || ':' || (doc_id % 3)), 1, 8) AS commit,
+         lang, text || '#v' || (doc_id % 3) AS content,
+         doc_id * 4 + (doc_id % 3) AS lsn, doc_id
+  FROM documents WHERE doc_id % 2 = 0
+),
+post AS (
+  SELECT 'repo-' || (doc_id % 50) AS repo,
+         'src/doc_' || doc_id || '.txt' AS path,
+         printf('c%06d-', (doc_id % 3 + 1)::INT)
+           || substr(md5(doc_id || ':' || (doc_id % 3 + 1)), 1, 8)
+           AS commit,
+         lang, text || '#v' || (doc_id % 3 + 1) AS content,
+         (SELECT max(doc_id) * 4 + 4 FROM documents)
+           + doc_id * 5 + (doc_id % 3 + 1) AS lsn, doc_id
+  FROM documents WHERE doc_id % 17 <> 0
+)
+SELECT repo, path, commit, lang, content, lsn,
+       'update_preimage' AS change_type
+FROM pre WHERE doc_id % 17 <> 0
+UNION ALL
+SELECT repo, path, commit, lang, content, lsn, 'update_postimage'
+FROM post WHERE doc_id % 2 = 0
+UNION ALL
+SELECT repo, path, commit, lang, content, lsn, 'delete'
+FROM pre WHERE doc_id % 17 = 0
+UNION ALL
+SELECT repo, path, commit, lang, content, lsn, 'insert'
+FROM post WHERE doc_id % 2 = 1
+"""
+
+
 def cdc_compacted_state(sf_dir: str) -> "rd.Dataset":
     """Small-file compaction, driver-gated end-to-end: segment 2 lands as
     DELTA files (``ingest(mode="delta")`` — append-only, no base
@@ -2701,6 +2774,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_state": cdc_incremental_state,
         "cdc_view_state": cdc_view_state,
         "cdc_join_view_state": cdc_join_view_state,
+        "cdc_change_feed": cdc_change_feed,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_full_state": cdc_full_state,
@@ -2781,6 +2855,7 @@ def build_oracles() -> dict[str, str]:
         "cdc_incremental_state": CDC_INCREMENTAL_ORACLE,
         "cdc_view_state": CDC_VIEW_ORACLE,
         "cdc_join_view_state": CDC_JOIN_VIEW_ORACLE,
+        "cdc_change_feed": CDC_CHANGE_FEED_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,
         "cdc_full_state": CDC_FULL_ORACLE,

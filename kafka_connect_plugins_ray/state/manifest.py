@@ -64,6 +64,18 @@ class Manifest:
     # incrementally-maintained materialized views (cdc_ingest.ViewSpec):
     # name -> {"group_by": [...], "sums": [...], "file": relpath}
     views: dict = field(default_factory=dict)
+    # change data feed (pipelines/change_feed.py): when True, every cow
+    # ingest cycle also persists per-partition row-level change files
+    # (insert / update_preimage / update_postimage / delete — the Delta
+    # Lake CDF convention, Armbrust et al. VLDB 2020 §4.3 shape) sized
+    # O(changed rows).  Pinned like views: carried forward by
+    # state-preserving commits (compaction, repartition, create_view);
+    # flipping it on mid-life starts capture at that version.
+    change_feed: bool = False
+    # THIS version's change files (pid -> relpath) — per-cycle like
+    # ``view_deltas``, never carried forward, so a change row is
+    # attributed to exactly the commit that produced it.
+    changes: dict[int, str] = field(default_factory=dict)
     # THIS version's per-cycle view delta files (name -> relpath): the
     # folded insertion/retraction contribution the cycle applied to each
     # touched view, sized O(touched groups).  Deliberately a separate
@@ -93,6 +105,8 @@ class Manifest:
                 "op_col": self.op_col,
                 "views": self.views,
                 "view_deltas": self.view_deltas,
+                "change_feed": self.change_feed,
+                "changes": {str(k): v for k, v in self.changes.items()},
             },
             indent=1,
             sort_keys=True,
@@ -114,6 +128,8 @@ class Manifest:
             op_col=d.get("op_col"),
             views=d.get("views", {}),
             view_deltas=d.get("view_deltas", {}),
+            change_feed=d.get("change_feed", False),
+            changes={int(k): v for k, v in d.get("changes", {}).items()},
         )
 
 

@@ -1,0 +1,203 @@
+"""Change data feed (pipelines/change_feed.py): capture, composition,
+diff-mode equivalence, gc protection, and the mid-life enable path."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.cdc_ingest import (
+    create_view, ingest, read_lake)
+from kafka_connect_plugins_ray.pipelines.change_feed import read_changes
+from kafka_connect_plugins_ray.pipelines.maintenance import (
+    gc as lake_gc, repartition_lake)
+
+
+def _ev(paths, contents, lsns, ops, commit="c0"):
+    return rd.from_arrow(pa.table({
+        "repo": ["r"] * len(paths), "path": list(paths),
+        "commit": [commit] * len(paths),
+        "content": pa.array(list(contents), pa.string()),
+        "lsn": pa.array(list(lsns), pa.int64()), "op": list(ops)}))
+
+
+def _rows(ds):
+    return sorted((r["path"], r["change_type"], r.get("content"),
+                   r.get("lsn")) for r in ds.take_all())
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    root = str(tmp_path / "cf_lake")
+    ingest(root, _ev(["a", "b", "c"], ["A0", "B0", "C0"], [0, 1, 2],
+                     ["insert"] * 3), num_partitions=4, change_feed=True)
+    # update a, value-identical re-upsert b, delete c, insert d,
+    # delete of a key that never existed (must emit nothing)
+    ingest(root, _ev(["a", "b", "c", "d", "ghost"],
+                     ["A1", "B0", None, "D1", None],
+                     [10, 11, 12, 13, 14],
+                     ["update", "update", "delete", "insert", "delete"],
+                     commit="c1"), num_partitions=4)
+    return root
+
+
+def test_captured_per_version_attribution(lake):
+    t = read_changes(lake, 0, 2, granularity="per_version").take_all()
+    got = sorted((r["path"], r["change_type"], r["_commit_version"])
+                 for r in t)
+    assert got == [
+        ("a", "insert", 1), ("a", "update_postimage", 2),
+        ("a", "update_preimage", 2),
+        ("b", "insert", 1),
+        # a value-identical re-upsert is still an applied write: the raw
+        # feed reports it (Delta CDF semantics); net composition drops it
+        ("b", "update_postimage", 2), ("b", "update_preimage", 2),
+        ("c", "delete", 2), ("c", "insert", 1),
+        ("d", "insert", 2),
+    ]
+
+
+def test_net_composition_telescopes(lake):
+    # 0 -> 2: c inserted+deleted inside the span vanishes; a lands as a
+    # plain insert carrying only its FINAL value
+    assert _rows(read_changes(lake, 0, 2)) == [
+        ("a", "insert", "A1", 10), ("b", "insert", "B0", 11),
+        ("d", "insert", "D1", 13)]
+    # 1 -> 2: b is a genuine update (its lsn column changed)
+    assert _rows(read_changes(lake, 1, 2)) == [
+        ("a", "update_postimage", "A1", 10),
+        ("a", "update_preimage", "A0", 0),
+        ("b", "update_postimage", "B0", 11),
+        ("b", "update_preimage", "B0", 1),
+        ("c", "delete", "C0", 2),
+        ("d", "insert", "D1", 13)]
+
+
+def test_net_captured_equals_diff(lake):
+    for span in ((0, 1), (0, 2), (1, 2)):
+        cap = _rows(read_changes(lake, *span, mode="captured"))
+        dif = _rows(read_changes(lake, *span, mode="diff"))
+        assert cap == dif, span
+
+
+def test_value_identical_endpoints_vanish(lake):
+    # delete b then re-insert it with its ORIGINAL v2 values: the span
+    # 2 -> 4 must net to nothing for b
+    ingest(lake, _ev(["b"], [None], [20], ["delete"]), num_partitions=4)
+    ingest(lake, _ev(["b"], ["B0"], [11], ["insert"], commit="c1"),
+           num_partitions=4, resume=False)
+    assert _rows(read_changes(lake, 2, 4)) == []
+    assert _rows(read_changes(lake, 2, 4, mode="diff")) == []
+
+
+def test_empty_span_and_validation(lake):
+    assert read_changes(lake, 2, 2).take_all() == []
+    with pytest.raises(ValueError):
+        read_changes(lake, 3, 2)
+    with pytest.raises(ValueError):
+        read_changes(lake, 1, 2, granularity="per_version", mode="diff")
+
+
+def test_capture_off_falls_back_to_diff(tmp_path):
+    root = str(tmp_path / "nofeed")
+    ingest(root, _ev(["a"], ["A0"], [0], ["insert"]), num_partitions=2)
+    ingest(root, _ev(["a"], ["A1"], [1], ["update"]), num_partitions=2)
+    with pytest.raises(ValueError, match="captured change feed"):
+        read_changes(root, 1, 2, mode="captured")
+    assert _rows(read_changes(root, 1, 2)) == [
+        ("a", "update_postimage", "A1", 1),
+        ("a", "update_preimage", "A0", 0)]
+
+
+def test_enable_mid_life(tmp_path):
+    root = str(tmp_path / "midlife")
+    ingest(root, _ev(["a"], ["A0"], [0], ["insert"]), num_partitions=2)
+    m2 = ingest(root, _ev(["a", "b"], ["A1", "B0"], [1, 2],
+                          ["update", "insert"]), num_partitions=2,
+                change_feed=True)
+    assert m2.change_feed and m2.changes
+    # the captured span starts at the enabling version; earlier spans
+    # auto-fall back to a state diff and agree
+    assert _rows(read_changes(root, 1, 2, mode="captured")) == \
+        _rows(read_changes(root, 1, 2, mode="diff"))
+    assert _rows(read_changes(root, 0, 2)) == [
+        ("a", "insert", "A1", 1), ("b", "insert", "B0", 2)]
+    # the flag is now pinned: the next cycle captures without the param
+    m3 = ingest(root, _ev(["b"], ["B1"], [3], ["update"]),
+                num_partitions=2)
+    assert m3.change_feed and m3.changes
+
+
+def test_gc_protects_live_change_files(lake):
+    ingest(lake, _ev(["a"], ["A2"], [30], ["update"]), num_partitions=4)
+    lake_gc(lake, keep_versions=2)  # v2, v3 kept; v1 collected
+    assert _rows(read_changes(lake, 2, 3, mode="captured")) == [
+        ("a", "update_postimage", "A2", 30),
+        ("a", "update_preimage", "A1", 10)]
+    with pytest.raises(ValueError, match="captured change feed"):
+        read_changes(lake, 0, 1, mode="captured")
+
+
+def test_state_preserving_commits_carry_flag(lake):
+    m = create_view(lake, "by_repo", ["repo"], ["lsn"])
+    assert m.change_feed and not m.changes
+    # a span crossing the view commit still composes (no change rows at
+    # that version) and equals the endpoint diff
+    ingest(lake, _ev(["d"], ["D2"], [40], ["update"]), num_partitions=4)
+    assert _rows(read_changes(lake, 2, 4, mode="captured")) == \
+        _rows(read_changes(lake, 2, 4, mode="diff"))
+
+
+def test_repartition_inside_span_raises(lake):
+    repartition_lake(lake, 8)
+    with pytest.raises(NotImplementedError):
+        read_changes(lake, 1, 3, mode="diff")
+    # spans that don't cross the repartition still work
+    ingest(lake, _ev(["a"], ["A9"], [50], ["update"]), num_partitions=8)
+    assert _rows(read_changes(lake, 3, 4)) == [
+        ("a", "update_postimage", "A9", 50),
+        ("a", "update_preimage", "A1", 10)]
+
+
+def test_schema_evolution_null_fills_preimages(lake):
+    ev = pa.table({
+        "repo": ["r"], "path": ["a"], "commit": ["c2"],
+        "content": ["A2"], "lsn": [60], "op": ["update"],
+        "extra": ["x"]})
+    ingest(lake, rd.from_arrow(ev), num_partitions=4)
+    rows = {(r["path"], r["change_type"]): r
+            for r in read_changes(lake, 2, 3).take_all()}
+    assert rows[("a", "update_postimage")]["extra"] == "x"
+    assert rows[("a", "update_preimage")]["extra"] is None
+
+
+def test_randomized_multicycle_captured_equals_diff(tmp_path):
+    rng = np.random.default_rng(7)
+    root = str(tmp_path / "fuzz")
+    keys = [f"k{i}" for i in range(40)]
+    lsn = 0
+    for cycle in range(5):
+        n = int(rng.integers(5, 25))
+        ks = list(rng.choice(keys, size=n, replace=False))
+        ops, contents, lsns = [], [], []
+        for k in ks:
+            lsn += 1
+            if rng.random() < 0.25:
+                ops.append("delete"); contents.append(None)
+            else:
+                ops.append("update"); contents.append(f"{k}v{lsn}")
+            lsns.append(lsn)
+        ingest(root, _ev(ks, contents, lsns, ops), num_partitions=4,
+               change_feed=True)
+    for a in range(0, 5):
+        for b in range(a + 1, 6):
+            cap = _rows(read_changes(root, a, b, mode="captured"))
+            dif = _rows(read_changes(root, a, b, mode="diff"))
+            assert cap == dif, (a, b)
+    # the full-span net feed replays to exactly the final state
+    final = {r["path"]: r["content"]
+             for r in read_lake(root).take_all()}
+    net = read_changes(root, 0, 5).take_all()
+    assert all(r["change_type"] == "insert" for r in net)
+    assert {r["path"]: r["content"] for r in net} == final

@@ -245,3 +245,33 @@ def test_cli_join_view_create_refresh_show(tmp_path, capsys):
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     got = {r["team"]: (r["n_rows"], r["sum_size"]) for r in rows}
     assert got == {"t0": (2, 3), "t1": (2, 14)}
+
+
+def test_cli_changes(tmp_path, capsys):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.cdc_ingest import ingest
+
+    lake = str(tmp_path / "cf")
+    ingest(lake, rd.from_arrow(pa.table({
+        "repo": ["r", "r"], "path": ["a", "b"], "commit": ["c0"] * 2,
+        "content": ["A0", "B0"], "lsn": [0, 1], "op": ["insert"] * 2})),
+        num_partitions=2, change_feed=True)
+    ingest(lake, rd.from_arrow(pa.table({
+        "repo": ["r", "r"], "path": ["a", "b"],
+        "commit": ["c1", "c1"], "content": ["A1", None],
+        "lsn": [2, 3], "op": ["update", "delete"]})), num_partitions=2)
+
+    assert main(["changes", "--lake", lake, "--from", "1"]) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    got = sorted((r["path"], r["change_type"]) for r in rows)
+    assert got == [("a", "update_postimage"), ("a", "update_preimage"),
+                   ("b", "delete")]
+
+    assert main(["changes", "--lake", lake, "--from", "0", "--to", "2",
+                 "--per-version"]) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["_commit_version"] for r in rows} == {1, 2}
