@@ -152,6 +152,9 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("decontam_ngrams", Q.q_decontam_ngrams)
     consume("chunk_documents", Q.q_chunk_documents)
     consume("text_search", Q.q_text_search)
+    consume("cdc_join_view_state", Q.cdc_join_view_state)
+    consume("cdc_change_feed", Q.cdc_change_feed)
+    consume("running_window", Q.q_running_window)
 
     ray.shutdown()
     return {

@@ -46,6 +46,33 @@ def _q_asof_join(sf_dir: str):
     return _streaming.asof_join_events(sf_dir)
 
 
+def q_running_window(sf_dir: str) -> "rd.Dataset":
+    """Per-key running-window analytics over the event log
+    (streaming.running_window): every event gains its per-user
+    row_number, cumulative value sum, and lag(value) under the
+    (ts, event_id) total order — the SQL window-function shape a CDC
+    consumer computes downstream, as ONE exchange + segmented numpy."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    out = _streaming.running_window(
+        ds, key="user_id", order=["ts", "event_id"],
+        sum_cols=["value"], lag_cols=["value"])
+    return out.map_batches(
+        lambda t: analytics._round_cols(t, ["run_sum_value"], 2),
+        batch_format="pyarrow")
+
+
+RUNNING_WINDOW_ORACLE = """
+SELECT event_id, user_id, ts, value,
+       row_number() OVER w AS row_number,
+       ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 2) AS run_sum_value,
+       lag(value) OVER w AS lag_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def _q_sessionize(sf_dir: str):
     return _streaming.sessionize_events(sf_dir)
 
@@ -122,6 +149,16 @@ def _two_segment_lake(sf_dir: str, with_metadata: bool = False,
                                        with_metadata=with_metadata),
            mode=seg2_mode)
     return lake
+
+
+def cdc_time_travel(sf_dir: str) -> "rd.Dataset":
+    """Snapshot isolation / time travel, driver-gated: after TWO ingest
+    cycles (every key updated, the second segment's lsn space disjoint),
+    ``read_lake(version=1)`` must return segment 1's exact LWW state —
+    the v1 data files are immutable and still referenced by the v1
+    manifest, so the historical read is byte-stable regardless of the
+    later commit (the flagship single-segment oracle gates it)."""
+    return read_lake(_two_segment_lake(sf_dir), version=1)
 
 
 def cdc_incremental_state(sf_dir: str) -> "rd.Dataset":
@@ -2775,6 +2812,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_view_state": cdc_view_state,
         "cdc_join_view_state": cdc_join_view_state,
         "cdc_change_feed": cdc_change_feed,
+        "running_window": q_running_window,
+        "cdc_time_travel": cdc_time_travel,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_full_state": cdc_full_state,
@@ -2856,6 +2895,8 @@ def build_oracles() -> dict[str, str]:
         "cdc_view_state": CDC_VIEW_ORACLE,
         "cdc_join_view_state": CDC_JOIN_VIEW_ORACLE,
         "cdc_change_feed": CDC_CHANGE_FEED_ORACLE,
+        "running_window": RUNNING_WINDOW_ORACLE,
+        "cdc_time_travel": CDC_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,
         "cdc_full_state": CDC_FULL_ORACLE,

@@ -129,6 +129,85 @@ FROM o GROUP BY user_id
 """
 
 
+def running_window(ds, *, key: str, order: "list[str]",
+                   sum_cols: "list[str]", lag_cols: "list[str]" = (),
+                   buckets: int = BUCKETS):
+    """Per-key ordered running aggregates — the streaming-analytics
+    window shape ``agg(x) OVER (PARTITION BY key ORDER BY order ROWS
+    UNBOUNDED PRECEDING)``: every input row gains its 1-based
+    ``row_number``, a cumulative ``run_sum_<c>`` per ``sum_cols`` entry,
+    and ``lag_<c>`` (previous row's value in the key's order, null at the
+    key's first row) per ``lag_cols`` entry.
+
+    Ray-Data shape: ONE hash exchange on ``key % buckets`` co-locates
+    each key's rows, then the per-bucket kernel is a single Arrow sort +
+    segmented numpy cumsum/shift over key runs — no per-row Python, no
+    pandas.  Output stays object-store-resident (``refs_to_dataset``).
+    Skew: a hot key's rows land in one bucket — inherent to per-key
+    windows (the same contract as sessionize); cumulative state per task
+    is O(1) beyond the rows themselves.  The running sum accumulates
+    left-to-right per key exactly like the SQL frame, so integer sums
+    are exact; float sums follow the documented ROUND parity convention
+    (analytics._round_cols).
+    """
+    import numpy as np
+
+    from ..exchange import refs_to_dataset
+
+    order = list(order)
+    sum_cols, lag_cols = list(sum_cols), list(lag_cols)
+    in_schema = ds.schema()
+    types = dict(zip(in_schema.names, in_schema.types))
+    out_fields = [(n, types[n]) for n in in_schema.names]
+    out_fields.append(("row_number", pa.int64()))
+    for c in sum_cols:
+        out_fields.append((f"run_sum_{c}", types[c]))
+    for c in lag_cols:
+        out_fields.append((f"lag_{c}", types[c]))
+    out_schema = pa.schema(out_fields)
+
+    ds = ds.map_batches(lambda t: _with_bucket(t, key, buckets),
+                        batch_format="pyarrow")
+
+    def window_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        t = t.drop_columns(["bucket"])
+        if t.num_rows == 0:
+            return None
+        t = t.sort_by([(c, "ascending") for c in [key] + order])
+        n = t.num_rows
+        k = np.asarray(pc.cast(t[key], pa.int64()).combine_chunks())
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        np.not_equal(k[1:], k[:-1], out=is_start[1:])
+        starts = np.nonzero(is_start)[0]
+        lens = np.diff(np.append(starts, n))
+        cols = {c: t.column(c) for c in t.column_names}
+        cols["row_number"] = pa.array(
+            np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1,
+            pa.int64())
+        for c in sum_cols:
+            v = np.asarray(t.column(c).combine_chunks())
+            cs = np.cumsum(v)
+            seg = cs - np.repeat(cs[starts] - v[starts], lens)
+            cols[f"run_sum_{c}"] = pa.array(seg, pa.from_numpy_dtype(
+                seg.dtype)).cast(types[c])
+        if lag_cols:
+            prev_idx = np.arange(-1, n - 1, dtype=np.int64)
+            prev_idx[0] = 0  # placeholder; masked below
+            take_idx = pa.array(prev_idx, pa.int64())
+            first = pa.array(is_start)
+            for c in lag_cols:
+                shifted = t.column(c).take(take_idx).combine_chunks()
+                cols[f"lag_{c}"] = pc.if_else(
+                    first, pa.nulls(n, types[c]), shifted)
+        return pa.table({f.name: cols[f.name] for f in out_schema}) \
+            .cast(out_schema)
+
+    refs = hash_exchange(ds, "bucket", buckets, window_bucket,
+                         materialize=False)
+    return refs_to_dataset(refs, out_schema)
+
+
 def interval_join(points, intervals, *, key: str, ts_col: str,
                   start_col: str, end_col: str,
                   buckets: int = BUCKETS, validate: bool = True):

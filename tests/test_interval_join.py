@@ -82,3 +82,68 @@ def test_column_collision_guard(ray_session):
     with pytest.raises(ValueError, match="colliding columns"):
         interval_join(pts, bad, key="k", ts_col="ts",
                       start_col="start", end_col="end")
+
+
+# ---------------------------------------------------------------------------
+# running_window (same module): per-key ordered running aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_running_window_matches_pandas_reference():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.streaming import running_window
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n).astype(np.int64),
+        "ts": rng.permutation(n).astype(np.int64),
+        "value": rng.normal(size=n),
+    })
+    # split across several blocks so key runs cross block boundaries
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    out = running_window(ds, key="user_id", order=["ts", "event_id"],
+                         sum_cols=["value"], lag_cols=["value"],
+                         buckets=4).take_all()
+    got = pd.DataFrame(out).sort_values("event_id").reset_index(drop=True)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    g = ref.groupby("user_id")
+    ref["row_number"] = g.cumcount() + 1
+    ref["run_sum_value"] = g["value"].cumsum()
+    ref["lag_value"] = g["value"].shift()
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+
+    assert (got["row_number"].values == ref["row_number"].values).all()
+    assert np.allclose(got["run_sum_value"].values,
+                       ref["run_sum_value"].values, rtol=0, atol=1e-12)
+    assert np.array_equal(got["lag_value"].isna().values,
+                          ref["lag_value"].isna().values)
+    both = ~got["lag_value"].isna().values
+    assert np.array_equal(got["lag_value"].values[both],
+                          ref["lag_value"].values[both])
+
+
+def test_running_window_single_row_keys_and_int_sum():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_plugins_ray.pipelines.streaming import running_window
+
+    t = pa.table({"user_id": [1, 2, 3], "ts": [9, 8, 7],
+                  "amount": [10, 20, 30]})
+    out = running_window(rd.from_arrow(t), key="user_id", order=["ts"],
+                         sum_cols=["amount"], lag_cols=["amount"],
+                         buckets=2).take_all()
+    rows = {r["user_id"]: r for r in out}
+    assert all(rows[u]["row_number"] == 1 for u in (1, 2, 3))
+    assert all(rows[u]["run_sum_amount"] == rows[u]["amount"]
+               for u in (1, 2, 3))
+    assert all(rows[u]["lag_amount"] is None for u in (1, 2, 3))
+    # integer sums keep their input type (no silent float promotion)
+    assert isinstance(rows[1]["run_sum_amount"], int)
