@@ -155,6 +155,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("cdc_join_view_state", Q.cdc_join_view_state)
     consume("cdc_change_feed", Q.cdc_change_feed)
     consume("running_window", Q.q_running_window)
+    consume("events_pivot", Q.q_events_pivot)
 
     ray.shutdown()
     return {

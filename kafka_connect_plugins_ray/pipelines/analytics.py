@@ -287,3 +287,54 @@ def shuffle_join_revenue(sf_dir: str, num_buckets: int = 32) -> pa.Table:
     return _round_cols(out, ["total_revenue"])
 
 
+
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str,
+                 categories: "tuple[str, ...]" = PIVOT_EVENT_TYPES
+                 ) -> pa.Table:
+    """Crosstab / PIVOT: per 1-hour tumbling window, one SUM(value) and
+    one COUNT column PER event_type category, as columns — the classic
+    wide-report reshape (``SUM(CASE WHEN type=c THEN v END)``).
+
+    Categories are an explicit, fixed list (the SQL-pivot contract: the
+    output schema cannot depend on the data without a pre-pass); rows of
+    other categories count toward ``n_events`` but no pivot column.
+    Shape: the pivoted partial is ONE row per (window) per block with
+    2×|categories|+1 numeric columns, so the whole reduction is the
+    shuffle-free ``tree_aggregate`` fan-in — no exchange at any scale,
+    because output cardinality = windows, and blocks pre-collapse."""
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+    cats = list(categories)
+    sum_names = [f"sum_value_{c}" for c in cats]
+    cnt_names = [f"n_{c}" for c in cats]
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = floor_div_int(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        cols = {"win": win}
+        zero_f = pa.scalar(0.0, pa.float64())
+        for c, sn, cn in zip(cats, sum_names, cnt_names):
+            m = pc.equal(t["event_type"], c)
+            cols[sn] = pc.if_else(m, t["value"], zero_f)
+            cols[cn] = pc.cast(m, pa.int64())
+        cols["n_events"] = pa.array(np.ones(t.num_rows, np.int64))
+        g = pa.table(cols).group_by(["win"]).aggregate(
+            [(n, "sum") for n in sum_names + cnt_names + ["n_events"]])
+        return g.rename_columns(["win"] + sum_names + cnt_names
+                                + ["n_events"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["win"]).aggregate(
+            [(n, "sum") for n in sum_names + cnt_names + ["n_events"]])
+        return g.rename_columns(["win"] + sum_names + cnt_names
+                                + ["n_events"])
+
+    out = tree_aggregate(partials, combine)
+    if out is None:
+        return pa.table({})
+    return _round_cols(out.sort_by("win"), sum_names)

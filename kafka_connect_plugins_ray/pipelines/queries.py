@@ -151,6 +151,60 @@ def _two_segment_lake(sf_dir: str, with_metadata: bool = False,
     return lake
 
 
+def q_events_pivot(sf_dir: str) -> pa.Table:
+    """Crosstab reshape (analytics.events_pivot): per-hour SUM(value)
+    and COUNT per event_type as COLUMNS — shuffle-free tree fan-in
+    because the pivoted partial is one row per window per block."""
+    return analytics.events_pivot(sf_dir)
+
+
+def _pivot_oracle() -> str:
+    cats = analytics.PIVOT_EVENT_TYPES
+    sums = ",\n       ".join(
+        f"round(sum(CASE WHEN event_type='{c}' THEN value ELSE 0 END), 2)"
+        f" AS sum_value_{c}" for c in cats)
+    cnts = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type='{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{c}" for c in cats)
+    return f"""
+SELECT (epoch_us(ts) // 3600000000)
+       - CASE WHEN epoch_us(ts) < 0 AND epoch_us(ts) % 3600000000 <> 0
+              THEN 1 ELSE 0 END AS win,
+       {sums},
+       {cnts},
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+EVENTS_PIVOT_ORACLE = _pivot_oracle()
+
+
+def q_lookup_key(sf_dir: str) -> pa.Table:
+    """Point lookup, driver-gated: route ONE key through the same
+    crc32 % P assignment the ingest used and read only that partition's
+    file (O(1) files touched at any lake size — the serving-path read).
+    The result must be doc 1's exact LWW row."""
+    from .cdc_ingest import lookup_key
+
+    lake = tempfile.mkdtemp(prefix="kcp_lake_pt_")
+    ingest(lake, binlog_from_documents(sf_dir))
+    return lookup_key(lake, ["repo-1", "src/doc_1.txt"])
+
+
+LOOKUP_KEY_ORACLE = """
+SELECT 'repo-' || (doc_id % 50) AS repo,
+       'src/doc_' || doc_id || '.txt' AS path,
+       printf('c%06d-', (doc_id % 3)::INT)
+         || substr(md5(doc_id || ':' || (doc_id % 3)), 1, 8) AS commit,
+       lang,
+       text || '#v' || (doc_id % 3) AS content,
+       doc_id * 4 + (doc_id % 3) AS lsn
+FROM documents
+WHERE doc_id = 1
+"""
+
+
 def cdc_time_travel(sf_dir: str) -> "rd.Dataset":
     """Snapshot isolation / time travel, driver-gated: after TWO ingest
     cycles (every key updated, the second segment's lsn space disjoint),
@@ -2814,6 +2868,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed": cdc_change_feed,
         "running_window": q_running_window,
         "cdc_time_travel": cdc_time_travel,
+        "events_pivot": q_events_pivot,
+        "lookup_key": q_lookup_key,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_full_state": cdc_full_state,
@@ -2897,6 +2953,8 @@ def build_oracles() -> dict[str, str]:
         "cdc_change_feed": CDC_CHANGE_FEED_ORACLE,
         "running_window": RUNNING_WINDOW_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
+        "events_pivot": EVENTS_PIVOT_ORACLE,
+        "lookup_key": LOOKUP_KEY_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,
         "cdc_full_state": CDC_FULL_ORACLE,
