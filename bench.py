@@ -156,6 +156,8 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("cdc_change_feed", Q.cdc_change_feed)
     consume("running_window", Q.q_running_window)
     consume("events_pivot", Q.q_events_pivot)
+    consume("rollup_lineitem", Q.q_rollup)
+    consume("price_quantiles_by_flag", Q.q_price_quantiles_grouped)
 
     ray.shutdown()
     return {

@@ -338,3 +338,74 @@ def events_pivot(sf_dir: str,
     if out is None:
         return pa.table({})
     return _round_cols(out.sort_by("win"), sum_names)
+
+
+def rollup_lineitem(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus): all three grouping
+    sets — (flag, status), (flag), () — with the standard GROUPING mask
+    column disambiguating rolled-up nulls.
+
+    Shape: per-block partials collapse to the FINEST grouping set only
+    (one row per (flag, status) per block — the only set that needs the
+    data), the fan-in tree folds them, and the coarser sets derive from
+    the exact finest-level table at the end (O(groups) work): rolling up
+    exact sums is itself exact, so no second pass over the data and no
+    exchange ever happens."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice"])
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = ["sum_qty", "sum_price"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["l_quantity"],
+            "sum_price": t["l_extendedprice"],
+            "n_rows": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(keys).aggregate(
+            [("sum_qty", "sum"), ("sum_price", "sum"), ("n_rows", "sum")])
+        return g.rename_columns(keys + sums + ["n_rows"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(
+            [("sum_qty", "sum"), ("sum_price", "sum"), ("n_rows", "sum")])
+        return g.rename_columns(keys + sums + ["n_rows"])
+
+    finest = tree_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), combine)
+    if finest is None:
+        return pa.table({})
+
+    def _level(t: pa.Table, keep: "list[str]", gid: int) -> pa.Table:
+        if keep:
+            g = t.group_by(keep).aggregate(
+                [("sum_qty", "sum"), ("sum_price", "sum"),
+                 ("n_rows", "sum")])
+            g = g.rename_columns(keep + sums + ["n_rows"])
+        else:
+            g = pa.table({
+                "sum_qty": [pc.sum(t["sum_qty"]).as_py()],
+                "sum_price": [pc.sum(t["sum_price"]).as_py()],
+                "n_rows": pa.array([pc.sum(t["n_rows"]).as_py()],
+                                   pa.int64()),
+            })
+        cols = {}
+        for k in keys:
+            cols[k] = (g[k] if k in g.column_names
+                       else pa.nulls(g.num_rows, pa.string()))
+        cols["grouping_id"] = pa.array(
+            np.full(g.num_rows, gid, np.int64))
+        for c in sums + ["n_rows"]:
+            cols[c] = g[c]
+        return pa.table(cols)
+
+    out = pa.concat_tables([
+        _level(finest, keys, 0),          # (flag, status)
+        _level(finest, keys[:1], 1),      # (flag): GROUPING(status)=1
+        _level(finest, [], 3),            # (): both rolled up
+    ])
+    out = out.sort_by([("grouping_id", "ascending")]
+                      + [(k, "ascending") for k in keys])
+    return _round_cols(out, sums)

@@ -180,6 +180,25 @@ FROM events GROUP BY 1
 EVENTS_PIVOT_ORACLE = _pivot_oracle()
 
 
+def q_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP (analytics.rollup_lineitem): the three grouping
+    sets with a standard GROUPING mask, derived exactly from the finest
+    level — one streaming pass, zero exchanges."""
+    return analytics.rollup_lineitem(sf_dir)
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+         AS grouping_id,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_lookup_key(sf_dir: str) -> pa.Table:
     """Point lookup, driver-gated: route ONE key through the same
     crc32 % P assignment the ingest used and read only that partition's
@@ -2806,6 +2825,40 @@ def q_price_quantiles(sf_dir: str) -> pa.Table:
     return hdr_quantiles(ds, "l_extendedprice")
 
 
+def q_price_quantiles_grouped(sf_dir: str) -> pa.Table:
+    """Per-GROUP HDR quantiles (sketches.hdr_quantiles_grouped): the
+    mergeable sketch keyed by l_returnflag — O(groups × buckets) rows
+    through the fan-in tree; same exact integer bucket math, gated
+    bucket-for-bucket by a PARTITION BY window oracle."""
+    from .sketches import hdr_quantiles_grouped
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice"])
+    return hdr_quantiles_grouped(ds, "l_extendedprice", "l_returnflag")
+
+
+PRICE_QUANTILES_GROUPED_ORACLE = """
+WITH src AS (SELECT l_returnflag AS g,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             FROM lineitem),
+r AS (
+  SELECT g, CASE WHEN c < 1024 THEN c
+                 ELSE (c >> (length(printf('%b', c)) - 1 - 10))
+                      << (length(printf('%b', c)) - 1 - 10) END AS rep
+  FROM src WHERE c > 0
+),
+h AS (SELECT g, rep, count(*) AS n FROM r GROUP BY 1, 2),
+cum AS (SELECT g, rep, sum(n) OVER (PARTITION BY g ORDER BY rep) AS cn,
+               sum(n) OVER (PARTITION BY g) AS total FROM h),
+ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+gs AS (SELECT DISTINCT g FROM h)
+SELECT gs.g AS l_returnflag, ps.p,
+       (SELECT min(rep) FROM cum
+        WHERE cum.g = gs.g AND cn >= ceil(p * total)) AS rep
+FROM gs, ps
+"""
+
+
 PRICE_QUANTILES_ORACLE = """
 WITH src AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
              FROM lineitem),
@@ -2869,6 +2922,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "running_window": q_running_window,
         "cdc_time_travel": cdc_time_travel,
         "events_pivot": q_events_pivot,
+        "rollup_lineitem": q_rollup,
+        "price_quantiles_by_flag": q_price_quantiles_grouped,
         "lookup_key": q_lookup_key,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -2954,6 +3009,8 @@ def build_oracles() -> dict[str, str]:
         "running_window": RUNNING_WINDOW_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
         "events_pivot": EVENTS_PIVOT_ORACLE,
+        "rollup_lineitem": ROLLUP_ORACLE,
+        "price_quantiles_by_flag": PRICE_QUANTILES_GROUPED_ORACLE,
         "lookup_key": LOOKUP_KEY_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,

@@ -195,3 +195,67 @@ def exact_distinct(ds, column: str, num_buckets: int = 32) -> int:
 
     return int(sum(hash_exchange(partials, "bucket", num_buckets,
                                  reduce_bucket)))
+
+
+def hdr_quantiles_grouped(ds, column: str, group_col: str,
+                          ps=(0.5, 0.9, 0.99),
+                          scale: int = 100) -> pa.Table:
+    """Per-GROUP mergeable quantiles: the ``hdr_quantiles`` sketch keyed
+    by a group column — per-block (group, rep, count) partials fold in
+    the fan-in tree (O(groups × buckets) rows move, never the data), and
+    each group's quantiles extract from its own cumulative histogram.
+    Same all-integer bucket math as the global sketch, so the SQL oracle
+    matches bucket-for-bucket with a PARTITION BY window."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(column).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c = np.floor(x * scale + 0.5).astype(np.int64)
+        keep = c > 0
+        g = t.column(group_col).filter(pa.array(keep))
+        rep = _hdr_round_down(c[keep])
+        tbl = pa.table({
+            group_col: g,
+            "rep": pa.array(rep, pa.int64()),
+            "n": pa.array(np.ones(len(rep), np.int64)),
+        })
+        out = tbl.group_by([group_col, "rep"]).aggregate([("n", "sum")])
+        return out.rename_columns([group_col, "rep", "n"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, "rep"]).aggregate([("n", "sum")])
+        return g.rename_columns([group_col, "rep", "n"])
+
+    merged = tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                            combine)
+    if merged is None or merged.num_rows == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "p": pa.array([], pa.float64()),
+                         "rep": pa.array([], pa.int64())})
+    merged = merged.sort_by([(group_col, "ascending"),
+                             ("rep", "ascending")])
+    keys = merged.column(group_col)
+    rep = merged.column("rep").to_numpy()
+    n = merged.column("n").to_numpy()
+    m = len(rep)
+    is_start = np.empty(m, dtype=bool)
+    is_start[0] = True
+    prev_eq = pc.equal(keys.slice(0, m - 1), keys.slice(1))
+    is_start[1:] = ~np.asarray(prev_eq.combine_chunks().fill_null(False))
+    starts = np.nonzero(is_start)[0]
+    ends = np.append(starts[1:], m)
+    out_g, out_p, out_rep = [], [], []
+    for s, e in zip(starts, ends):  # one iteration per GROUP (small)
+        cum = np.cumsum(n[s:e])
+        total = int(cum[-1])
+        for p in ps:
+            target = float(np.ceil(p * total))  # same double math as SQL
+            idx = int(np.searchsorted(cum, target))
+            out_g.append(s)
+            out_p.append(float(p))
+            out_rep.append(int(rep[s + min(idx, e - s - 1)]))
+    return pa.table({
+        group_col: keys.take(pa.array(out_g, pa.int64())),
+        "p": pa.array(out_p, pa.float64()),
+        "rep": pa.array(out_rep, pa.int64()),
+    })
