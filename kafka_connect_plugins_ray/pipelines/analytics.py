@@ -409,3 +409,60 @@ def rollup_lineitem(sf_dir: str) -> pa.Table:
     out = out.sort_by([("grouping_id", "ascending")]
                       + [(k, "ascending") for k in keys])
     return _round_cols(out, sums)
+
+
+def corr_stats_lineitem(sf_dir: str) -> pa.Table:
+    """Per-group bivariate statistics (covariance + Pearson correlation
+    of l_quantity vs l_extendedprice by l_returnflag) as ALGEBRAIC
+    aggregates: the per-block partial is the six moment sums
+    (n, Σx, Σy, Σx², Σy², Σxy) per group — constant bytes per group per
+    block through the fan-in tree — and the statistics evaluate once at
+    the end from the folded moments.  The oracle evaluates the SAME
+    closed-form algebra from SQL SUM()s, so parity gates the merge
+    exactly (not a builtin-vs-builtin epsilon test)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    moments = ["n_rows", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("l_quantity").to_numpy().astype(np.float64)
+        y = t.column("l_extendedprice").to_numpy()
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n_rows": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y),
+        }).group_by(["l_returnflag"]).aggregate(
+            [(m, "sum") for m in moments])
+        return g.rename_columns(["l_returnflag"] + moments)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [(m, "sum") for m in moments])
+        return g.rename_columns(["l_returnflag"] + moments)
+
+    m = tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                       combine)
+    if m is None:
+        return pa.table({})
+    n = m.column("n_rows").to_numpy().astype(np.float64)
+    sx = m.column("sx").to_numpy()
+    sy = m.column("sy").to_numpy()
+    sxx = m.column("sxx").to_numpy()
+    syy = m.column("syy").to_numpy()
+    sxy = m.column("sxy").to_numpy()
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = pa.table({
+        "l_returnflag": m["l_returnflag"],
+        "n_rows": m["n_rows"],
+        "covar_qty_price": pa.array(cov),
+        "corr_qty_price": pa.array(corr),
+    }).sort_by("l_returnflag")
+    return _round_cols(out, ["covar_qty_price"], 2) \
+        .set_column(3, "corr_qty_price",
+                    pc.round(out["corr_qty_price"], 6,
+                             round_mode="half_towards_infinity"))

@@ -180,6 +180,33 @@ FROM events GROUP BY 1
 EVENTS_PIVOT_ORACLE = _pivot_oracle()
 
 
+def q_corr_stats(sf_dir: str) -> pa.Table:
+    """Per-group covariance + Pearson correlation as algebraic moment
+    aggregates (analytics.corr_stats_lineitem) — six sums per group per
+    block through the fan-in tree, statistics evaluated once from the
+    folded moments; the oracle evaluates the SAME closed form from SQL
+    SUM()s."""
+    return analytics.corr_stats_lineitem(sf_dir)
+
+
+CORR_STATS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy,
+         sum(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n AS n_rows,
+       round((sxy - sx * sy / n) / (n - 1), 2) AS covar_qty_price,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM m
+"""
+
+
 def q_rollup(sf_dir: str) -> pa.Table:
     """GROUP BY ROLLUP (analytics.rollup_lineitem): the three grouping
     sets with a standard GROUPING mask, derived exactly from the finest
@@ -2924,6 +2951,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "rollup_lineitem": q_rollup,
         "price_quantiles_by_flag": q_price_quantiles_grouped,
+        "corr_stats": q_corr_stats,
         "lookup_key": q_lookup_key,
         "cdc_compacted_state": cdc_compacted_state,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -3011,6 +3039,7 @@ def build_oracles() -> dict[str, str]:
         "events_pivot": EVENTS_PIVOT_ORACLE,
         "rollup_lineitem": ROLLUP_ORACLE,
         "price_quantiles_by_flag": PRICE_QUANTILES_GROUPED_ORACLE,
+        "corr_stats": CORR_STATS_ORACLE,
         "lookup_key": LOOKUP_KEY_ORACLE,
         "cdc_compacted_state": CDC_INCREMENTAL_ORACLE,
         "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,
