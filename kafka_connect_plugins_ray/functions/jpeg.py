@@ -26,10 +26,16 @@ Dequantize + IDCT + level shift + chroma upsample + color transform
 over all blocks are fully vectorized.
 
 This closes the "JPEG behind a NotImplementedError" boundary from the
-round-3 review entirely for Huffman-coded JPEG: the remaining refusals
-are arithmetic coding, lossless and hierarchical modes (each a mode
-bit refused at parse time with a precise error) — plus inter-frame
-video codecs at the container layer.  Progressive correctness is
+round-3 review entirely for Huffman-coded JPEG; lossless (SOF3,
+``jpeg_lossless.py``) and hierarchical (DHP, ``jpeg_hier.py``) closed
+in round 5 via ``decode()`` dispatch.  The remaining refusals are
+arithmetic-coded modes (SOF9-11/13-15 — T.81 Table D.3's 113-entry QM
+Qe table is not reproducible from memory with conformance-grade
+fidelity in this offline sandbox, and a guessed table would decode
+foreign streams WRONG rather than raise, violating the repo's
+never-fake-decode rule) and differential DCT frames (SOF5/6) — plus
+inter-frame video codecs at the container layer.  Progressive
+correctness is
 pinned by exact equality with the baseline reconstruction (same
 quantized coefficients, different transmission order) across shapes,
 qualities and subsamplings, including a hypothesis property.
@@ -788,16 +794,21 @@ def decode(data: bytes) -> np.ndarray:
     sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0); progressive streams
     may mix interleaved DC scans, single-component DC/AC scans,
     successive approximation and restart intervals.  LOSSLESS (SOF3)
-    streams dispatch to ``jpeg_lossless.decode_lossless`` (process 14;
-    output dtype follows its precision).  Raises JpegError on
-    arithmetic / hierarchical streams (the remaining boundary) AND on
-    any malformed stream — low-level parse failures (short segment
-    bodies, foreign tables with out-of-range size codes, truncated
-    scans) are wrapped so callers need only catch JpegError (the
-    decode stages' null-row contract)."""
+    streams dispatch to ``jpeg_lossless.decode_lossless`` (process 14)
+    and HIERARCHICAL streams (DHP) to
+    ``jpeg_hier.decode_hierarchical`` (Annex J, Huffman grayscale with
+    lossless differential refinements; output dtype follows each
+    codec).  Raises JpegError on arithmetic-coded streams (the
+    remaining boundary) AND on any malformed stream — low-level parse
+    failures (short segment bodies, foreign tables with out-of-range
+    size codes, truncated scans) are wrapped so callers need only
+    catch JpegError (the decode stages' null-row contract)."""
     try:
+        from .jpeg_hier import decode_hierarchical, is_hierarchical
         from .jpeg_lossless import decode_lossless, is_lossless
 
+        if is_hierarchical(data):
+            return decode_hierarchical(data)
         if is_lossless(data):
             return decode_lossless(data)
         return _decode_impl(data)
@@ -1358,10 +1369,11 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 j += 65
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            # 0xC3 normally never reaches here: decode() dispatches
-            # SOF3 streams to jpeg_lossless before _decode_impl
-            raise JpegError("non-baseline JPEG mode (arithmetic/"
-                            "hierarchical, or lossless outside the "
+            # 0xC3 / differential SOFs normally never reach here:
+            # decode() dispatches SOF3 streams to jpeg_lossless and
+            # DHP streams to jpeg_hier before _decode_impl
+            raise JpegError("non-baseline JPEG mode (arithmetic, or "
+                            "lossless/hierarchical outside the "
                             "decode() dispatch) — out of scope")
         elif marker in (0xC0, 0xC2):                        # SOF0 / SOF2
             if len(body) < 6:

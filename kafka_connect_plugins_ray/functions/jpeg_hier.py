@@ -1,0 +1,407 @@
+"""Hierarchical JPEG — ITU-T T.81 Annex J (Huffman, grayscale).
+
+The last JPEG mode family behind this repo's codec boundary after
+baseline/progressive (functions/jpeg.py, round 4) and lossless
+(functions/jpeg_lossless.py, round 5): a multi-resolution pyramid —
+DHP (define hierarchical progression) + a NON-differential first frame
+at the smallest resolution + EXP-expanded DIFFERENTIAL frames that
+refine to full resolution.
+
+Scope (precise errors outside it, per the repo's codec rule):
+
+- encoder: (h, w) uint8 grayscale; the first (smallest) frame is either
+  baseline DCT (SOF0, reusing ``jpeg.encode_gray``) or lossless (SOF3,
+  reusing ``jpeg_lossless``); every refinement frame is DIFFERENTIAL
+  LOSSLESS (SOF7, Ss=0 — no spatial predictor in differential frames),
+  so ``decode(encode(img))`` is PIXEL-EXACT regardless of the base
+  quality: the final diff stage corrects everything below it.  The
+  encoder diffs against the DECODED lower level (not its own pre-DCT
+  input), exactly like a conforming decoder reconstructs.
+- decoder: DHP / EXP / multi-frame marker walk; non-differential frames
+  decode through the sibling codecs; differential lossless frames
+  entropy-decode per-sample differences (T.81 F.1.2.1 categories
+  extended to SSSS=16 as in Annex H) and add them to the (possibly
+  EXP-upsampled) reference modulo 2^16 (J.1.1.4 / H.1.2.3 arithmetic).
+- boundary: differential DCT frames (SOF5/SOF6), arithmetic-coded
+  frames (SOF13-15), multi-component hierarchical — refused with
+  precise errors, never fake-decoded.
+
+Upsampling (J.1.1.2): ×2 bilinear with even-phase copy —
+``out[2i] = in[i]``, ``out[2i+1] = (in[i] + in[i+1] + 1) >> 1`` (last
+odd sample replicates the edge), per axis flagged in EXP; the expanded
+dimension must equal ``2·ref`` or ``2·ref − 1`` (the frame's own size).
+CAVEAT (documented honestly): with no third-party hierarchical streams
+or conformance vectors available in this sandbox, the filter's spec
+fidelity is pinned only by a hand-computed golden; the pyramid's FINAL
+reconstruction is exact by construction either way, because the
+lossless differential stage codes whatever the filter left over.
+
+Reference semantics: T.81 Annex J (hierarchical procedures), B.2.2/B.3
+(DHP = SOF syntax), B.2.4.5 (EXP), Annex H (difference categories).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpeg import (
+    JpegError,
+    _BitWriter,
+    _canonical_codes,
+    _decode_lut,
+    _entropy_bits,
+    _seg,
+    decode as _decode_nondiff,
+    encode_gray,
+)
+from .jpeg_lossless import LL_BITS, LL_VALS, encode_lossless
+
+_MOD = 1 << 16
+_DHP = 0xDE
+_EXP = 0xDF
+_NONDIFF_SOFS = (0xC0, 0xC1, 0xC2, 0xC3)
+_DIFF_LL = 0xC7
+_DIFF_UNSUPPORTED = {0xC5: "differential sequential DCT (SOF5)",
+                     0xC6: "differential progressive DCT (SOF6)",
+                     0xCD: "differential arithmetic sequential (SOF13)",
+                     0xCE: "differential arithmetic progressive (SOF14)",
+                     0xCF: "differential arithmetic lossless (SOF15)"}
+
+
+def _down2(img: np.ndarray) -> np.ndarray:
+    """2×2 box-mean downsample with edge replication for odd dims (the
+    downsampling filter is encoder's choice per Annex J — only the
+    UPsampling filter is normative)."""
+    h, w = img.shape
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    p = np.empty((ph, pw), np.int64)
+    p[:h, :w] = img
+    if ph > h:
+        p[h:, :w] = p[h - 1:h, :w]
+    if pw > w:
+        p[:, w:] = p[:, w - 1:w]
+    q = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+         + 2) >> 2
+    return q.astype(np.uint8)
+
+
+def _upsample(ref: np.ndarray, eh: int, ev: int, out_h: int,
+              out_w: int) -> np.ndarray:
+    """J.1.1.2 expansion of the reference by ×2 per flagged axis; the
+    output dimension must be 2·ref or 2·ref−1 (frame size wins)."""
+    r = ref.astype(np.int64)
+    if ev:
+        h = r.shape[0]
+        if out_h not in (2 * h, 2 * h - 1):
+            raise JpegError(
+                f"EXP vertical expansion cannot produce {out_h} rows "
+                f"from {h}")
+        nxt = np.vstack([r[1:], r[-1:]])
+        up = np.empty((2 * h, r.shape[1]), np.int64)
+        up[0::2] = r
+        up[1::2] = (r + nxt + 1) >> 1
+        r = up[:out_h]
+    elif r.shape[0] != out_h:
+        raise JpegError("differential frame height mismatch without EXP")
+    if eh:
+        w = r.shape[1]
+        if out_w not in (2 * w, 2 * w - 1):
+            raise JpegError(
+                f"EXP horizontal expansion cannot produce {out_w} cols "
+                f"from {w}")
+        nxt = np.hstack([r[:, 1:], r[:, -1:]])
+        up = np.empty((r.shape[0], 2 * w), np.int64)
+        up[:, 0::2] = r
+        up[:, 1::2] = (r + nxt + 1) >> 1
+        r = up[:, :out_w]
+    elif r.shape[1] != out_w:
+        raise JpegError("differential frame width mismatch without EXP")
+    return r
+
+
+def _encode_diff_frame(diff: np.ndarray) -> bytes:
+    """One differential-lossless frame (SOF7 + DHT + SOS + entropy data,
+    no SOI/EOI): per-sample differences coded with the Annex H category
+    scheme, Ss = 0 (differential frames carry no spatial predictor)."""
+    h, w = diff.shape
+    flat = ((diff.reshape(-1) + 32768) & (_MOD - 1)) - 32768
+    mag = np.abs(flat)
+    cats = np.where(mag == 0, 0, np.frexp(mag.astype(np.float64))[1])
+    cats = np.where(flat == -32768, 16, cats).astype(np.int64)
+    bits_val = np.where(flat >= 0, flat, flat + (1 << cats) - 1)
+    codes = {v: (c, l) for v, c, l in _canonical_codes(LL_BITS, LL_VALS)}
+    bw = _BitWriter()
+    cats_l, bits_l = cats.tolist(), bits_val.tolist()
+    for i in range(flat.size):               # honest per-symbol loop
+        s = cats_l[i]
+        c, l = codes[s]
+        bw.write(c, l)
+        if 0 < s < 16:
+            bw.write(bits_l[i], s)
+    out = _seg(0xFF00 | _DIFF_LL,
+               struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0]))  # Ss=0 Se=0 AhAl=0
+    return out + bw.flush()
+
+
+def encode_hierarchical(img: np.ndarray, quality: int = 85,
+                        levels: int = 3, base: str = "dct") -> bytes:
+    """(h, w) uint8 grayscale -> hierarchical JFIF bytes: an L-level
+    pyramid whose smallest level is a ``base`` frame ('dct' = baseline
+    SOF0 at ``quality``, 'lossless' = SOF3) and every refinement is a
+    lossless differential frame — the decode is pixel-exact at any
+    base quality."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise JpegError("hierarchical encoder is grayscale (h, w) only")
+    if base not in ("dct", "lossless"):
+        raise JpegError("base must be 'dct' or 'lossless'")
+    h, w = img.shape
+    if levels < 1:
+        raise JpegError("levels must be >= 1")
+    pyr = [img]
+    for _ in range(levels - 1):
+        if min(pyr[-1].shape) < 2:
+            break                       # can't halve further
+        pyr.append(_down2(pyr[-1]))
+
+    out = b"\xff\xd8"
+    out += _seg(0xFF00 | _DHP,
+                struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    smallest = pyr[-1]
+    if base == "dct":
+        f1 = encode_gray(smallest, quality)
+        ref = _decode_nondiff(f1).astype(np.int64)
+    else:
+        f1 = encode_lossless(smallest)
+        ref = smallest.astype(np.int64)
+    out += f1[2:-2]                     # strip the sub-stream's SOI/EOI
+    for level in range(len(pyr) - 2, -1, -1):
+        target = pyr[level].astype(np.int64)
+        th, tw = target.shape
+        eh = int(tw != ref.shape[1])
+        ev = int(th != ref.shape[0])
+        if eh or ev:
+            out += _seg(0xFF00 | _EXP, bytes([(eh << 4) | ev]))
+            ref = _upsample(ref, eh, ev, th, tw)
+        diff = target - ref
+        out += _encode_diff_frame(diff)
+        ref = (ref + diff) & (_MOD - 1)  # == target (decoder arithmetic)
+    return out + b"\xff\xd9"
+
+
+def is_hierarchical(data: bytes) -> bool:
+    """True iff a DHP segment appears before the first scan — the
+    dispatch probe for ``jpeg.decode`` (marker walk only)."""
+    if data[:2] != b"\xff\xd8":
+        return False
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return False
+        while i + 2 < len(data) and data[i + 1] == 0xFF:
+            i += 1
+        marker = data[i + 1]
+        if marker == _DHP:
+            return True
+        if marker == 0xDA or marker == 0xD9:
+            return False
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+            i += 2
+            continue
+        i += 2 + struct.unpack(">H", data[i + 2:i + 4])[0]
+    return False
+
+
+def decode_hierarchical(data: bytes) -> np.ndarray:
+    """Hierarchical JPEG bytes -> (h, w) uint8.  Walks the DHP / frame /
+    EXP progression; non-differential frames decode through the sibling
+    codecs, differential lossless frames refine the reference modulo
+    2^16.  Unsupported hierarchical constructs raise precise errors."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (no SOI)")
+    i = 2
+    misc: list[bytes] = []        # table/misc segments before frame 1
+    huff: dict[int, list] = {}
+    dhp = None
+    ref: "np.ndarray | None" = None
+    pending_exp: "tuple[int, int] | None" = None
+
+    while i + 2 <= len(data):
+        if data[i] != 0xFF:
+            raise JpegError(f"expected marker at byte {i}")
+        while i + 2 < len(data) and data[i + 1] == 0xFF:
+            i += 1
+        marker = data[i + 1]
+        if marker == 0xD9:                                    # EOI
+            break
+        if i + 4 > len(data):
+            raise JpegError("truncated hierarchical stream")
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        body = data[i + 4:i + 2 + seg_len]
+        if marker == _DHP:
+            if len(body) < 9:
+                raise JpegError("truncated DHP segment")
+            p, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if p != 8 or nc != 1:
+                raise JpegError(
+                    "hierarchical decoder supports 8-bit single-"
+                    "component streams only")
+            dhp = (fh, fw)
+            i += 2 + seg_len
+        elif marker == _EXP:
+            if not body:
+                raise JpegError("truncated EXP segment")
+            pending_exp = (body[0] >> 4, body[0] & 0x0F)
+            i += 2 + seg_len
+        elif marker in _NONDIFF_SOFS:
+            if dhp is None:
+                raise JpegError("frame before DHP — use jpeg.decode for "
+                                "non-hierarchical streams")
+            if ref is not None:
+                raise JpegError(
+                    "second non-differential frame in a hierarchical "
+                    "stream is unsupported")
+            frame_start = i
+            # walk to this frame's SOS, then past its entropy data
+            j = i
+            while True:
+                if data[j] != 0xFF:
+                    raise JpegError(f"expected marker at byte {j}")
+                while j + 2 < len(data) and data[j + 1] == 0xFF:
+                    j += 1
+                m2 = data[j + 1]
+                l2 = struct.unpack(">H", data[j + 2:j + 4])[0]
+                if m2 == 0xDA:
+                    scan_off = j + 2 + l2
+                    _, _, consumed = _entropy_bits(data, scan_off)
+                    frame_end = scan_off + consumed
+                    break
+                j += 2 + l2
+            sub = (b"\xff\xd8" + b"".join(misc)
+                   + data[frame_start:frame_end] + b"\xff\xd9")
+            ref = np.asarray(_decode_nondiff(sub), np.int64)
+            if ref.ndim != 2:
+                raise JpegError("hierarchical decoder is grayscale only")
+            i = frame_end
+        elif marker == _DIFF_LL:
+            if ref is None:
+                raise JpegError("differential frame before the "
+                                "non-differential first frame")
+            if len(body) < 9:
+                raise JpegError("truncated SOF7 segment")
+            _p, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1:
+                raise JpegError("multi-component differential frames "
+                                "unsupported")
+            if pending_exp is not None:
+                ref = _upsample(ref, pending_exp[0], pending_exp[1],
+                                fh, fw)
+                pending_exp = None
+            elif ref.shape != (fh, fw):
+                raise JpegError(
+                    "differential frame size mismatch without EXP")
+            # walk this frame's DHT(s) to its SOS
+            j = i + 2 + seg_len
+            scan_off = None
+            while True:
+                if data[j] != 0xFF:
+                    raise JpegError(f"expected marker at byte {j}")
+                while j + 2 < len(data) and data[j + 1] == 0xFF:
+                    j += 1
+                m2 = data[j + 1]
+                l2 = struct.unpack(">H", data[j + 2:j + 4])[0]
+                b2 = data[j + 4:j + 2 + l2]
+                if m2 == 0xC4:
+                    k = 0
+                    while k < len(b2):
+                        tc, th = b2[k] >> 4, b2[k] & 0x0F
+                        bits = list(b2[k + 1:k + 17])
+                        nv = sum(bits)
+                        if len(bits) < 16 or k + 17 + nv > len(b2):
+                            raise JpegError("truncated DHT segment")
+                        vals = list(b2[k + 17:k + 17 + nv])
+                        if tc == 0:
+                            huff[th] = _decode_lut(bits, vals).tolist()
+                        k += 17 + nv
+                elif m2 == 0xDA:
+                    if b2[0] != 1 or len(b2) < 6:
+                        raise JpegError("differential scan must cover "
+                                        "the single component once")
+                    td = b2[2] >> 4
+                    ss = b2[3]
+                    if ss != 0:
+                        raise JpegError(
+                            "differential lossless scans carry no "
+                            "predictor (Ss must be 0)")
+                    if td not in huff:
+                        raise JpegError("missing Huffman table")
+                    scan_off = j + 2 + l2
+                    break
+                else:
+                    raise JpegError(
+                        f"unexpected marker 0x{m2:02x} inside a "
+                        "differential frame")
+                j += 2 + l2
+            W, nbits, consumed = _entropy_bits(data, scan_off)
+            lut = huff[td]
+            n = fh * fw
+            diffs = np.empty(n, np.int64)
+            pos = 0
+            for si in range(n):            # honest per-symbol loop
+                if pos >= nbits:
+                    raise JpegError("truncated differential entropy "
+                                    "stream")
+                f = lut[W[pos]]
+                if f == 0:
+                    raise JpegError("bad differential Huffman code")
+                pos += f >> 8
+                s = f & 0xFF
+                if s == 16:
+                    d = 32768
+                elif s:
+                    v = W[pos] >> (16 - s)
+                    pos += s
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    d = v
+                else:
+                    d = 0
+                diffs[si] = d
+            if pos > nbits:
+                raise JpegError("truncated differential entropy stream")
+            ref = (ref + diffs.reshape(fh, fw)) & (_MOD - 1)
+            i = scan_off + consumed
+        elif marker in _DIFF_UNSUPPORTED:
+            raise JpegError(
+                f"{_DIFF_UNSUPPORTED[marker]} is out of scope — the "
+                "supported hierarchical refinements are lossless "
+                "differential (SOF7)")
+        elif marker in (0xC9, 0xCA, 0xCB):
+            raise JpegError("arithmetic-coded frames are out of scope")
+        else:
+            # table / misc segment: remember it for frame-1 synthesis
+            misc.append(data[i:i + 2 + seg_len])
+            if marker == 0xC4:
+                k = 0
+                while k < len(body):
+                    tc, th = body[k] >> 4, body[k] & 0x0F
+                    bits = list(body[k + 1:k + 17])
+                    nv = sum(bits)
+                    if len(bits) < 16 or k + 17 + nv > len(body):
+                        raise JpegError("truncated DHT segment")
+                    vals = list(body[k + 17:k + 17 + nv])
+                    if tc == 0:
+                        huff[th] = _decode_lut(bits, vals).tolist()
+                    k += 17 + nv
+            i += 2 + seg_len
+    if ref is None:
+        raise JpegError("hierarchical stream has no frame")
+    if dhp is not None and ref.shape != dhp:
+        raise JpegError(
+            f"hierarchical progression ended at {ref.shape}, DHP "
+            f"declared {dhp}")
+    return (ref & 0xFF).astype(np.uint8)

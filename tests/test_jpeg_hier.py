@@ -1,0 +1,136 @@
+"""Hierarchical JPEG (functions/jpeg_hier.py, T.81 Annex J): pixel-exact
+pyramid round trips, the normative upsampling filter's hand golden,
+decode() dispatch, and the precise refusal boundary."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from kafka_connect_plugins_ray.functions import jpeg
+from kafka_connect_plugins_ray.functions.jpeg import JpegError
+from kafka_connect_plugins_ray.functions.jpeg_hier import (
+    _down2, _upsample, decode_hierarchical, encode_hierarchical,
+    is_hierarchical)
+
+
+def _img(shape, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, shape).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(64, 48), (65, 47), (17, 33), (8, 8),
+                                   (3, 5), (1, 1)])
+@pytest.mark.parametrize("base", ["dct", "lossless"])
+def test_pixel_exact_round_trip(shape, base):
+    img = _img(shape, seed=sum(shape))
+    for levels in (1, 2, 3, 4):
+        b = encode_hierarchical(img, quality=60, levels=levels, base=base)
+        out = decode_hierarchical(b)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        if base == "lossless" or levels >= 2:
+            # any stream whose FINAL stage is lossless differential is
+            # pixel-exact regardless of the base frame's quality
+            assert np.array_equal(out, img), (shape, base, levels)
+
+
+def test_structured_image_and_compression_sanity():
+    x = np.linspace(0, 255, 128)[None, :] + np.linspace(0, 40, 96)[:, None]
+    img = x.astype(np.uint8)
+    b = encode_hierarchical(img, quality=85, levels=3)
+    assert np.array_equal(decode_hierarchical(b), img)
+    # the smooth image must compress (diff stages are near-zero fields)
+    assert len(b) < img.size
+
+
+def test_levels1_dct_equals_plain_baseline():
+    img = _img((40, 56), seed=7)
+    b = encode_hierarchical(img, quality=70, levels=1, base="dct")
+    assert np.array_equal(decode_hierarchical(b),
+                          jpeg.decode(jpeg.encode_gray(img, 70)))
+
+
+def test_decode_dispatch_routes_dhp():
+    img = _img((32, 32), seed=1)
+    b = encode_hierarchical(img, levels=2)
+    assert is_hierarchical(b)
+    assert not is_hierarchical(jpeg.encode_gray(img))
+    assert np.array_equal(jpeg.decode(b), img)
+
+
+def test_upsample_hand_golden():
+    # J.1.1.2: out[2i] = in[i]; out[2i+1] = (in[i] + in[i+1] + 1) >> 1,
+    # edge replicated.  Hand-computed on a 2x3 reference, both axes.
+    ref = np.array([[10, 20, 31],
+                    [50, 0, 255]], np.int64)
+    up_h = _upsample(ref, eh=1, ev=0, out_h=2, out_w=6)
+    assert up_h.tolist() == [[10, 15, 20, 26, 31, 31],
+                             [50, 25, 0, 128, 255, 255]]
+    up_v = _upsample(ref, eh=0, ev=1, out_h=4, out_w=3)
+    assert up_v.tolist() == [[10, 20, 31],
+                             [30, 10, 143],
+                             [50, 0, 255],
+                             [50, 0, 255]]
+    # odd target dims crop the trailing interpolated sample
+    assert _upsample(ref, eh=1, ev=0, out_h=2, out_w=5).tolist() == \
+        [[10, 15, 20, 26, 31], [50, 25, 0, 128, 255]]
+
+
+def test_downsample_shapes():
+    assert _down2(_img((65, 47))).shape == (33, 24)
+    assert _down2(_img((2, 2))).shape == (1, 1)
+
+
+def test_fill_bytes_before_markers_tolerated():
+    img = _img((24, 24), seed=3)
+    b = encode_hierarchical(img, levels=2)
+    # inject a spec-legal 0xFF fill byte before the EXP marker
+    exp_at = b.index(b"\xff\xdf")
+    doctored = b[:exp_at] + b"\xff" + b[exp_at:]
+    assert np.array_equal(decode_hierarchical(doctored), img)
+
+
+def test_refusals_are_precise():
+    img = _img((16, 16), seed=4)
+    b = encode_hierarchical(img, levels=2)
+    # rewrite the SOF7 to SOF5 (differential sequential DCT): refused
+    sof7 = b.index(b"\xff\xc7")
+    doctored = b[:sof7] + b"\xff\xc5" + b[sof7 + 2:]
+    with pytest.raises(JpegError, match="SOF5"):
+        decode_hierarchical(doctored)
+    # differential frame without a preceding non-differential frame
+    dhp_end = b.index(b"\xff\xc0")  # base frame starts (after APP0/DQT
+    # walk instead: cut everything between DHP and the first SOF7
+    head = b[:4 + struct.unpack(">H", b[4:6])[0]]  # SOI + DHP
+    tail = b[b.index(b"\xff\xdf"):]
+    with pytest.raises(JpegError, match="before the non-differential"):
+        decode_hierarchical(head + tail)
+    assert dhp_end > 0
+    # color input refused at the encoder
+    with pytest.raises(JpegError, match="grayscale"):
+        encode_hierarchical(_img((8, 8, 3), seed=5))
+
+
+def test_dhp_final_dims_enforced():
+    img = _img((20, 20), seed=6)
+    b = encode_hierarchical(img, levels=2)
+    # truncate the progression: drop everything from EXP to (not incl.)
+    # EOI — the stream then ends at the base resolution, which
+    # contradicts DHP's declared final size
+    cut = b[:b.index(b"\xff\xdf")] + b"\xff\xd9"
+    with pytest.raises(JpegError, match="DHP declared"):
+        decode_hierarchical(cut)
+
+
+def test_randomized_matrix():
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        levels = int(rng.integers(2, 5))
+        q = int(rng.integers(20, 96))
+        base = ("dct", "lossless")[int(rng.integers(0, 2))]
+        b = encode_hierarchical(img, quality=q, levels=levels, base=base)
+        assert np.array_equal(decode_hierarchical(b), img), \
+            (h, w, levels, q, base)
