@@ -33,7 +33,7 @@ arithmetic-coded modes (SOF9-11/13-15 — T.81 Table D.3's 113-entry QM
 Qe table is not reproducible from memory with conformance-grade
 fidelity in this offline sandbox, and a guessed table would decode
 foreign streams WRONG rather than raise, violating the repo's
-never-fake-decode rule) and differential DCT frames (SOF5/6) — plus
+never-fake-decode rule) and differential progressive frames (SOF6) — plus
 inter-frame video codecs at the container layer.  Progressive
 correctness is
 pinned by exact equality with the baseline reconstruction (same

@@ -11,18 +11,24 @@ Scope (precise errors outside it, per the repo's codec rule):
 
 - encoder: (h, w) uint8 grayscale; the first (smallest) frame is either
   baseline DCT (SOF0, reusing ``jpeg.encode_gray``) or lossless (SOF3,
-  reusing ``jpeg_lossless``); every refinement frame is DIFFERENTIAL
-  LOSSLESS (SOF7, Ss=0 — no spatial predictor in differential frames),
-  so ``decode(encode(img))`` is PIXEL-EXACT regardless of the base
-  quality: the final diff stage corrects everything below it.  The
-  encoder diffs against the DECODED lower level (not its own pre-DCT
-  input), exactly like a conforming decoder reconstructs.
+  reusing ``jpeg_lossless``); refinement frames are DIFFERENTIAL
+  LOSSLESS (SOF7, Ss=0 — no spatial predictor in differential frames)
+  or, with ``refinements='dct'``, DIFFERENTIAL SEQUENTIAL DCT (SOF5 —
+  block DCT of the difference plane with NO level shift and DC
+  prediction disabled, F.1.1.5.1) for the intermediate stages with a
+  lossless final stage.  Either way ``decode(encode(img))`` is
+  PIXEL-EXACT regardless of quality: the final diff stage corrects
+  everything below it, and the encoder diffs against the DECODED lower
+  level (not its own pre-DCT input), exactly like a conforming decoder
+  reconstructs.
 - decoder: DHP / EXP / multi-frame marker walk; non-differential frames
   decode through the sibling codecs; differential lossless frames
   entropy-decode per-sample differences (T.81 F.1.2.1 categories
-  extended to SSSS=16 as in Annex H) and add them to the (possibly
-  EXP-upsampled) reference modulo 2^16 (J.1.1.4 / H.1.2.3 arithmetic).
-- boundary: differential DCT frames (SOF5/SOF6), arithmetic-coded
+  extended to SSSS=16 as in Annex H), differential sequential-DCT
+  frames entropy-decode quantized coefficient blocks (PRED=0) and
+  dequantize + IDCT; both add to the (possibly EXP-upsampled)
+  reference modulo 2^16 (J.1.1.4 / H.1.2.3 arithmetic).
+- boundary: differential PROGRESSIVE DCT (SOF6), arithmetic-coded
   frames (SOF13-15), multi-component hierarchical — refused with
   precise errors, never fake-decoded.
 
@@ -47,14 +53,20 @@ import struct
 import numpy as np
 
 from .jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DCT_M,
     JpegError,
+    ZIGZAG,
     _BitWriter,
     _canonical_codes,
     _decode_lut,
     _entropy_bits,
     _seg,
+    _write_block,
     decode as _decode_nondiff,
     encode_gray,
+    quant_table,
 )
 from .jpeg_lossless import LL_BITS, LL_VALS, encode_lossless
 
@@ -63,11 +75,40 @@ _DHP = 0xDE
 _EXP = 0xDF
 _NONDIFF_SOFS = (0xC0, 0xC1, 0xC2, 0xC3)
 _DIFF_LL = 0xC7
-_DIFF_UNSUPPORTED = {0xC5: "differential sequential DCT (SOF5)",
-                     0xC6: "differential progressive DCT (SOF6)",
+_DIFF_DCT = 0xC5
+_DIFF_UNSUPPORTED = {0xC6: "differential progressive DCT (SOF6)",
                      0xCD: "differential arithmetic sequential (SOF13)",
                      0xCE: "differential arithmetic progressive (SOF14)",
                      0xCF: "differential arithmetic lossless (SOF15)"}
+
+
+def _parse_dht(body: bytes, dc: dict, ac: dict) -> None:
+    k = 0
+    while k < len(body):
+        tc, th = body[k] >> 4, body[k] & 0x0F
+        bits = list(body[k + 1:k + 17])
+        nv = sum(bits)
+        if len(bits) < 16 or k + 17 + nv > len(body):
+            raise JpegError("truncated DHT segment")
+        vals = list(body[k + 17:k + 17 + nv])
+        (dc if tc == 0 else ac)[th] = _decode_lut(bits, vals).tolist()
+        k += 17 + nv
+
+
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    k = 0
+    while k < len(body):
+        pq, tq = body[k] >> 4, body[k] & 0x0F
+        n = 128 if pq else 64
+        if k + 1 + n > len(body):
+            raise JpegError("truncated DQT segment")
+        raw = body[k + 1:k + 1 + n]
+        vals = (np.frombuffer(raw, ">u2") if pq
+                else np.frombuffer(raw, np.uint8)).astype(np.int64)
+        nat = np.empty(64, np.int64)
+        nat[ZIGZAG] = vals
+        qt[tq] = nat.reshape(8, 8)
+        k += 1 + n
 
 
 def _down2(img: np.ndarray) -> np.ndarray:
@@ -147,18 +188,74 @@ def _encode_diff_frame(diff: np.ndarray) -> bytes:
     return out + bw.flush()
 
 
+def _encode_diff_dct_frame(diff: np.ndarray, quality: int
+                           ) -> "tuple[bytes, np.ndarray]":
+    """One differential SEQUENTIAL-DCT frame (SOF5 + DQT + DHT + SOS +
+    entropy data): the difference plane is block-DCT'd WITHOUT level
+    shift, quantized, and Huffman-coded with DC prediction DISABLED
+    (differential frames: PRED = 0, F.1.1.5.1) — DC categories use the
+    Annex-H 17-symbol table (they can exceed baseline's 11), AC the
+    standard K.3 luminance table (quantizer floored at 2 keeps every
+    quantized AC magnitude ≤ 1020, inside K.3's size-10 ceiling).
+    Returns (frame bytes, the frame's exact integer reconstruction) —
+    the encoder must diff later stages against what a DECODER
+    reconstructs, so the rounding here is the contract."""
+    h, w = diff.shape
+    gh, gw = (h + 7) // 8, (w + 7) // 8
+    pad = np.empty((gh * 8, gw * 8), np.float64)
+    pad[:h, :w] = diff
+    if gh * 8 > h:
+        pad[h:, :w] = pad[h - 1:h, :w]
+    if gw * 8 > w:
+        pad[:, w:] = pad[:, w - 1:w]
+    blocks = (pad.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8))
+    q = np.maximum(quant_table(quality), 2).astype(np.float64)
+    coef = np.matmul(DCT_M, np.matmul(blocks, DCT_M.T))
+    qc = np.round(coef / q).astype(np.int64)
+    # the decoder-exact reconstruction: dequantize + IDCT + rint
+    rec = np.rint(np.matmul(DCT_M.T, np.matmul(qc * q, DCT_M))) \
+        .astype(np.int64)
+    rec = (rec.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(gh * 8, gw * 8))[:h, :w]
+
+    zz = qc.reshape(-1, 64)[:, ZIGZAG]
+    dc_codes = {v: (c, l) for v, c, l in _canonical_codes(LL_BITS,
+                                                          LL_VALS)}
+    ac_codes = {v: (c, l) for v, c, l in
+                _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)}
+    bw = _BitWriter()
+    for blk in zz:
+        _write_block(bw, blk, 0, dc_codes, ac_codes)  # PRED stays 0
+    qzz = q.astype(np.int64).reshape(64)[ZIGZAG].astype(np.uint8)
+    out = _seg(0xFF00 | 0xC5,
+               struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 1]))
+    out += _seg(0xFFDB, b"\x01" + qzz.tobytes())            # DQT id 1
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_LUMA_BITS)
+                + bytes(AC_LUMA_VALS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return out + bw.flush(), rec
+
+
 def encode_hierarchical(img: np.ndarray, quality: int = 85,
-                        levels: int = 3, base: str = "dct") -> bytes:
+                        levels: int = 3, base: str = "dct",
+                        refinements: str = "lossless") -> bytes:
     """(h, w) uint8 grayscale -> hierarchical JFIF bytes: an L-level
     pyramid whose smallest level is a ``base`` frame ('dct' = baseline
-    SOF0 at ``quality``, 'lossless' = SOF3) and every refinement is a
-    lossless differential frame — the decode is pixel-exact at any
-    base quality."""
+    SOF0 at ``quality``, 'lossless' = SOF3).  ``refinements`` picks the
+    differential-frame mode: 'lossless' = every refinement is SOF7;
+    'dct' = intermediate refinements are differential sequential DCT
+    (SOF5) with a LOSSLESS final stage.  Either way the decode is
+    pixel-exact at any quality, because the last stage codes whatever
+    the lossy stages left over."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise JpegError("hierarchical encoder is grayscale (h, w) only")
     if base not in ("dct", "lossless"):
         raise JpegError("base must be 'dct' or 'lossless'")
+    if refinements not in ("lossless", "dct"):
+        raise JpegError("refinements must be 'lossless' or 'dct'")
     h, w = img.shape
     if levels < 1:
         raise JpegError("levels must be >= 1")
@@ -188,8 +285,13 @@ def encode_hierarchical(img: np.ndarray, quality: int = 85,
             out += _seg(0xFF00 | _EXP, bytes([(eh << 4) | ev]))
             ref = _upsample(ref, eh, ev, th, tw)
         diff = target - ref
-        out += _encode_diff_frame(diff)
-        ref = (ref + diff) & (_MOD - 1)  # == target (decoder arithmetic)
+        if refinements == "dct" and level > 0:
+            frame, rec = _encode_diff_dct_frame(diff, quality)
+            out += frame
+            ref = (ref + rec) & (_MOD - 1)   # decoder-exact, still lossy
+        else:
+            out += _encode_diff_frame(diff)
+            ref = (ref + diff) & (_MOD - 1)  # == target (decoder math)
     return out + b"\xff\xd9"
 
 
@@ -225,7 +327,9 @@ def decode_hierarchical(data: bytes) -> np.ndarray:
         raise JpegError("not a JPEG (no SOI)")
     i = 2
     misc: list[bytes] = []        # table/misc segments before frame 1
-    huff: dict[int, list] = {}
+    huff: dict[int, list] = {}    # DC-class tables (lossless diffs too)
+    achuff: dict[int, list] = {}
+    qt: dict[int, np.ndarray] = {}
     dhp = None
     ref: "np.ndarray | None" = None
     pending_exp: "tuple[int, int] | None" = None
@@ -316,17 +420,7 @@ def decode_hierarchical(data: bytes) -> np.ndarray:
                 l2 = struct.unpack(">H", data[j + 2:j + 4])[0]
                 b2 = data[j + 4:j + 2 + l2]
                 if m2 == 0xC4:
-                    k = 0
-                    while k < len(b2):
-                        tc, th = b2[k] >> 4, b2[k] & 0x0F
-                        bits = list(b2[k + 1:k + 17])
-                        nv = sum(bits)
-                        if len(bits) < 16 or k + 17 + nv > len(b2):
-                            raise JpegError("truncated DHT segment")
-                        vals = list(b2[k + 17:k + 17 + nv])
-                        if tc == 0:
-                            huff[th] = _decode_lut(bits, vals).tolist()
-                        k += 17 + nv
+                    _parse_dht(b2, huff, achuff)
                 elif m2 == 0xDA:
                     if b2[0] != 1 or len(b2) < 6:
                         raise JpegError("differential scan must cover "
@@ -375,6 +469,113 @@ def decode_hierarchical(data: bytes) -> np.ndarray:
                 raise JpegError("truncated differential entropy stream")
             ref = (ref + diffs.reshape(fh, fw)) & (_MOD - 1)
             i = scan_off + consumed
+        elif marker == _DIFF_DCT:
+            if ref is None:
+                raise JpegError("differential frame before the "
+                                "non-differential first frame")
+            if len(body) < 9:
+                raise JpegError("truncated SOF5 segment")
+            _p, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1:
+                raise JpegError("multi-component differential frames "
+                                "unsupported")
+            tq = body[8]
+            if pending_exp is not None:
+                ref = _upsample(ref, pending_exp[0], pending_exp[1],
+                                fh, fw)
+                pending_exp = None
+            elif ref.shape != (fh, fw):
+                raise JpegError(
+                    "differential frame size mismatch without EXP")
+            j = i + 2 + seg_len
+            scan_off = None
+            while True:
+                if data[j] != 0xFF:
+                    raise JpegError(f"expected marker at byte {j}")
+                while j + 2 < len(data) and data[j + 1] == 0xFF:
+                    j += 1
+                m2 = data[j + 1]
+                l2 = struct.unpack(">H", data[j + 2:j + 4])[0]
+                b2 = data[j + 4:j + 2 + l2]
+                if m2 == 0xC4:
+                    _parse_dht(b2, huff, achuff)
+                elif m2 == 0xDB:
+                    _parse_dqt(b2, qt)
+                elif m2 == 0xDA:
+                    if b2[0] != 1 or len(b2) < 6:
+                        raise JpegError("differential scan must cover "
+                                        "the single component once")
+                    td, ta = b2[2] >> 4, b2[2] & 0x0F
+                    if b2[3] != 0 or b2[4] != 63:
+                        raise JpegError("differential sequential scan "
+                                        "must cover Ss=0..Se=63")
+                    if td not in huff or ta not in achuff:
+                        raise JpegError("missing Huffman table")
+                    if tq not in qt:
+                        raise JpegError("missing quantization table")
+                    scan_off = j + 2 + l2
+                    break
+                else:
+                    raise JpegError(
+                        f"unexpected marker 0x{m2:02x} inside a "
+                        "differential frame")
+                j += 2 + l2
+            W, nbits, consumed = _entropy_bits(data, scan_off)
+            dlut, alut = huff[td], achuff[ta]
+            gh, gw = (fh + 7) // 8, (fw + 7) // 8
+            qc = np.zeros((gh * gw, 64), np.int64)
+            pos = 0
+            for bi in range(gh * gw):     # honest per-symbol loop
+                if pos >= nbits:
+                    raise JpegError("truncated differential entropy "
+                                    "stream")
+                f = dlut[W[pos]]
+                if f == 0:
+                    raise JpegError("bad differential Huffman code")
+                pos += f >> 8
+                s = f & 0xFF
+                if s == 16:
+                    qc[bi, 0] = 32768     # Annex-H category escape
+                elif s:
+                    v = W[pos] >> (16 - s)
+                    pos += s
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    qc[bi, 0] = v         # PRED = 0: DC coded directly
+                k = 1
+                while k < 64:
+                    f = alut[W[pos]]
+                    if f == 0:
+                        raise JpegError("bad differential AC code")
+                    pos += f >> 8
+                    sym = f & 0xFF
+                    if sym == 0x00:       # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if size == 0:
+                        if run != 15:
+                            raise JpegError("bad AC run/size symbol")
+                        k += 1            # ZRL consumed 16 zeros
+                        continue
+                    if k > 63:
+                        raise JpegError("AC run past block end")
+                    v = W[pos] >> (16 - size)
+                    pos += size
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    qc[bi, ZIGZAG[k]] = v
+                    k += 1
+            if pos > nbits:
+                raise JpegError("truncated differential entropy stream")
+            deq = (qc * qt[tq].reshape(64)).reshape(-1, 8, 8) \
+                .astype(np.float64)
+            rec = np.rint(np.matmul(DCT_M.T, np.matmul(deq, DCT_M))) \
+                .astype(np.int64)
+            rec = (rec.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+                   .reshape(gh * 8, gw * 8))[:fh, :fw]
+            ref = (ref + rec) & (_MOD - 1)
+            i = scan_off + consumed
         elif marker in _DIFF_UNSUPPORTED:
             raise JpegError(
                 f"{_DIFF_UNSUPPORTED[marker]} is out of scope — the "
@@ -386,17 +587,9 @@ def decode_hierarchical(data: bytes) -> np.ndarray:
             # table / misc segment: remember it for frame-1 synthesis
             misc.append(data[i:i + 2 + seg_len])
             if marker == 0xC4:
-                k = 0
-                while k < len(body):
-                    tc, th = body[k] >> 4, body[k] & 0x0F
-                    bits = list(body[k + 1:k + 17])
-                    nv = sum(bits)
-                    if len(bits) < 16 or k + 17 + nv > len(body):
-                        raise JpegError("truncated DHT segment")
-                    vals = list(body[k + 17:k + 17 + nv])
-                    if tc == 0:
-                        huff[th] = _decode_lut(bits, vals).tolist()
-                    k += 17 + nv
+                _parse_dht(body, huff, achuff)
+            elif marker == 0xDB:
+                _parse_dqt(body, qt)
             i += 2 + seg_len
     if ref is None:
         raise JpegError("hierarchical stream has no frame")

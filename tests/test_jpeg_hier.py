@@ -93,10 +93,10 @@ def test_fill_bytes_before_markers_tolerated():
 def test_refusals_are_precise():
     img = _img((16, 16), seed=4)
     b = encode_hierarchical(img, levels=2)
-    # rewrite the SOF7 to SOF5 (differential sequential DCT): refused
+    # rewrite the SOF7 to SOF6 (differential progressive DCT): refused
     sof7 = b.index(b"\xff\xc7")
-    doctored = b[:sof7] + b"\xff\xc5" + b[sof7 + 2:]
-    with pytest.raises(JpegError, match="SOF5"):
+    doctored = b[:sof7] + b"\xff\xc6" + b[sof7 + 2:]
+    with pytest.raises(JpegError, match="SOF6"):
         decode_hierarchical(doctored)
     # differential frame without a preceding non-differential frame
     dhp_end = b.index(b"\xff\xc0")  # base frame starts (after APP0/DQT
@@ -134,3 +134,33 @@ def test_randomized_matrix():
         b = encode_hierarchical(img, quality=q, levels=levels, base=base)
         assert np.array_equal(decode_hierarchical(b), img), \
             (h, w, levels, q, base)
+
+
+@pytest.mark.parametrize("shape", [(64, 48), (65, 47), (17, 33), (9, 9)])
+def test_dct_refinements_still_pixel_exact(shape):
+    # SOF5 intermediate stages are lossy, but the LOSSLESS final stage
+    # codes whatever they left over — finals stay exact at any quality
+    img = _img(shape, seed=sum(shape) + 1)
+    for q in (30, 85, 100):
+        b = encode_hierarchical(img, quality=q, levels=3, base="dct",
+                                refinements="dct")
+        assert np.array_equal(decode_hierarchical(b), img), (shape, q)
+        assert np.array_equal(jpeg.decode(b), img)
+
+
+def test_dct_refinements_compress_smooth_content_better():
+    x = np.linspace(0, 255, 256)[None, :] + np.linspace(0, 64, 192)[:, None]
+    img = (x % 256).astype(np.uint8)
+    bl = encode_hierarchical(img, quality=85, levels=3,
+                             refinements="lossless")
+    bd = encode_hierarchical(img, quality=85, levels=3,
+                             refinements="dct")
+    assert len(bd) < len(bl) < img.size
+
+
+def test_sof5_stream_contains_expected_markers():
+    img = _img((40, 40), seed=9)
+    b = encode_hierarchical(img, quality=70, levels=3, refinements="dct")
+    assert b.count(b"\xff\xc5") >= 1      # differential sequential DCT
+    assert b.count(b"\xff\xc7") == 1      # one lossless final stage
+    assert b.count(b"\xff\xdf") == 2      # one EXP per refinement
