@@ -340,17 +340,17 @@ def events_pivot(sf_dir: str,
     return _round_cols(out.sort_by("win"), sum_names)
 
 
-def rollup_lineitem(sf_dir: str) -> pa.Table:
-    """GROUP BY ROLLUP (l_returnflag, l_linestatus): all three grouping
-    sets — (flag, status), (flag), () — with the standard GROUPING mask
-    column disambiguating rolled-up nulls.
-
-    Shape: per-block partials collapse to the FINEST grouping set only
-    (one row per (flag, status) per block — the only set that needs the
-    data), the fan-in tree folds them, and the coarser sets derive from
-    the exact finest-level table at the end (O(groups) work): rolling up
-    exact sums is itself exact, so no second pass over the data and no
-    exchange ever happens."""
+def _grouping_sets_lineitem(sf_dir: str,
+                            sets: "list[tuple[list[str], int]]"
+                            ) -> pa.Table:
+    """Shared GROUPING SETS engine over lineitem (ROLLUP and CUBE are
+    just different set lists): per-block partials collapse to the
+    FINEST grouping set only (one row per (flag, status) per block —
+    the only set that needs the data), the fan-in tree folds them, and
+    every requested set derives from the exact finest-level table at
+    the end (O(groups) work): re-aggregating exact sums is itself
+    exact, so no second pass over the data and no exchange ever
+    happens."""
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
                              "l_extendedprice"])
@@ -401,14 +401,33 @@ def rollup_lineitem(sf_dir: str) -> pa.Table:
             cols[c] = g[c]
         return pa.table(cols)
 
-    out = pa.concat_tables([
-        _level(finest, keys, 0),          # (flag, status)
-        _level(finest, keys[:1], 1),      # (flag): GROUPING(status)=1
-        _level(finest, [], 3),            # (): both rolled up
-    ])
+    out = pa.concat_tables([_level(finest, keep, gid)
+                            for keep, gid in sets])
     out = out.sort_by([("grouping_id", "ascending")]
                       + [(k, "ascending") for k in keys])
     return _round_cols(out, sums)
+
+
+def rollup_lineitem(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus): the three
+    hierarchy-prefix grouping sets with the standard GROUPING mask."""
+    return _grouping_sets_lineitem(sf_dir, [
+        (["l_returnflag", "l_linestatus"], 0),
+        (["l_returnflag"], 1),            # GROUPING(status) = 1
+        ([], 3),                          # both rolled up
+    ])
+
+
+def cube_lineitem(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE (l_returnflag, l_linestatus): all four grouping
+    sets — the same finest-level fold as ROLLUP plus the
+    (l_linestatus)-only slice (GROUPING(flag) = 1 → mask 2)."""
+    return _grouping_sets_lineitem(sf_dir, [
+        (["l_returnflag", "l_linestatus"], 0),
+        (["l_returnflag"], 1),
+        (["l_linestatus"], 2),
+        ([], 3),
+    ])
 
 
 def corr_stats_lineitem(sf_dir: str) -> pa.Table:

@@ -226,6 +226,24 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE (analytics.cube_lineitem): all four grouping sets
+    from the same single-pass finest-level fold as ROLLUP."""
+    return analytics.cube_lineitem(sf_dir)
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+         AS grouping_id,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_lookup_key(sf_dir: str) -> pa.Table:
     """Point lookup, driver-gated: route ONE key through the same
     crc32 % P assignment the ingest used and read only that partition's
@@ -2950,6 +2968,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": cdc_time_travel,
         "events_pivot": q_events_pivot,
         "rollup_lineitem": q_rollup,
+        "cube_lineitem": q_cube,
         "price_quantiles_by_flag": q_price_quantiles_grouped,
         "corr_stats": q_corr_stats,
         "lookup_key": q_lookup_key,
@@ -3038,6 +3057,7 @@ def build_oracles() -> dict[str, str]:
         "cdc_time_travel": CDC_ORACLE,
         "events_pivot": EVENTS_PIVOT_ORACLE,
         "rollup_lineitem": ROLLUP_ORACLE,
+        "cube_lineitem": CUBE_ORACLE,
         "price_quantiles_by_flag": PRICE_QUANTILES_GROUPED_ORACLE,
         "corr_stats": CORR_STATS_ORACLE,
         "lookup_key": LOOKUP_KEY_ORACLE,
