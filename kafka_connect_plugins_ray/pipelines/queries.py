@@ -73,6 +73,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_string_agg(sf_dir: str) -> pa.Table:
+    """Ordered per-group string aggregation
+    (streaming.string_agg_events): order-sensitive, so no pre-reduce is
+    possible — one exchange + one vectorized binary_join per bucket."""
+    return _streaming.string_agg_events(sf_dir)
+
+
 def _q_sessionize(sf_dir: str):
     return _streaming.sessionize_events(sf_dir)
 
@@ -2965,6 +2972,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_join_view_state": cdc_join_view_state,
         "cdc_change_feed": cdc_change_feed,
         "running_window": q_running_window,
+        "string_agg_events": q_string_agg,
         "cdc_time_travel": cdc_time_travel,
         "events_pivot": q_events_pivot,
         "rollup_lineitem": q_rollup,
@@ -3054,6 +3062,7 @@ def build_oracles() -> dict[str, str]:
         "cdc_join_view_state": CDC_JOIN_VIEW_ORACLE,
         "cdc_change_feed": CDC_CHANGE_FEED_ORACLE,
         "running_window": RUNNING_WINDOW_ORACLE,
+        "string_agg_events": _streaming.STRING_AGG_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
         "events_pivot": EVENTS_PIVOT_ORACLE,
         "rollup_lineitem": ROLLUP_ORACLE,

@@ -208,6 +208,64 @@ def running_window(ds, *, key: str, order: "list[str]",
     return refs_to_dataset(refs, out_schema)
 
 
+def string_agg_events(sf_dir: str, buckets: int = BUCKETS) -> pa.Table:
+    """Ordered per-group string aggregation — the order-SENSITIVE
+    aggregate shape (``string_agg(x, ',' ORDER BY ...)``): every user's
+    event types concatenated in exact (ts, event_id) order.
+
+    Shape: like every per-key ordered kernel here, ONE exchange on
+    ``key % buckets`` co-locates each key's rows, then the per-bucket
+    kernel is one Arrow sort + ONE ``pc.binary_join`` over a ListArray
+    built from the key-run offsets — no per-row Python, no pandas.  No
+    pre-reduce is possible (the aggregate is order-sensitive, so
+    partials can't merge without carrying order), which is exactly why
+    this is an exchange kernel and not a tree fold.  Output is one row
+    per group (small); a hot key's rows land in one bucket (the
+    documented per-key-window contract)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(lambda t: _with_bucket(t, "user_id", buckets),
+                        batch_format="pyarrow")
+
+    def agg_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        t = t.drop_columns(["bucket"])
+        if t.num_rows == 0:
+            return None
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n = t.num_rows
+        k = np.asarray(pc.cast(t["user_id"], pa.int64()).combine_chunks())
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        np.not_equal(k[1:], k[:-1], out=is_start[1:])
+        starts = np.nonzero(is_start)[0]
+        offsets = pa.array(np.append(starts, n), pa.int32())
+        runs = pa.ListArray.from_arrays(
+            offsets, t["event_type"].combine_chunks())
+        return pa.table({
+            "user_id": pa.array(k[starts], pa.int64()),
+            "events_path": pc.binary_join(runs, ","),
+            "n_events": pa.array(np.diff(np.append(starts, n)),
+                                 pa.int64()),
+        })
+
+    shards = hash_exchange(ds, "bucket", buckets, agg_bucket)
+    shards = [s for s in shards if s is not None]
+    if not shards:
+        return pa.table({})
+    return pa.concat_tables(shards).sort_by("user_id")
+
+
+STRING_AGG_ORACLE = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS events_path,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 def interval_join(points, intervals, *, key: str, ts_col: str,
                   start_col: str, end_col: str,
                   buckets: int = BUCKETS, validate: bool = True):
