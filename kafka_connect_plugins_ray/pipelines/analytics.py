@@ -485,3 +485,44 @@ def corr_stats_lineitem(sf_dir: str) -> pa.Table:
         .set_column(3, "corr_qty_price",
                     pc.round(out["corr_qty_price"], 6,
                              round_mode="half_towards_infinity"))
+
+
+def argmax_lineitem(sf_dir: str) -> pa.Table:
+    """Per-group ARG-MAX (``max_by``): for each l_returnflag, the
+    maximum l_extendedprice AND the row identity that achieves it
+    (ties broken deterministically by MIN l_orderkey — plain
+    ``arg_max`` is tie-arbitrary, which cannot be oracle-gated).
+
+    The aggregate is mergeable: the per-block partial is one
+    (max_price, min-orderkey-at-max) row per group, and the SAME
+    kernel combines partials in the fan-in tree — the argmax carries
+    its tie-break with it, so no second pass over the data."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_orderkey",
+                             "l_extendedprice"])
+
+    def best_per_flag(t: pa.Table) -> pa.Table:
+        # works on the PARTIAL schema, so the same kernel is both the
+        # per-block stage and the tree combine
+        t = t.sort_by([("l_returnflag", "ascending"),
+                       ("max_price", "descending"),
+                       ("argmax_orderkey", "ascending")])
+        flags = t["l_returnflag"]
+        n = t.num_rows
+        first = np.ones(n, dtype=bool)
+        eq = pc.equal(flags.slice(0, n - 1), flags.slice(1))
+        first[1:] = ~np.asarray(eq.combine_chunks().fill_null(False))
+        return t.take(pa.array(np.nonzero(first)[0], pa.int64()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return best_per_flag(pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "max_price": t["l_extendedprice"],
+            "argmax_orderkey": t["l_orderkey"],
+        }))
+
+    out = tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                         best_per_flag)
+    if out is None:
+        return pa.table({})
+    return out.sort_by("l_returnflag")

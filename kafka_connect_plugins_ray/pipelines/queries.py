@@ -233,6 +233,26 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_argmax(sf_dir: str) -> pa.Table:
+    """Per-group ARG-MAX / max_by (analytics.argmax_lineitem): the
+    mergeable (max, argmin-at-max) pair — one kernel serves both the
+    per-block stage and the tree combine; deterministic tie-break so
+    the oracle can pin it exactly."""
+    return analytics.argmax_lineitem(sf_dir)
+
+
+ARGMAX_ORACLE = """
+WITH m AS (SELECT l_returnflag, max(l_extendedprice) AS max_price
+           FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag, m.max_price,
+       min(l.l_orderkey) AS argmax_orderkey
+FROM lineitem l
+JOIN m ON l.l_returnflag = m.l_returnflag
+      AND l.l_extendedprice = m.max_price
+GROUP BY 1, 2
+"""
+
+
 def q_cube(sf_dir: str) -> pa.Table:
     """GROUP BY CUBE (analytics.cube_lineitem): all four grouping sets
     from the same single-pass finest-level fold as ROLLUP."""
@@ -2977,6 +2997,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "rollup_lineitem": q_rollup,
         "cube_lineitem": q_cube,
+        "argmax_by_flag": q_argmax,
         "price_quantiles_by_flag": q_price_quantiles_grouped,
         "corr_stats": q_corr_stats,
         "lookup_key": q_lookup_key,
@@ -3067,6 +3088,7 @@ def build_oracles() -> dict[str, str]:
         "events_pivot": EVENTS_PIVOT_ORACLE,
         "rollup_lineitem": ROLLUP_ORACLE,
         "cube_lineitem": CUBE_ORACLE,
+        "argmax_by_flag": ARGMAX_ORACLE,
         "price_quantiles_by_flag": PRICE_QUANTILES_GROUPED_ORACLE,
         "corr_stats": CORR_STATS_ORACLE,
         "lookup_key": LOOKUP_KEY_ORACLE,
