@@ -157,6 +157,14 @@ def main(argv: "list[str] | None" = None) -> int:
     pc_.add_argument("--mode", choices=["auto", "captured", "diff"],
                      default="auto")
 
+    pf = sub.add_parser(
+        "fsck", help="lake integrity check: lineage row counts, key "
+                     "uniqueness, pinned crc32-routing verification "
+                     "(--deep also recomputes materialized views)")
+    pf.add_argument("--lake", required=True)
+    pf.add_argument("--version", type=int, default=None)
+    pf.add_argument("--deep", action="store_true")
+
     pd = sub.add_parser(
         "dedup", help="dedup one segment against a persisted exact-dedup "
                       "index (incremental: O(segment) per cycle)")
@@ -301,6 +309,14 @@ def main(argv: "list[str] | None" = None) -> int:
             else:
                 t = read_view(args.lake, args.name, version=args.version)
                 print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "fsck":
+            from .pipelines.maintenance import fsck
+
+            report = fsck(args.lake, version=args.version,
+                          deep=args.deep)
+            print(json.dumps(report))
+            if report["errors"]:
+                return 1
         elif args.cmd == "changes":
             from .pipelines.change_feed import read_changes
 

@@ -368,3 +368,108 @@ def repartition_lake(lake_root: str, new_num_partitions: int,
     )
     store.commit(manifest)
     return manifest
+
+
+def fsck(lake_root: str, version: "int | None" = None,
+         deep: bool = False) -> dict:
+    """Distributed lake integrity check (fsck): one remote task per
+    partition verifies, against the committed manifest,
+
+    - base-file row count == the partition's lineage ``rows`` entry,
+    - no bookkeeping columns (op/seg) leaked into a base file,
+    - keys are UNIQUE in the resolved partition state (the observable
+      damage of the documented routing foot-gun),
+    - every resolved row ROUTES to its own partition under the
+      manifest's pinned ``crc32 % P`` (catches data written under a
+      different P or key set — the corruption `repartition_lake`
+      exists to prevent),
+
+    and (``deep=True``) recomputes every registered view from the
+    resolved state and compares it to the committed view table.
+    Returns ``{"partitions": n, "rows": total, "errors": [...]}`` —
+    empty ``errors`` means clean.  Read-only; safe on a live lake
+    between commits (single-writer contract)."""
+    import numpy as np
+    import ray
+
+    from ..stages.modify_partition import AssignPartition
+    from .cdc_ingest import (_fold_views, _key_boundaries, _resolve_partition,
+                             _view_contrib, read_view)
+
+    store = LakeStore(lake_root)
+    manifest = (store.current() if version is None
+                else store.read_manifest(version))
+    if manifest is None:
+        return {"partitions": 0, "rows": 0, "errors": ["no committed "
+                                                       "version"]}
+    key_cols = list(manifest.key_cols or ["repo", "path"])
+    op_col = manifest.op_col or "op"
+    P = manifest.num_partitions
+
+    @ray.remote
+    def check_one(pid: int, base_rel, delta_rels, lineage) -> dict:
+        errors: list[str] = []
+        if base_rel is not None:
+            md = pq.ParquetFile(os.path.join(lake_root, base_rel))
+            names = md.schema_arrow.names
+            if op_col in names or "_kcp_seg" in names:
+                errors.append(f"p{pid}: bookkeeping column leaked into "
+                              f"base file {base_rel}")
+            if (not delta_rels and lineage and not lineage.get("delta")
+                    and md.metadata.num_rows != lineage.get("rows")):
+                errors.append(
+                    f"p{pid}: base file has {md.metadata.num_rows} rows, "
+                    f"lineage says {lineage.get('rows')}")
+        t = _resolve_partition(lake_root, base_rel, list(delta_rels),
+                               key_cols, op_col)
+        if t is None or t.num_rows == 0:
+            return {"rows": 0, "errors": errors}
+        missing = [c for c in key_cols if c not in t.column_names]
+        if missing:
+            errors.append(f"p{pid}: key columns {missing} missing")
+            return {"rows": t.num_rows, "errors": errors}
+        srt = t.select(key_cols).sort_by(
+            [(c, "ascending") for c in key_cols])
+        n_unique = len(_key_boundaries(srt, key_cols))
+        if n_unique != t.num_rows:
+            errors.append(f"p{pid}: {t.num_rows - n_unique} duplicate "
+                          "key(s) in resolved state")
+        routed = AssignPartition(key_cols, P)(t)
+        pid_col = np.asarray(routed["partition_id"].combine_chunks())
+        bad = int((pid_col != pid).sum())
+        if bad:
+            errors.append(f"p{pid}: {bad} row(s) route to a different "
+                          f"partition under the pinned crc32 % {P}")
+        return {"rows": t.num_rows, "errors": errors}
+
+    pids = sorted(set(manifest.files) | set(manifest.deltas))
+    results = ray.get([
+        check_one.remote(pid, *manifest.partition_files(pid),
+                         manifest.partitions.get(pid))
+        for pid in pids])
+    errors = [e for r in results for e in r["errors"]]
+    total = sum(r["rows"] for r in results)
+
+    if deep and manifest.views:
+        from ..exchange import tree_aggregate
+        from .cdc_ingest import read_lake
+
+        state = read_lake(lake_root, version=version)
+        for vname, spec in manifest.views.items():
+            gb, sm = list(spec["group_by"]), list(spec.get("sums", []))
+            partials = state.map_batches(
+                lambda t, gb=gb, sm=sm: _view_contrib(t, gb, sm),
+                batch_format="pyarrow")
+            folded = tree_aggregate(
+                partials, lambda t, gb=gb, sm=sm: _fold_views([t], gb, sm))
+            recomputed = (_fold_views([folded], gb, sm, final=True)
+                          if folded is not None else None)
+            committed = read_view(lake_root, vname, version=version)
+            want = (recomputed.to_pylist() if recomputed is not None
+                    else [])
+            if sorted(map(str, want)) != sorted(map(str,
+                                                    committed.to_pylist())):
+                errors.append(f"view {vname!r}: committed table differs "
+                              "from a recompute over the current state")
+
+    return {"partitions": len(pids), "rows": total, "errors": errors}

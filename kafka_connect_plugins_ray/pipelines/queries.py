@@ -233,6 +233,40 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_unpivot(sf_dir: str) -> "rd.Dataset":
+    """UNPIVOT / melt: lineitem's three numeric measures reshaped to
+    (row key, metric, value) rows — a pure per-batch reshape (column
+    gather + tile), zero shuffles, output 3× rows but never
+    materialized on the driver."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber"] + cols)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = [pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "metric": pa.array(np.full(n, c), pa.string()),
+            "value": t[c],
+        }) for c in cols]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem
+"""
+
+
 def q_argmax(sf_dir: str) -> pa.Table:
     """Per-group ARG-MAX / max_by (analytics.argmax_lineitem): the
     mergeable (max, argmin-at-max) pair — one kernel serves both the
@@ -2998,6 +3032,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rollup_lineitem": q_rollup,
         "cube_lineitem": q_cube,
         "argmax_by_flag": q_argmax,
+        "unpivot_lineitem": q_unpivot,
         "price_quantiles_by_flag": q_price_quantiles_grouped,
         "corr_stats": q_corr_stats,
         "lookup_key": q_lookup_key,
@@ -3089,6 +3124,7 @@ def build_oracles() -> dict[str, str]:
         "rollup_lineitem": ROLLUP_ORACLE,
         "cube_lineitem": CUBE_ORACLE,
         "argmax_by_flag": ARGMAX_ORACLE,
+        "unpivot_lineitem": UNPIVOT_ORACLE,
         "price_quantiles_by_flag": PRICE_QUANTILES_GROUPED_ORACLE,
         "corr_stats": CORR_STATS_ORACLE,
         "lookup_key": LOOKUP_KEY_ORACLE,

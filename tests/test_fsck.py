@@ -1,0 +1,122 @@
+"""Lake integrity check (maintenance.fsck): clean lakes pass, each
+corruption class is detected, and the CLI exit code reflects it."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.cdc_ingest import ingest
+from kafka_connect_plugins_ray.pipelines.maintenance import fsck
+from kafka_connect_plugins_ray.state.manifest import LakeStore
+
+
+def _mk_lake(root, views=None, mode="cow"):
+    ingest(root, rd.from_arrow(pa.table({
+        "repo": ["r0", "r0", "r1", "r2"], "path": ["a", "b", "c", "d"],
+        "commit": ["c0"] * 4, "size": [1, 2, 3, 4],
+        "lsn": [0, 1, 2, 3], "op": ["insert"] * 4})),
+        num_partitions=4, views=views)
+    ingest(root, rd.from_arrow(pa.table({
+        "repo": ["r1"], "path": ["c"], "commit": ["c1"], "size": [30],
+        "lsn": [10], "op": ["update"]})), num_partitions=4, mode=mode)
+    return root
+
+
+def _biggest_partition(root):
+    store = LakeStore(root)
+    man = store.current()
+    pid, rel = max(man.files.items(),
+                   key=lambda kv: pq.ParquetFile(
+                       store.abspath(kv[1])).metadata.num_rows)
+    return store.abspath(rel), pid
+
+
+def test_clean_lake_passes(tmp_path):
+    root = _mk_lake(str(tmp_path / "clean"),
+                    views={"by_repo": {"group_by": ["repo"],
+                                       "sums": ["size"]}})
+    report = fsck(root, deep=True)
+    assert report["errors"] == []
+    assert report["rows"] == 4 and report["partitions"] >= 1
+
+
+def test_delta_chain_lake_passes(tmp_path):
+    root = _mk_lake(str(tmp_path / "delta"), mode="delta")
+    assert fsck(root)["errors"] == []
+
+
+def test_duplicate_key_detected(tmp_path):
+    root = _mk_lake(str(tmp_path / "dup"))
+    path, _pid = _biggest_partition(root)
+    t = pq.read_table(path)
+    pq.write_table(pa.concat_tables([t, t.slice(0, 1)]), path)
+    errs = "\n".join(fsck(root)["errors"])
+    assert "duplicate key" in errs and "lineage says" in errs
+
+
+def test_foreign_routing_detected(tmp_path):
+    # simulate the documented foot-gun: a row whose key belongs to a
+    # DIFFERENT partition under the pinned crc32 % P lands in this file
+    root = _mk_lake(str(tmp_path / "route"))
+    path, _pid = _biggest_partition(root)
+    t = pq.read_table(path)
+    alien = pa.table({c: ([{"repo": "r0", "path": "zzz-alien",
+                            "commit": "c9", "size": 9, "lsn": 99}[c]]
+                          if c in ("repo", "path", "commit", "size",
+                                   "lsn") else [None])
+                      for c in t.column_names}).cast(t.schema)
+    # find a key that routes AWAY from this partition
+    from kafka_connect_plugins_ray.stages.modify_partition import (
+        AssignPartition)
+    store = LakeStore(root)
+    man = store.current()
+    pid = next(p for p, rel in man.files.items()
+               if store.abspath(rel) == path)
+    k = 0
+    while True:
+        cand = alien.set_column(
+            alien.column_names.index("path"), "path",
+            pa.array([f"alien-{k}"], pa.string()))
+        routed = AssignPartition(["repo", "path"], man.num_partitions)(
+            cand)["partition_id"][0].as_py()
+        if routed != pid:
+            break
+        k += 1
+    pq.write_table(pa.concat_tables([t, cand]), path)
+    errs = "\n".join(fsck(root)["errors"])
+    assert "route to a different partition" in errs
+
+
+def test_deep_view_recompute_detected(tmp_path):
+    root = _mk_lake(str(tmp_path / "view"),
+                    views={"by_repo": {"group_by": ["repo"],
+                                       "sums": ["size"]}})
+    store = LakeStore(root)
+    man = store.current()
+    vpath = store.abspath(man.views["by_repo"]["file"])
+    vt = pq.read_table(vpath)
+    idx = vt.column_names.index("sum_size")
+    bad = vt.set_column(idx, "sum_size",
+                        pa.array([v.as_py() + 1 for v in vt["sum_size"]],
+                                 vt["sum_size"].type))
+    pq.write_table(bad, vpath)
+    assert fsck(root)["errors"] == []          # shallow check passes
+    errs = "\n".join(fsck(root, deep=True)["errors"])
+    assert "view 'by_repo'" in errs
+
+
+def test_cli_fsck_exit_code(tmp_path, capsys):
+    import json
+
+    from kafka_connect_plugins_ray.cli import main
+
+    root = _mk_lake(str(tmp_path / "cli"))
+    assert main(["fsck", "--lake", root]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["errors"] == []
+    path, _ = _biggest_partition(root)
+    t = pq.read_table(path)
+    pq.write_table(pa.concat_tables([t, t.slice(0, 1)]), path)
+    assert main(["fsck", "--lake", root]) == 1
