@@ -160,6 +160,8 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("cube_lineitem", Q.q_cube)
     consume("string_agg_events", Q.q_string_agg)
     consume("argmax_by_flag", Q.q_argmax)
+    consume("unpivot_lineitem", Q.q_unpivot)
+    consume("window_frames", Q.q_window_frames)
     consume("price_quantiles_by_flag", Q.q_price_quantiles_grouped)
     consume("corr_stats", Q.q_corr_stats)
 

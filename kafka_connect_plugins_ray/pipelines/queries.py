@@ -73,6 +73,18 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_window_frames(sf_dir: str) -> "rd.Dataset":
+    """Sliding-frame + rank window functions
+    (streaming.window_frame_stats): moving SUM/COUNT over ROWS BETWEEN
+    3 PRECEDING AND CURRENT ROW, percent_rank, cume_dist, NTILE(4) —
+    one exchange, segmented numpy, per-row output never
+    driver-resident."""
+    out = _streaming.window_frame_stats(sf_dir)
+    return out.map_batches(
+        lambda t: analytics._round_cols(t, ["mov_sum_value"], 2),
+        batch_format="pyarrow")
+
+
 def q_string_agg(sf_dir: str) -> pa.Table:
     """Ordered per-group string aggregation
     (streaming.string_agg_events): order-sensitive, so no pre-reduce is
@@ -3027,6 +3039,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed": cdc_change_feed,
         "running_window": q_running_window,
         "string_agg_events": q_string_agg,
+        "window_frames": q_window_frames,
         "cdc_time_travel": cdc_time_travel,
         "events_pivot": q_events_pivot,
         "rollup_lineitem": q_rollup,
@@ -3119,6 +3132,7 @@ def build_oracles() -> dict[str, str]:
         "cdc_change_feed": CDC_CHANGE_FEED_ORACLE,
         "running_window": RUNNING_WINDOW_ORACLE,
         "string_agg_events": _streaming.STRING_AGG_ORACLE,
+        "window_frames": _streaming.WINDOW_FRAME_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
         "events_pivot": EVENTS_PIVOT_ORACLE,
         "rollup_lineitem": ROLLUP_ORACLE,

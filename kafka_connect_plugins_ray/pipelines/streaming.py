@@ -208,6 +208,106 @@ def running_window(ds, *, key: str, order: "list[str]",
     return refs_to_dataset(refs, out_schema)
 
 
+def window_frame_stats(sf_dir: str, preceding: int = 3,
+                       buckets: int = BUCKETS):
+    """Sliding-frame and rank window functions per key, one kernel:
+    for every event (ordered by (ts, event_id) within its user) —
+
+    - ``mov_sum_value`` / ``mov_n``: SUM/COUNT over ``ROWS BETWEEN
+      {preceding} PRECEDING AND CURRENT ROW`` (cumsum difference within
+      the key run — O(1) per row at any frame width);
+    - ``percent_rank`` = (rn−1)/(n−1) (0.0 for single-row keys, the SQL
+      definition) and ``cume_dist`` = rn/n — exact bit-level parity
+      because the order key is total (event_id is unique), so there are
+      no ties and both sides divide the same integers;
+    - ``ntile4``: NTILE(4) per the SQL split (first ``n%4`` tiles get
+      the extra row).
+
+    Same shape as ``running_window``: ONE exchange, per-bucket Arrow
+    sort + segmented numpy, object-store-resident output."""
+    import numpy as np
+
+    from ..exchange import refs_to_dataset
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    in_schema = ds.schema()
+    types = dict(zip(in_schema.names, in_schema.types))
+    out_schema = pa.schema(
+        [(n, types[n]) for n in in_schema.names]
+        + [("mov_sum_value", pa.float64()), ("mov_n", pa.int64()),
+           ("percent_rank", pa.float64()), ("cume_dist", pa.float64()),
+           ("ntile4", pa.int64())])
+    ds = ds.map_batches(lambda t: _with_bucket(t, "user_id", buckets),
+                        batch_format="pyarrow")
+
+    def kernel(pid: int, t: pa.Table) -> "pa.Table | None":
+        t = t.drop_columns(["bucket"])
+        if t.num_rows == 0:
+            return None
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n = t.num_rows
+        k = np.asarray(pc.cast(t["user_id"], pa.int64()).combine_chunks())
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        np.not_equal(k[1:], k[:-1], out=is_start[1:])
+        starts = np.nonzero(is_start)[0]
+        lens = np.diff(np.append(starts, n))
+        run_start = np.repeat(starts, lens)
+        rn = np.arange(n, dtype=np.int64) - run_start  # 0-based
+        cnt = np.repeat(lens, lens)
+
+        v = np.asarray(t.column("value").combine_chunks(),
+                       dtype=np.float64)
+        cs = np.concatenate(([0.0], np.cumsum(v)))
+        # frame start index (absolute): max(run_start, i - preceding)
+        idx = np.arange(n, dtype=np.int64)
+        f0 = np.maximum(run_start, idx - preceding)
+        mov_sum = cs[idx + 1] - cs[f0]
+        mov_n = idx + 1 - f0
+
+        pr = np.where(cnt > 1, rn / np.maximum(cnt - 1, 1), 0.0)
+        cd = (rn + 1) / cnt
+        # NTILE(4): first (n % 4) tiles have ceil(n/4) rows
+        big = cnt % 4
+        size_big = (cnt + 3) // 4
+        size_small = cnt // 4
+        cut = big * size_big
+        ntile = np.where(
+            rn < cut, rn // np.maximum(size_big, 1),
+            big + np.where(size_small > 0, (rn - cut) // np.maximum(
+                size_small, 1), 0)) + 1
+
+        cols = {c: t.column(c) for c in t.column_names}
+        cols["mov_sum_value"] = pa.array(mov_sum, pa.float64())
+        cols["mov_n"] = pa.array(mov_n, pa.int64())
+        cols["percent_rank"] = pa.array(pr, pa.float64())
+        cols["cume_dist"] = pa.array(cd, pa.float64())
+        cols["ntile4"] = pa.array(ntile.astype(np.int64), pa.int64())
+        return pa.table({f.name: cols[f.name] for f in out_schema}) \
+            .cast(out_schema)
+
+    refs = hash_exchange(ds, "bucket", buckets, kernel,
+                         materialize=False)
+    return refs_to_dataset(refs, out_schema)
+
+
+WINDOW_FRAME_ORACLE = """
+SELECT event_id, user_id, ts, value,
+       ROUND(sum(value) OVER (w ROWS BETWEEN 3 PRECEDING
+             AND CURRENT ROW), 2) AS mov_sum_value,
+       count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         AS mov_n,
+       percent_rank() OVER w AS percent_rank,
+       cume_dist() OVER w AS cume_dist,
+       ntile(4) OVER w AS ntile4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def string_agg_events(sf_dir: str, buckets: int = BUCKETS) -> pa.Table:
     """Ordered per-group string aggregation — the order-SENSITIVE
     aggregate shape (``string_agg(x, ',' ORDER BY ...)``): every user's
