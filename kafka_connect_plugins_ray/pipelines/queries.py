@@ -3011,10 +3011,12 @@ FROM x GROUP BY 1, 2
 
 
 def build_queries() -> dict[str, Callable[[str], Any]]:
-    """Exactly 50 entries — the driver's correctness run checks the first
-    50 keys, so the surface is consolidated to fit it completely (round-2
-    verdict item 1): every operator family gets a driver-gated slot.
-    Consolidations (operator coverage unchanged, see SURVEY.md §8):
+    """83 entries as of round 5, every one with a DuckDB oracle.  The
+    round-3 50-key consolidation kept every operator family gated when
+    the driver's window was exactly 50; the surface has since outgrown
+    it, so the return reorders keys (see below) to keep a 50-key window
+    maximally informative.  Consolidations (operator coverage
+    unchanged, see SURVEY.md §8):
     content-sha invariant rides on cdc_full_state; the four per-doc text
     kernels share text_metrics; stratified sampling subsumes plain
     hash-threshold sampling; windowed COUNT DISTINCT rides on
