@@ -526,3 +526,108 @@ def argmax_lineitem(sf_dir: str) -> pa.Table:
     if out is None:
         return pa.table({})
     return out.sort_by("l_returnflag")
+
+
+def revenue_by_region(sf_dir: str, num_buckets: int = 32) -> pa.Table:
+    """Revenue by region (the TPC-H Q5 join shape): lineitem ⋈ orders ⋈
+    customer ⋈ nation ⋈ region.  The three dimension hops collapse
+    MAP-SIDE — customer→nation→region composes on the driver into ONE
+    custkey→region_name lookup, broadcast once via ``ray.put`` — so the
+    only exchange is the unavoidable large-to-large lineitem ⋈ orders
+    co-partition, and it moves one pre-aggregated row per orderkey per
+    block per side (the ``shuffle_join_revenue`` contract) plus one
+    small dictionary-friendly region string."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..exchange import hash_exchange
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    # compose custkey -> region name driver-side (dimensions are tiny)
+    nk = nat["n_nationkey"].to_numpy()
+    order_n = np.argsort(nk)
+    rk_of_nation = nat["n_regionkey"].to_numpy()[order_n]
+    rk = reg["r_regionkey"].to_numpy()
+    order_r = np.argsort(rk)
+    rname = np.asarray(reg["r_name"].to_pylist(), dtype=object)[order_r]
+    ck = cust["c_custkey"].to_numpy()
+    order_c = np.argsort(ck)
+    ck = ck[order_c]
+    cnk = cust["c_nationkey"].to_numpy()[order_c]
+    c_region = rname[np.searchsorted(rk[order_r],
+                                     rk_of_nation[np.searchsorted(
+                                         nk[order_n], cnk)])]
+    side = Broadcast((ck, c_region))
+    combine = _regroup(["r_name"], ["total_revenue", "n_items"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"key": t["l_orderkey"], "rev": rev,
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by("key").aggregate([("rev", "sum"), ("n", "sum")])
+        g = g.rename_columns(["key", "rev", "n"])
+        bucket = (g["key"].to_numpy() % num_buckets).astype(np.int32)
+        return pa.table({
+            "key": g["key"], "rev": g["rev"], "n": g["n"],
+            "region": pa.nulls(g.num_rows, pa.string()),
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        lk, lregion = side.get()
+        oc = t["o_custkey"].to_numpy()
+        idx = np.clip(np.searchsorted(lk, oc), 0, lk.size - 1)
+        region = np.where(lk[idx] == oc, lregion[idx], None)
+        bucket = (t["o_orderkey"].to_numpy()
+                  % num_buckets).astype(np.int32)
+        n = t.num_rows
+        return pa.table({
+            "key": t["o_orderkey"],
+            "rev": pa.nulls(n, pa.float64()),
+            "n": pa.nulls(n, pa.int64()),
+            "region": pa.array(region, pa.string()),
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    tagged = li.union(orders)
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        is_order = pc.is_valid(t["region"])
+        o = t.filter(is_order)
+        f = t.filter(pc.invert(is_order))
+        if f.num_rows == 0 or o.num_rows == 0:
+            return None
+        okeys = o["key"].to_numpy()
+        order = np.argsort(okeys)
+        okeys = okeys[order]
+        oreg = np.asarray(o["region"].to_pylist(), dtype=object)[order]
+        fk = f["key"].to_numpy()
+        idx = np.clip(np.searchsorted(okeys, fk), 0, okeys.size - 1)
+        hit = okeys[idx] == fk
+        j = pa.table({
+            "r_name": pa.array(oreg[idx[hit]], pa.string()),
+            "total_revenue": f.filter(pa.array(hit))["rev"],
+            "n_items": f.filter(pa.array(hit))["n"],
+        })
+        return combine(j)
+
+    shards = hash_exchange(tagged, "bucket", num_buckets, reduce_bucket)
+    shards = [s for s in shards if s is not None]
+    if not shards:
+        return pa.table({})
+    out = combine(pa.concat_tables(shards)).sort_by("r_name")
+    return _round_cols(out, ["total_revenue"])

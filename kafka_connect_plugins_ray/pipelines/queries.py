@@ -73,6 +73,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_revenue_by_region(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-shape five-table join (analytics.revenue_by_region):
+    the dimension chain customer→nation→region collapses map-side into
+    one broadcast lookup, so the only exchange is the unavoidable
+    lineitem ⋈ orders co-partition."""
+    return analytics.revenue_by_region(sf_dir)
+
+
+REVENUE_BY_REGION_ORACLE = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)
+         AS total_revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_window_frames(sf_dir: str) -> "rd.Dataset":
     """Sliding-frame + rank window functions
     (streaming.window_frame_stats): moving SUM/COUNT over ROWS BETWEEN
@@ -3042,6 +3064,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "running_window": q_running_window,
         "string_agg_events": q_string_agg,
         "window_frames": q_window_frames,
+        "revenue_by_region": q_revenue_by_region,
         "cdc_time_travel": cdc_time_travel,
         "events_pivot": q_events_pivot,
         "rollup_lineitem": q_rollup,
@@ -3127,7 +3150,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "timestamp_router", "header_ops", "smt_predicated", "pii_redact",
         "budget_select", "cdc_view_state", "cdc_join_view_state",
         "cdc_change_feed", "running_window", "string_agg_events",
-        "window_frames", "cdc_time_travel", "events_pivot",
+        "window_frames", "revenue_by_region", "cdc_time_travel",
+        "events_pivot",
         "rollup_lineitem", "cube_lineitem", "argmax_by_flag",
         "unpivot_lineitem", "price_quantiles_by_flag", "corr_stats",
         "lookup_key", "dedup_incremental", "dedup_semantic",
@@ -3167,6 +3191,7 @@ def build_oracles() -> dict[str, str]:
         "running_window": RUNNING_WINDOW_ORACLE,
         "string_agg_events": _streaming.STRING_AGG_ORACLE,
         "window_frames": _streaming.WINDOW_FRAME_ORACLE,
+        "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
         "events_pivot": EVENTS_PIVOT_ORACLE,
         "rollup_lineitem": ROLLUP_ORACLE,
