@@ -73,6 +73,61 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_customers_without_orders(sf_dir: str, threshold: float = 400000.0
+                               ) -> pa.Table:
+    """ANTI-join (NOT EXISTS) via distinct-set broadcast: customers
+    with NO order above ``threshold`` — per-block
+    ``unique(o_custkey WHERE o_totalprice > thr)`` partials fold in the
+    fan-in tree (bounded by customer cardinality, never order count),
+    the distinct set broadcasts once, and the customer side filters
+    map-side — no join shuffle at all.  The semi-join shape is the
+    same filter inverted."""
+    import ray
+
+    from ..exchange import Broadcast, tree_aggregate
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], threshold))
+        return pa.table({"k": pc.unique(t["o_custkey"])})
+
+    folded = tree_aggregate(
+        orders.map_batches(distinct, batch_format="pyarrow"),
+        lambda t: pa.table({"k": pc.unique(t["k"])}))
+    have = (np.sort(folded["k"].to_numpy()) if folded is not None
+            else np.array([], np.int64))
+    side = Broadcast(have)
+
+    def anti(t: pa.Table) -> pa.Table:
+        h = side.get()
+        ck = t["c_custkey"].to_numpy()
+        idx = np.clip(np.searchsorted(h, ck), 0, max(len(h) - 1, 0))
+        miss = (h[idx] != ck) if len(h) else np.ones(len(ck), bool)
+        return t.filter(pa.array(miss))
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_mktsegment"])
+    out = cust.map_batches(anti, batch_format="pyarrow")
+    shards = ray.get(list(out.to_arrow_refs()))
+    shards = [s for s in shards if s.num_rows]
+    if not shards:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "c_mktsegment": pa.array([], pa.string())})
+    return pa.concat_tables(shards).sort_by("c_custkey")
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+"""
+
+
 def q_revenue_by_region(sf_dir: str) -> pa.Table:
     """TPC-H-Q5-shape five-table join (analytics.revenue_by_region):
     the dimension chain customer→nation→region collapses map-side into
@@ -3065,6 +3120,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "string_agg_events": q_string_agg,
         "window_frames": q_window_frames,
         "revenue_by_region": q_revenue_by_region,
+        "customers_without_orders": q_customers_without_orders,
         "cdc_time_travel": cdc_time_travel,
         "events_pivot": q_events_pivot,
         "rollup_lineitem": q_rollup,
@@ -3150,7 +3206,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "timestamp_router", "header_ops", "smt_predicated", "pii_redact",
         "budget_select", "cdc_view_state", "cdc_join_view_state",
         "cdc_change_feed", "running_window", "string_agg_events",
-        "window_frames", "revenue_by_region", "cdc_time_travel",
+        "window_frames", "revenue_by_region",
+        "customers_without_orders", "cdc_time_travel",
         "events_pivot",
         "rollup_lineitem", "cube_lineitem", "argmax_by_flag",
         "unpivot_lineitem", "price_quantiles_by_flag", "corr_stats",
@@ -3192,6 +3249,7 @@ def build_oracles() -> dict[str, str]:
         "string_agg_events": _streaming.STRING_AGG_ORACLE,
         "window_frames": _streaming.WINDOW_FRAME_ORACLE,
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
+        "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
         "events_pivot": EVENTS_PIVOT_ORACLE,
         "rollup_lineitem": ROLLUP_ORACLE,
