@@ -409,6 +409,112 @@ class MergeGroup:
         return out
 
 
+VALID_FROM = "valid_from_lsn"
+VALID_TO = "valid_to_lsn"
+
+
+class HistoryGroup:
+    """map_groups callable for ``ingest(mode="scd2")``: maintain a
+    SLOWLY-CHANGING-DIMENSION TYPE-2 history table instead of the LWW
+    current-state table — every upsert becomes a VERSION ROW carrying
+    its validity interval ``[valid_from_lsn, valid_to_lsn)``
+    (``valid_to_lsn`` null = current), updates CLOSE the key's previous
+    current row, deletes close without inserting.  The warehouse shape
+    Debezium consumers build downstream of the reference's connector;
+    the key invariant becomes (key..., valid_from_lsn) uniqueness.
+
+    Requires the UNREDUCED event stream (``ingest`` forces
+    ``pre_reduce=False`` — every intermediate version is output, so the
+    LWW combiner would be lossy here); chains within one cycle close
+    each other vectorized (shifted lsn within the key run)."""
+
+    def __init__(self, lake_root: str, parent_files: dict[int, str],
+                 data_dir: str, key_cols: Sequence[str],
+                 order_cols: Sequence[str], lsn_col: str, op_col: str):
+        self.lake_root = lake_root
+        self.parent_files = parent_files
+        self.data_dir = data_dir
+        self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols)
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+
+    def __call__(self, pid: int, group: pa.Table) -> dict:
+        events = group.drop_columns(["partition_id"])
+        input_rows = events.num_rows
+        lsn_min = pc.min(events.column(self.lsn_col)).as_py()
+        lsn_max = pc.max(events.column(self.lsn_col)).as_py()
+        events = events.sort_by(
+            [(c, "ascending") for c in self.key_cols + self.order_cols])
+        n = events.num_rows
+        lsn = events.column(self.lsn_col).to_numpy()
+        last_of_key = np.zeros(n, dtype=bool)
+        last_of_key[_key_boundaries(events, self.key_cols)] = True
+        # within a key run, each event is closed by the NEXT event's lsn
+        next_lsn = np.empty(n, dtype=np.float64)
+        next_lsn[:-1] = lsn[1:]
+        next_lsn[last_of_key] = np.nan          # run-final: stays open
+        is_delete = np.asarray(pc.equal(
+            events.column(self.op_col), "delete").combine_chunks()
+            .fill_null(False))
+        new_rows = events.drop_columns([self.op_col]) \
+            .filter(pa.array(~is_delete))
+        vf = lsn[~is_delete]
+        vt = next_lsn[~is_delete]
+        new_rows = new_rows.append_column(VALID_FROM,
+                                          pa.array(vf, pa.int64()))
+        new_rows = new_rows.append_column(
+            VALID_TO, pa.array([None if np.isnan(x) else int(x)
+                                for x in vt], pa.int64()))
+        n_deletes = int(is_delete.sum())
+
+        # close the previously-CURRENT row of every touched key at the
+        # key's FIRST event lsn this cycle
+        old_rel = self.parent_files.get(pid)
+        tables = []
+        if old_rel is not None:
+            old = pq.read_table(os.path.join(self.lake_root, old_rel))
+            first_idx = np.concatenate(
+                ([0], _key_boundaries(events, self.key_cols)[:-1] + 1))
+            firsts = events.take(pa.array(first_idx, pa.int64()))
+            close_at = pa.table({
+                **{c: firsts.column(c) for c in self.key_cols},
+                "_close_lsn": pa.array(lsn[first_idx], pa.int64()),
+            })
+            joined = old.join(close_at, keys=self.key_cols,
+                              join_type="left outer")
+            open_mask = pc.is_null(joined[VALID_TO])
+            closing = pc.and_(open_mask, pc.is_valid(joined["_close_lsn"]))
+            new_vt = pc.if_else(closing, joined["_close_lsn"],
+                                joined[VALID_TO])
+            joined = joined.set_column(
+                joined.column_names.index(VALID_TO), VALID_TO, new_vt)
+            tables.append(joined.drop_columns(["_close_lsn"]))
+        tables.append(new_rows)
+        merged = pa.concat_tables(unify_tables(tables)) \
+            .sort_by([(c, "ascending")
+                      for c in self.key_cols + [VALID_FROM]])
+
+        rel = f"{self.data_dir}/part-{pid:05d}.parquet"
+        abspath = os.path.join(self.lake_root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp-{os.getpid()}"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, abspath)
+        return {
+            "partition_id": pid,
+            "file": rel,
+            "rows": merged.num_rows,
+            "bytes": os.path.getsize(abspath),
+            "input_rows": input_rows,
+            "upserts": new_rows.num_rows,
+            "deletes": n_deletes,
+            "lsn_min": lsn_min,
+            "lsn_max": lsn_max,
+            "columns": ",".join(merged.column_names),
+        }
+
+
 class DeltaGroup:
     """map_groups callable for ``ingest(mode="delta")``: write ONLY the
     partition's LWW-reduced new events (op column retained so tombstones
@@ -505,11 +611,30 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     ``maintenance.compact_lake`` folds it back into one base file.  Both
     modes commit through the same atomic manifest swap and converge to
     identical lake state (oracle-gated)."""
-    if mode not in ("cow", "delta"):
+    if mode not in ("cow", "delta", "scd2"):
         raise ValueError(f"unknown ingest mode {mode!r}")
     store = LakeStore(lake_root)
     parent = store.current()
     version = (parent.version + 1) if parent else 1
+
+    # SCD2 history lakes are a TABLE SHAPE, not a per-cycle option:
+    # pinned at creation like key_cols (an LWW cycle on a history lake
+    # would destroy closed versions; a history cycle on an LWW lake
+    # would duplicate keys)
+    if parent is not None and parent.history and mode != "scd2":
+        raise ValueError("this lake is an SCD2 history table — ingest "
+                         "with mode='scd2'")
+    if mode == "scd2":
+        if parent is not None and not parent.history and (
+                parent.files or parent.deltas):
+            raise ValueError("cannot switch an LWW lake to scd2 history")
+        if views or (parent is not None and parent.views):
+            raise ValueError("materialized views are not supported on "
+                             "scd2 history lakes")
+        if change_feed:
+            raise ValueError("change_feed is not supported on scd2 "
+                             "history lakes (the history IS the feed)")
+        pre_reduce = False   # every intermediate version is output
 
     # materialized views: specs are PINNED like key_cols — carried from
     # the manifest; registering on an existing lake goes through
@@ -589,6 +714,10 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
     if mode == "delta":
         merge: Any = DeltaGroup(lake_root, data_dir, key_cols, order_cols,
                                 lsn_col, op_col)
+    elif mode == "scd2":
+        merge = HistoryGroup(lake_root, parent.files if parent else {},
+                             data_dir, key_cols, order_cols, lsn_col,
+                             op_col)
     else:
         merge = MergeGroup(
             lake_root, parent.files if parent else {}, data_dir,
@@ -700,6 +829,7 @@ def ingest(lake_root: str, events: "rd.Dataset", *,
         view_deltas=view_deltas_out,
         change_feed=eff_change_feed,
         changes=changes_out,
+        history=(mode == "scd2" or bool(parent and parent.history)),
     )
     store.commit(manifest, expected_parent=parent.version if parent else None)
     return manifest

@@ -405,6 +405,10 @@ def fsck(lake_root: str, version: "int | None" = None,
     key_cols = list(manifest.key_cols or ["repo", "path"])
     op_col = manifest.op_col or "op"
     P = manifest.num_partitions
+    # SCD2 history lakes legitimately repeat keys: uniqueness is per
+    # VERSION (key..., valid_from_lsn); routing stays on the key alone
+    unique_cols = (key_cols + ["valid_from_lsn"] if manifest.history
+                   else key_cols)
 
     @ray.remote
     def check_one(pid: int, base_rel, delta_rels, lineage) -> dict:
@@ -424,13 +428,13 @@ def fsck(lake_root: str, version: "int | None" = None,
                                key_cols, op_col)
         if t is None or t.num_rows == 0:
             return {"rows": 0, "errors": errors}
-        missing = [c for c in key_cols if c not in t.column_names]
+        missing = [c for c in unique_cols if c not in t.column_names]
         if missing:
             errors.append(f"p{pid}: key columns {missing} missing")
             return {"rows": t.num_rows, "errors": errors}
-        srt = t.select(key_cols).sort_by(
-            [(c, "ascending") for c in key_cols])
-        n_unique = len(_key_boundaries(srt, key_cols))
+        srt = t.select(unique_cols).sort_by(
+            [(c, "ascending") for c in unique_cols])
+        n_unique = len(_key_boundaries(srt, unique_cols))
         if n_unique != t.num_rows:
             errors.append(f"p{pid}: {t.num_rows - n_unique} duplicate "
                           "key(s) in resolved state")

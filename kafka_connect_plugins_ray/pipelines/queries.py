@@ -419,6 +419,33 @@ WHERE doc_id = 1
 """
 
 
+def cdc_scd2_state(sf_dir: str) -> "rd.Dataset":
+    """SCD Type-2 history table, driver-gated (ingest(mode="scd2")):
+    the full binlog maintained as VERSIONED rows — one row per upsert
+    event with its [valid_from_lsn, valid_to_lsn) interval, updates
+    closing the previous version, deletes closing without inserting.
+    The oracle rebuilds every version interval from first principles
+    (lateral series over each doc's upsert sequence)."""
+    lake = tempfile.mkdtemp(prefix="kcp_lake_scd2_")
+    ingest(lake, binlog_from_documents(sf_dir), mode="scd2")
+    return read_lake(lake)
+
+
+CDC_SCD2_ORACLE = """
+SELECT 'repo-' || (doc_id % 50) AS repo,
+       'src/doc_' || doc_id || '.txt' AS path,
+       printf('c%06d-', CAST(s.seq AS INT))
+         || substr(md5(doc_id || ':' || s.seq), 1, 8) AS commit,
+       lang,
+       text || '#v' || s.seq AS content,
+       doc_id * 4 + s.seq AS lsn,
+       doc_id * 4 + s.seq AS valid_from_lsn,
+       CASE WHEN s.seq < doc_id % 3 OR doc_id % 17 = 0
+            THEN doc_id * 4 + s.seq + 1 ELSE NULL END AS valid_to_lsn
+FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS s(seq)
+"""
+
+
 def cdc_time_travel(sf_dir: str) -> "rd.Dataset":
     """Snapshot isolation / time travel, driver-gated: after TWO ingest
     cycles (every key updated, the second segment's lsn space disjoint),
@@ -3121,6 +3148,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "window_frames": q_window_frames,
         "revenue_by_region": q_revenue_by_region,
         "customers_without_orders": q_customers_without_orders,
+        "cdc_scd2_state": cdc_scd2_state,
         "cdc_time_travel": cdc_time_travel,
         "events_pivot": q_events_pivot,
         "rollup_lineitem": q_rollup,
@@ -3207,7 +3235,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "budget_select", "cdc_view_state", "cdc_join_view_state",
         "cdc_change_feed", "running_window", "string_agg_events",
         "window_frames", "revenue_by_region",
-        "customers_without_orders", "cdc_time_travel",
+        "customers_without_orders", "cdc_scd2_state",
+        "cdc_time_travel",
         "events_pivot",
         "rollup_lineitem", "cube_lineitem", "argmax_by_flag",
         "unpivot_lineitem", "price_quantiles_by_flag", "corr_stats",
@@ -3250,6 +3279,7 @@ def build_oracles() -> dict[str, str]:
         "window_frames": _streaming.WINDOW_FRAME_ORACLE,
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+        "cdc_scd2_state": CDC_SCD2_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
         "events_pivot": EVENTS_PIVOT_ORACLE,
         "rollup_lineitem": ROLLUP_ORACLE,

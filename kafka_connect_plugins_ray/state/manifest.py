@@ -76,6 +76,10 @@ class Manifest:
     # ``view_deltas``, never carried forward, so a change row is
     # attributed to exactly the commit that produced it.
     changes: dict[int, str] = field(default_factory=dict)
+    # SCD2 history table (ingest mode="scd2"): rows are versioned with
+    # [valid_from_lsn, valid_to_lsn) intervals; the key-uniqueness
+    # invariant becomes (key..., valid_from_lsn).  Pinned at creation.
+    history: bool = False
     # THIS version's per-cycle view delta files (name -> relpath): the
     # folded insertion/retraction contribution the cycle applied to each
     # touched view, sized O(touched groups).  Deliberately a separate
@@ -107,6 +111,7 @@ class Manifest:
                 "view_deltas": self.view_deltas,
                 "change_feed": self.change_feed,
                 "changes": {str(k): v for k, v in self.changes.items()},
+                "history": self.history,
             },
             indent=1,
             sort_keys=True,
@@ -130,6 +135,7 @@ class Manifest:
             view_deltas=d.get("view_deltas", {}),
             change_feed=d.get("change_feed", False),
             changes={int(k): v for k, v in d.get("changes", {}).items()},
+            history=d.get("history", False),
         )
 
 

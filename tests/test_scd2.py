@@ -1,0 +1,91 @@
+"""SCD Type-2 history ingest (cdc_ingest.HistoryGroup / mode="scd2"):
+multi-segment version chains, replay idempotence, mode pinning, fsck
+interplay."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kafka_connect_plugins_ray.pipelines.cdc_ingest import (
+    ingest, read_lake)
+from kafka_connect_plugins_ray.pipelines.maintenance import fsck
+
+
+def _ev(paths, contents, lsns, ops, commit="c0"):
+    return rd.from_arrow(pa.table({
+        "repo": ["r"] * len(paths), "path": list(paths),
+        "commit": [commit] * len(paths),
+        "content": pa.array(list(contents), pa.string()),
+        "lsn": pa.array(list(lsns), pa.int64()), "op": list(ops)}))
+
+
+def _rows(lake):
+    return sorted(
+        ((r["path"], r["content"], r["valid_from_lsn"],
+          r["valid_to_lsn"]) for r in read_lake(lake).take_all()))
+
+
+def test_multi_segment_version_chain(tmp_path):
+    lake = str(tmp_path / "h")
+    ingest(lake, _ev(["a", "b"], ["A0", "B0"], [0, 1], ["insert"] * 2),
+           num_partitions=4, mode="scd2")
+    assert _rows(lake) == [("a", "A0", 0, None), ("b", "B0", 1, None)]
+    # segment 2: two updates to a IN ONE CYCLE (intermediate version
+    # must be kept and closed), delete b, insert c
+    ingest(lake, _ev(["a", "a", "b", "c"], ["A1", "A2", None, "C0"],
+                     [10, 11, 12, 13],
+                     ["update", "update", "delete", "insert"],
+                     commit="c1"), num_partitions=4, mode="scd2")
+    assert _rows(lake) == [
+        ("a", "A0", 0, 10), ("a", "A1", 10, 11), ("a", "A2", 11, None),
+        ("b", "B0", 1, 12),
+        ("c", "C0", 13, None)]
+    # segment 3: delete-then-reinsert a within one cycle
+    ingest(lake, _ev(["a", "a"], [None, "A3"], [20, 21],
+                     ["delete", "insert"], commit="c2"),
+           num_partitions=4, mode="scd2")
+    assert [r for r in _rows(lake) if r[0] == "a"] == [
+        ("a", "A0", 0, 10), ("a", "A1", 10, 11), ("a", "A2", 11, 20),
+        ("a", "A3", 21, None)]
+
+
+def test_replay_is_noop(tmp_path):
+    lake = str(tmp_path / "replay")
+    ingest(lake, _ev(["a"], ["A0"], [0], ["insert"]),
+           num_partitions=2, mode="scd2")
+    ingest(lake, _ev(["a"], ["A1"], [5], ["update"]),
+           num_partitions=2, mode="scd2")
+    before = _rows(lake)
+    ingest(lake, _ev(["a"], ["A1"], [5], ["update"]),
+           num_partitions=2, mode="scd2")   # same segment again
+    assert _rows(lake) == before
+
+
+def test_mode_pinning_and_feature_guards(tmp_path):
+    lww = str(tmp_path / "lww")
+    ingest(lww, _ev(["a"], ["A0"], [0], ["insert"]), num_partitions=2)
+    with pytest.raises(ValueError, match="cannot switch"):
+        ingest(lww, _ev(["b"], ["B0"], [1], ["insert"]),
+               num_partitions=2, mode="scd2")
+    hist = str(tmp_path / "hist")
+    ingest(hist, _ev(["a"], ["A0"], [0], ["insert"]),
+           num_partitions=2, mode="scd2")
+    with pytest.raises(ValueError, match="history table"):
+        ingest(hist, _ev(["b"], ["B0"], [1], ["insert"]),
+               num_partitions=2)
+    with pytest.raises(ValueError, match="views"):
+        ingest(str(tmp_path / "v"), _ev(["a"], ["A0"], [0], ["insert"]),
+               num_partitions=2, mode="scd2",
+               views={"x": {"group_by": ["repo"], "sums": []}})
+    with pytest.raises(ValueError, match="change_feed"):
+        ingest(str(tmp_path / "cf"), _ev(["a"], ["A0"], [0], ["insert"]),
+               num_partitions=2, mode="scd2", change_feed=True)
+
+
+def test_fsck_accepts_history_keys(tmp_path):
+    lake = str(tmp_path / "fsck")
+    ingest(lake, _ev(["a"], ["A0"], [0], ["insert"]),
+           num_partitions=2, mode="scd2")
+    ingest(lake, _ev(["a"], ["A1"], [5], ["update"]),
+           num_partitions=2, mode="scd2")
+    assert fsck(lake)["errors"] == []   # repeated key 'a' is legal here
