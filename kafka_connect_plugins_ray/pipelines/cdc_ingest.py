@@ -943,6 +943,36 @@ def create_view(lake_root: str, name: str, group_by: Sequence[str],
     return manifest
 
 
+def read_history_asof(lake_root: str, lsn: int,
+                      columns: "list[str] | None" = None,
+                      version: "int | None" = None) -> "rd.Dataset":
+    """Point-in-time read of an SCD2 history lake: the rows that were
+    CURRENT as of ``lsn`` — ``valid_from_lsn <= lsn < valid_to_lsn``
+    (open intervals qualify).  This is the query shape SCD2 exists for:
+    version-level time travel at any log position, finer than manifest
+    time travel (which is commit-granular).  A plain filter over the
+    partition-pruned read — no shuffle."""
+    store = LakeStore(lake_root)
+    manifest = (store.current() if version is None
+                else store.read_manifest(version))
+    if manifest is None:
+        return rd.from_arrow(pa.table({}))
+    if not manifest.history:
+        raise ValueError("read_history_asof needs an scd2 history lake")
+    ds = read_lake(lake_root, columns=columns, version=version)
+
+    def asof(t: pa.Table) -> pa.Table:
+        # or_kleene: plain pc.or_ PROPAGATES nulls, which would drop
+        # every open interval (null valid_to) instead of keeping it
+        live = pc.and_(
+            pc.less_equal(t[VALID_FROM], lsn),
+            pc.or_kleene(pc.is_null(t[VALID_TO]),
+                         pc.greater(t[VALID_TO], lsn)))
+        return t.filter(live)
+
+    return ds.map_batches(asof, batch_format="pyarrow")
+
+
 def read_lake(lake_root: str, columns: "list[str] | None" = None,
               version: "int | None" = None) -> "rd.Dataset":
     """Dataset over the committed lake state.

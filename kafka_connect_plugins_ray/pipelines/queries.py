@@ -446,6 +446,42 @@ FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS s(seq)
 """
 
 
+def cdc_scd2_asof(sf_dir: str) -> "rd.Dataset":
+    """Point-in-time (AS OF lsn) read over the SCD2 history lake — the
+    query shape the history exists for: the exact row versions current
+    at lsn = 2·max(doc_id), which lands mid-stream (some keys on their
+    first version, some mid-chain, some already deleted)."""
+    import pyarrow.parquet as pq
+
+    from .cdc_ingest import read_history_asof
+
+    lake = tempfile.mkdtemp(prefix="kcp_lake_scd2a_")
+    ingest(lake, binlog_from_documents(sf_dir), mode="scd2")
+    max_doc = pc.max(pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"])["doc_id"]).as_py()
+    return read_history_asof(lake, 2 * max_doc)
+
+
+CDC_SCD2_ASOF_ORACLE = """
+WITH hist AS (
+  SELECT 'repo-' || (doc_id % 50) AS repo,
+         'src/doc_' || doc_id || '.txt' AS path,
+         printf('c%06d-', CAST(s.seq AS INT))
+           || substr(md5(doc_id || ':' || s.seq), 1, 8) AS commit,
+         lang,
+         text || '#v' || s.seq AS content,
+         doc_id * 4 + s.seq AS lsn,
+         doc_id * 4 + s.seq AS valid_from_lsn,
+         CASE WHEN s.seq < doc_id % 3 OR doc_id % 17 = 0
+              THEN doc_id * 4 + s.seq + 1 ELSE NULL END AS valid_to_lsn
+  FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS s(seq)
+), cut AS (SELECT max(doc_id) * 2 AS l FROM documents)
+SELECT hist.* FROM hist, cut
+WHERE valid_from_lsn <= l AND (valid_to_lsn IS NULL OR valid_to_lsn > l)
+"""
+
+
 def cdc_time_travel(sf_dir: str) -> "rd.Dataset":
     """Snapshot isolation / time travel, driver-gated: after TWO ingest
     cycles (every key updated, the second segment's lsn space disjoint),
@@ -3149,6 +3185,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": q_revenue_by_region,
         "customers_without_orders": q_customers_without_orders,
         "cdc_scd2_state": cdc_scd2_state,
+        "cdc_scd2_asof": cdc_scd2_asof,
         "cdc_time_travel": cdc_time_travel,
         "events_pivot": q_events_pivot,
         "rollup_lineitem": q_rollup,
@@ -3236,6 +3273,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed", "running_window", "string_agg_events",
         "window_frames", "revenue_by_region",
         "customers_without_orders", "cdc_scd2_state",
+        "cdc_scd2_asof",
         "cdc_time_travel",
         "events_pivot",
         "rollup_lineitem", "cube_lineitem", "argmax_by_flag",
@@ -3280,6 +3318,7 @@ def build_oracles() -> dict[str, str]:
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "cdc_scd2_state": CDC_SCD2_ORACLE,
+        "cdc_scd2_asof": CDC_SCD2_ASOF_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
         "events_pivot": EVENTS_PIVOT_ORACLE,
         "rollup_lineitem": ROLLUP_ORACLE,
