@@ -477,3 +477,80 @@ def fsck(lake_root: str, version: "int | None" = None,
                               "from a recompute over the current state")
 
     return {"partitions": len(pids), "rows": total, "errors": errors}
+
+
+def expire_history(lake_root: str, older_than_lsn: int) -> Manifest:
+    """Retention on an SCD2 history lake: physically remove CLOSED
+    version rows whose validity ended at or before ``older_than_lsn``
+    (``valid_to_lsn <= cutoff``) — the GDPR / retention-window shape.
+    Open rows and rows closed after the cutoff are untouched, so every
+    ``read_history_asof(lsn > cutoff)`` is unaffected.  Partitions with
+    nothing to drop carry forward BY REFERENCE; touched partitions
+    rewrite through the normal attempt-dir + atomic-manifest protocol
+    (crash-safe, time-travel preserving — older manifests still see the
+    full history until gc)."""
+    import secrets
+
+    import pyarrow.compute as pc_
+    import ray
+
+    from .cdc_ingest import VALID_TO
+
+    store = LakeStore(lake_root)
+    parent = store.current()
+    if parent is None or not parent.history:
+        raise ValueError("expire_history needs an scd2 history lake")
+    if parent.deltas:
+        raise ValueError("history lakes never carry delta chains — "
+                         "corrupt manifest?")
+    version = parent.version + 1
+    data_dir = f"data/v{version}-{secrets.token_hex(4)}"
+
+    @ray.remote
+    def expire_one(pid: int, rel: str) -> "dict | None":
+        t = pq.read_table(os.path.join(lake_root, rel))
+        # and_kleene: open rows have null valid_to, and plain pc.and_
+        # would propagate that null into the mask (dropping them!)
+        drop = pc_.and_kleene(pc_.is_valid(t[VALID_TO]),
+                              pc_.less_equal(t[VALID_TO], older_than_lsn))
+        n_drop = pc_.sum(pc_.cast(drop, pa.int64())).as_py() or 0
+        if not n_drop:
+            return None                      # carry forward by reference
+        kept = t.filter(pc_.invert(drop))
+        new_rel = f"{data_dir}/part-{pid:05d}.parquet"
+        abspath = os.path.join(lake_root, new_rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp-{os.getpid()}"
+        pq.write_table(kept, tmp)
+        os.replace(tmp, abspath)
+        return {"pid": pid, "file": new_rel, "rows": kept.num_rows,
+                "bytes": os.path.getsize(abspath), "expired": n_drop}
+
+    results = ray.get([expire_one.remote(pid, rel)
+                       for pid, rel in sorted(parent.files.items())])
+    files = dict(parent.files)
+    partitions = dict(parent.partitions)
+    expired = 0
+    for r in results:
+        if r is None:
+            continue
+        pid = int(r["pid"])
+        files[pid] = r["file"]
+        prev = dict(partitions.get(pid, {}))
+        prev.update({"file": r["file"], "rows": int(r["rows"]),
+                     "bytes": int(r["bytes"]), "input_rows": 0,
+                     "upserts": 0, "deletes": 0,
+                     "parent_version": parent.version,
+                     "expired_rows": int(r["expired"])})
+        partitions[pid] = prev
+        expired += int(r["expired"])
+    manifest = Manifest(
+        version=version, parent=parent.version,
+        high_water_lsn=parent.high_water_lsn,
+        files=files, partitions=partitions, schema=parent.schema,
+        num_partitions=parent.num_partitions,
+        key_cols=parent.key_cols, op_col=parent.op_col,
+        history=True,
+    )
+    store.commit(manifest, expected_parent=parent.version)
+    return manifest

@@ -89,3 +89,34 @@ def test_fsck_accepts_history_keys(tmp_path):
     ingest(lake, _ev(["a"], ["A1"], [5], ["update"]),
            num_partitions=2, mode="scd2")
     assert fsck(lake)["errors"] == []   # repeated key 'a' is legal here
+
+
+def test_expire_history_retention(tmp_path):
+    from kafka_connect_plugins_ray.pipelines.cdc_ingest import (
+        read_history_asof)
+    from kafka_connect_plugins_ray.pipelines.maintenance import (
+        expire_history)
+    from kafka_connect_plugins_ray.state.manifest import LakeStore
+
+    lake = str(tmp_path / "exp")
+    ingest(lake, _ev(["a", "b"], ["A0", "B0"], [0, 1], ["insert"] * 2),
+           num_partitions=4, mode="scd2")
+    ingest(lake, _ev(["a", "b"], ["A1", None], [10, 11],
+                     ["update", "delete"], commit="c1"),
+           num_partitions=4, mode="scd2")
+    before = LakeStore(lake).current()
+    m = expire_history(lake, older_than_lsn=10)
+    # a's v0 (closed at 10) and b's v0 (closed at 11)? b closed at 11 >
+    # cutoff 10 -> stays; a's v0 valid_to=10 <= 10 -> expired
+    assert _rows(lake) == [("a", "A1", 10, None), ("b", "B0", 1, 11)]
+    # untouched partitions carried forward by reference
+    carried = [pid for pid, rel in m.files.items()
+               if before.files.get(pid) == rel]
+    assert carried, "expected at least one carry-forward partition"
+    # point-in-time reads AFTER the cutoff are unaffected
+    asof = sorted((r["path"], r["content"])
+                  for r in read_history_asof(lake, 11).take_all())
+    assert asof == [("a", "A1")]
+    assert fsck(lake)["errors"] == []
+    with pytest.raises(ValueError, match="history lake"):
+        expire_history(str(tmp_path / "notalake"), 5)
