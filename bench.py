@@ -165,6 +165,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("revenue_by_region", Q.q_revenue_by_region)
     consume("customers_without_orders", Q.q_customers_without_orders)
     consume("cdc_scd2_state", Q.cdc_scd2_state)
+    consume("left_join_order_revenue", Q.q_left_join)
     consume("price_quantiles_by_flag", Q.q_price_quantiles_grouped)
     consume("corr_stats", Q.q_corr_stats)
 

@@ -631,3 +631,91 @@ def revenue_by_region(sf_dir: str, num_buckets: int = 32) -> pa.Table:
         return pa.table({})
     out = combine(pa.concat_tables(shards)).sort_by("r_name")
     return _round_cols(out, ["total_revenue"])
+
+
+def left_join_order_revenue(sf_dir: str, qty_threshold: float = 45.0,
+                            num_buckets: int = 32):
+    """LEFT OUTER large-to-large join: EVERY order row survives, with
+    its high-quantity-item revenue (NULL when no lineitem qualifies —
+    the majority branch at this threshold, so the null path is the
+    load-bearing one).  Same one-exchange tagged co-partition as
+    ``shuffle_join_revenue``; the per-bucket kernel emits the unmatched
+    left rows with null aggregates instead of dropping them, and the
+    per-order output stays object-store-resident as a Dataset."""
+    from ..exchange import hash_exchange, refs_to_dataset
+
+    out_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
+        ("revenue", pa.float64()), ("n_items", pa.int64())])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], qty_threshold))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"key": t["l_orderkey"], "rev": rev,
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by("key").aggregate([("rev", "sum"), ("n", "sum")])
+        g = g.rename_columns(["key", "rev", "n"])
+        bucket = (g["key"].to_numpy() % num_buckets).astype(np.int32)
+        return pa.table({
+            "key": g["key"], "rev": g["rev"], "n": g["n"],
+            "priority": pa.nulls(g.num_rows, pa.string()),
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        bucket = (t["o_orderkey"].to_numpy()
+                  % num_buckets).astype(np.int32)
+        return pa.table({
+            "key": t["o_orderkey"],
+            "rev": pa.nulls(n, pa.float64()),
+            "n": pa.nulls(n, pa.int64()),
+            "priority": t["o_orderpriority"],
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity",
+                             "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    tagged = li.union(orders)
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        is_order = pc.is_valid(t["priority"])
+        o = t.filter(is_order)
+        if o.num_rows == 0:
+            return None
+        f = t.filter(pc.invert(is_order))
+        # fold the fact side's per-block partials per key
+        fg = pa.table({"key": f["key"], "rev": f["rev"], "n": f["n"]}) \
+            .group_by("key").aggregate([("rev", "sum"), ("n", "sum")]) \
+            .rename_columns(["key", "rev", "n"])
+        fk = fg["key"].to_numpy()
+        order = np.argsort(fk)
+        fk = fk[order]
+        frev = fg["rev"].to_numpy()[order]
+        fn = fg["n"].to_numpy()[order]
+        ok = o["key"].to_numpy()
+        idx = (np.clip(np.searchsorted(fk, ok), 0, max(fk.size - 1, 0))
+               if fk.size else np.zeros(ok.size, np.int64))
+        hit = (fk[idx] == ok) if fk.size else np.zeros(ok.size, bool)
+        rev = np.where(hit, frev[idx] if fk.size else 0.0, np.nan)
+        n_items = np.where(hit, fn[idx] if fk.size else 0, 0)
+        return pa.table({
+            "o_orderkey": o["key"],
+            "o_orderpriority": o["priority"],
+            "revenue": pc.if_else(pa.array(hit),
+                                  pa.array(np.where(hit, rev, 0.0)),
+                                  pa.nulls(len(ok), pa.float64())),
+            "n_items": pa.array(n_items, pa.int64()),
+        }).cast(out_schema)
+
+    refs = hash_exchange(tagged, "bucket", num_buckets, reduce_bucket,
+                         materialize=False)
+    ds = refs_to_dataset(refs, out_schema)
+    return ds.map_batches(lambda t: _round_cols(t, ["revenue"]),
+                          batch_format="pyarrow")

@@ -73,6 +73,25 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_left_join(sf_dir: str) -> "rd.Dataset":
+    """LEFT OUTER large-to-large join
+    (analytics.left_join_order_revenue): every order survives with its
+    high-quantity revenue or NULL — the unmatched branch is the
+    majority at this threshold, so the null path carries the gate."""
+    return analytics.left_join_order_revenue(sf_dir)
+
+
+LEFT_JOIN_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(l.l_orderkey) AS n_items
+FROM orders o
+LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) l
+  ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
 def q_customers_without_orders(sf_dir: str, threshold: float = 400000.0
                                ) -> pa.Table:
     """ANTI-join (NOT EXISTS) via distinct-set broadcast: customers
@@ -3184,6 +3203,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "window_frames": q_window_frames,
         "revenue_by_region": q_revenue_by_region,
         "customers_without_orders": q_customers_without_orders,
+        "left_join_order_revenue": q_left_join,
         "cdc_scd2_state": cdc_scd2_state,
         "cdc_scd2_asof": cdc_scd2_asof,
         "cdc_time_travel": cdc_time_travel,
@@ -3272,7 +3292,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "budget_select", "cdc_view_state", "cdc_join_view_state",
         "cdc_change_feed", "running_window", "string_agg_events",
         "window_frames", "revenue_by_region",
-        "customers_without_orders", "cdc_scd2_state",
+        "customers_without_orders", "left_join_order_revenue",
+        "cdc_scd2_state",
         "cdc_scd2_asof",
         "cdc_time_travel",
         "events_pivot",
@@ -3317,6 +3338,7 @@ def build_oracles() -> dict[str, str]:
         "window_frames": _streaming.WINDOW_FRAME_ORACLE,
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+        "left_join_order_revenue": LEFT_JOIN_ORACLE,
         "cdc_scd2_state": CDC_SCD2_ORACLE,
         "cdc_scd2_asof": CDC_SCD2_ASOF_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
