@@ -49,10 +49,13 @@ def main(argv: "list[str] | None" = None) -> int:
     pi.add_argument("--cycles", type=int, default=1,
                     help="tail-follow mode: run N ingest cycles, each over "
                          "the next deterministic binlog segment")
-    pi.add_argument("--mode", choices=["cow", "delta"], default="cow",
+    pi.add_argument("--mode", choices=["cow", "delta", "scd2"],
+                    default="cow",
                     help="cow rewrites touched partitions; delta appends "
                          "one LWW-reduced delta file per touched partition "
-                         "(fold chains back with `compact`)")
+                         "(fold chains back with `compact`); scd2 keeps "
+                         "EVERY version with [valid_from, valid_to) "
+                         "intervals (history table, pinned at creation)")
     pi.add_argument("--compact-threshold", type=int, default=None,
                     help="tail mode: after each cycle, compact when any "
                          "partition's pending delta chain exceeds this "
@@ -156,6 +159,14 @@ def main(argv: "list[str] | None" = None) -> int:
                           "instead of the net composition")
     pc_.add_argument("--mode", choices=["auto", "captured", "diff"],
                      default="auto")
+
+    pe = sub.add_parser(
+        "expire", help="SCD2 retention: drop closed version rows with "
+                       "valid_to <= --older-than (open rows and AS-OF "
+                       "reads past the cutoff unaffected)")
+    pe.add_argument("--lake", required=True)
+    pe.add_argument("--older-than", type=int, required=True,
+                    dest="older_than")
 
     pf = sub.add_parser(
         "fsck", help="lake integrity check: lineage row counts, key "
@@ -309,6 +320,15 @@ def main(argv: "list[str] | None" = None) -> int:
             else:
                 t = read_view(args.lake, args.name, version=args.version)
                 print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "expire":
+            from .pipelines.maintenance import expire_history
+
+            m = expire_history(args.lake, args.older_than)
+            expired = sum(p.get("expired_rows", 0)
+                          for p in m.partitions.values()
+                          if p.get("parent_version") == m.parent)
+            print(json.dumps({"version": m.version,
+                              "expired_rows": expired}))
         elif args.cmd == "fsck":
             from .pipelines.maintenance import fsck
 

@@ -120,3 +120,24 @@ def test_expire_history_retention(tmp_path):
     assert fsck(lake)["errors"] == []
     with pytest.raises(ValueError, match="history lake"):
         expire_history(str(tmp_path / "notalake"), 5)
+
+
+def test_cli_scd2_ingest_and_expire(tmp_path, capsys):
+    import json
+
+    from kafka_connect_plugins_ray.cli import main
+
+    lake = str(tmp_path / "cli_scd2")
+    assert main(["ingest", "--lake", lake,
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--mode", "scd2"]) == 0
+    capsys.readouterr()
+    # second segment advances versions, then retention expires the old
+    assert main(["ingest", "--lake", lake,
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--mode", "scd2", "--rounds", "1"]) == 0
+    capsys.readouterr()
+    assert main(["expire", "--lake", lake, "--older-than", "400"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["expired_rows"] > 0
+    assert fsck(lake)["errors"] == []
