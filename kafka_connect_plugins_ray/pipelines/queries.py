@@ -73,6 +73,89 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_median_by_flag(sf_dir: str) -> pa.Table:
+    """EXACT per-group median (discrete, lower-middle order statistic)
+    WITHOUT a global sort: per-block distinct (group, cents, count)
+    partials (each block collapses to its distinct values), one
+    exchange co-locating each GROUP's histogram, per-group sorted
+    cumsum picks the ceil(n/2)-th value.  Rows moved = distinct
+    (group, price) pairs, never data rows — the exact sibling of the
+    HDR sketch (`price_quantiles_by_flag`), for when approximate isn't
+    acceptable."""
+    from ..exchange import hash_exchange
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice"])
+    n_groups = 8  # >= distinct flags; exchange key = stable group hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "cents": pa.array(cents),
+            "n": pa.array(np.ones(len(cents), np.int64)),
+        }).group_by(["l_returnflag", "cents"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["l_returnflag", "cents", "n"])
+        import zlib
+
+        # deterministic routing (Python's str hash is per-process
+        # seeded); few groups, and skew is bounded by HISTOGRAM size
+        # (distinct prices per group), not row count
+        flags = g["l_returnflag"].to_pylist()
+        bucket = np.array([zlib.crc32(f.encode()) % n_groups
+                           for f in flags], np.int32)
+        return g.append_column("bucket", pa.array(bucket))
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        if t.num_rows == 0:
+            return None
+        g = t.group_by(["l_returnflag", "cents"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["l_returnflag", "cents", "n"]) \
+            .sort_by([("l_returnflag", "ascending"),
+                      ("cents", "ascending")])
+        flags = g["l_returnflag"]
+        m = g.num_rows
+        is_start = np.ones(m, dtype=bool)
+        eq = pc.equal(flags.slice(0, m - 1), flags.slice(1))
+        is_start[1:] = ~np.asarray(eq.combine_chunks().fill_null(False))
+        starts = np.nonzero(is_start)[0]
+        ends = np.append(starts[1:], m)
+        cents = g["cents"].to_numpy()
+        n = g["n"].to_numpy()
+        out_f, out_v = [], []
+        for s, e in zip(starts, ends):     # one iteration per GROUP
+            cum = np.cumsum(n[s:e])
+            target = (cum[-1] + 1) // 2    # lower middle, 1-based
+            out_f.append(s)
+            out_v.append(int(cents[s + np.searchsorted(cum, target)]))
+        return pa.table({
+            "l_returnflag": flags.take(pa.array(out_f, pa.int64())),
+            "median_cents": pa.array(out_v, pa.int64()),
+        })
+
+    shards = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket", n_groups, reduce_bucket)
+    shards = [s for s in shards if s is not None]
+    if not shards:
+        return pa.table({})
+    return pa.concat_tables(shards).sort_by("l_returnflag")
+
+
+MEDIAN_BY_FLAG_ORACLE = """
+WITH src AS (SELECT l_returnflag AS g,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             FROM lineitem),
+h AS (SELECT g, c, count(*) AS n FROM src GROUP BY 1, 2),
+cum AS (SELECT g, c, sum(n) OVER (PARTITION BY g ORDER BY c) AS cn,
+               sum(n) OVER (PARTITION BY g) AS total FROM h)
+SELECT g AS l_returnflag,
+       min(c) FILTER (WHERE cn >= (total + 1) // 2) AS median_cents
+FROM cum GROUP BY 1
+"""
+
+
 def q_left_join(sf_dir: str) -> "rd.Dataset":
     """LEFT OUTER large-to-large join
     (analytics.left_join_order_revenue): every order survives with its
@@ -3204,6 +3287,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": q_revenue_by_region,
         "customers_without_orders": q_customers_without_orders,
         "left_join_order_revenue": q_left_join,
+        "median_by_flag": q_median_by_flag,
         "cdc_scd2_state": cdc_scd2_state,
         "cdc_scd2_asof": cdc_scd2_asof,
         "cdc_time_travel": cdc_time_travel,
@@ -3293,6 +3377,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed", "running_window", "string_agg_events",
         "window_frames", "revenue_by_region",
         "customers_without_orders", "left_join_order_revenue",
+        "median_by_flag",
         "cdc_scd2_state",
         "cdc_scd2_asof",
         "cdc_time_travel",
@@ -3339,6 +3424,7 @@ def build_oracles() -> dict[str, str]:
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "left_join_order_revenue": LEFT_JOIN_ORACLE,
+        "median_by_flag": MEDIAN_BY_FLAG_ORACLE,
         "cdc_scd2_state": CDC_SCD2_ORACLE,
         "cdc_scd2_asof": CDC_SCD2_ASOF_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
