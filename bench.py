@@ -167,6 +167,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("cdc_scd2_state", Q.cdc_scd2_state)
     consume("left_join_order_revenue", Q.q_left_join)
     consume("median_by_flag", Q.q_median_by_flag)
+    consume("mode_by_flag", Q.q_mode_by_flag)
     consume("price_quantiles_by_flag", Q.q_price_quantiles_grouped)
     consume("corr_stats", Q.q_corr_stats)
 

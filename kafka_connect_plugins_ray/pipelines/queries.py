@@ -156,6 +156,72 @@ FROM cum GROUP BY 1
 """
 
 
+def q_mode_by_flag(sf_dir: str) -> pa.Table:
+    """Per-group MODE (most frequent l_quantity, ties broken by MIN
+    value — plain mode() is tie-arbitrary and ungateable): the same
+    distinct-value histogram exchange as the exact median, with a
+    per-group argmax over (count desc, value asc) instead of a cumsum
+    selection."""
+    import zlib
+
+    from ..exchange import hash_exchange
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity"])
+    n_groups = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "v": t["l_quantity"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["l_returnflag", "v"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["l_returnflag", "v", "n"])
+        flags = g["l_returnflag"].to_pylist()
+        bucket = np.array([zlib.crc32(f.encode()) % n_groups
+                           for f in flags], np.int32)
+        return g.append_column("bucket", pa.array(bucket))
+
+    def reduce_bucket(pid: int, t: pa.Table) -> "pa.Table | None":
+        if t.num_rows == 0:
+            return None
+        g = t.group_by(["l_returnflag", "v"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["l_returnflag", "v", "n"]) \
+            .sort_by([("l_returnflag", "ascending"),
+                      ("n", "descending"), ("v", "ascending")])
+        flags = g["l_returnflag"]
+        m = g.num_rows
+        first = np.ones(m, dtype=bool)
+        eq = pc.equal(flags.slice(0, m - 1), flags.slice(1))
+        first[1:] = ~np.asarray(eq.combine_chunks().fill_null(False))
+        idx = pa.array(np.nonzero(first)[0], pa.int64())
+        return pa.table({
+            "l_returnflag": flags.take(idx),
+            "mode_quantity": g["v"].take(idx),
+            "mode_count": g["n"].take(idx),
+        })
+
+    shards = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket", n_groups, reduce_bucket)
+    shards = [s for s in shards if s is not None]
+    if not shards:
+        return pa.table({})
+    return pa.concat_tables(shards).sort_by("l_returnflag")
+
+
+MODE_BY_FLAG_ORACLE = """
+WITH h AS (SELECT l_returnflag, l_quantity AS v, count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+r AS (SELECT l_returnflag, v, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, v ASC) AS rk
+      FROM h)
+SELECT l_returnflag, v AS mode_quantity, n AS mode_count
+FROM r WHERE rk = 1
+"""
+
+
 def q_left_join(sf_dir: str) -> "rd.Dataset":
     """LEFT OUTER large-to-large join
     (analytics.left_join_order_revenue): every order survives with its
@@ -3288,6 +3354,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "left_join_order_revenue": q_left_join,
         "median_by_flag": q_median_by_flag,
+        "mode_by_flag": q_mode_by_flag,
         "cdc_scd2_state": cdc_scd2_state,
         "cdc_scd2_asof": cdc_scd2_asof,
         "cdc_time_travel": cdc_time_travel,
@@ -3377,7 +3444,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed", "running_window", "string_agg_events",
         "window_frames", "revenue_by_region",
         "customers_without_orders", "left_join_order_revenue",
-        "median_by_flag",
+        "median_by_flag", "mode_by_flag",
         "cdc_scd2_state",
         "cdc_scd2_asof",
         "cdc_time_travel",
@@ -3425,6 +3492,7 @@ def build_oracles() -> dict[str, str]:
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "left_join_order_revenue": LEFT_JOIN_ORACLE,
         "median_by_flag": MEDIAN_BY_FLAG_ORACLE,
+        "mode_by_flag": MODE_BY_FLAG_ORACLE,
         "cdc_scd2_state": CDC_SCD2_ORACLE,
         "cdc_scd2_asof": CDC_SCD2_ASOF_ORACLE,
         "cdc_time_travel": CDC_ORACLE,

@@ -141,3 +141,52 @@ def test_cli_scd2_ingest_and_expire(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["expired_rows"] > 0
     assert fsck(lake)["errors"] == []
+
+
+def test_randomized_multicycle_vs_python_reference(tmp_path):
+    """4 random cycles of upsert/delete over 25 keys must equal a
+    pure-Python SCD2 replay (version intervals, closures, reopenings),
+    and expire_history at a random cutoff must equal the reference
+    filter."""
+    import numpy as np
+
+    from kafka_connect_plugins_ray.pipelines.maintenance import (
+        expire_history)
+
+    rng = np.random.default_rng(13)
+    keys = [f"k{i}" for i in range(25)]
+    lake = str(tmp_path / "fuzz")
+    ref_rows = {}      # (key, valid_from) -> [content, valid_to]
+    open_row = {}      # key -> (key, valid_from)
+    lsn = 0
+    for cycle in range(4):
+        n = int(rng.integers(5, 20))
+        ks = list(rng.choice(keys, size=n, replace=True))
+        ops, contents, lsns = [], [], []
+        for k in ks:
+            lsn += 1
+            if rng.random() < 0.3:
+                ops.append("delete"); contents.append(None)
+            else:
+                ops.append("update"); contents.append(f"{k}v{lsn}")
+            lsns.append(lsn)
+        ingest(lake, _ev(ks, contents, lsns, ops), num_partitions=4,
+               mode="scd2")
+        # reference replay in EVENT order (lsn order == arrival here)
+        for k, c, l, op in sorted(zip(ks, contents, lsns, ops),
+                                  key=lambda r: r[2]):
+            if k in open_row:
+                ref_rows[open_row.pop(k)][1] = l
+            if op != "delete":
+                ref_rows[(k, l)] = [c, None]
+                open_row[k] = (k, l)
+    want = sorted((k, c_vt[0], vf, c_vt[1])
+                  for (k, vf), c_vt in ref_rows.items())
+    assert _rows(lake) == want
+    assert fsck(lake)["errors"] == []
+
+    cutoff = int(lsn * 0.6)
+    expire_history(lake, older_than_lsn=cutoff)
+    want_kept = sorted(r for r in want
+                       if r[3] is None or r[3] > cutoff)
+    assert _rows(lake) == want_kept
