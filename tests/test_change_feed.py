@@ -201,3 +201,47 @@ def test_randomized_multicycle_captured_equals_diff(tmp_path):
     net = read_changes(root, 0, 5).take_all()
     assert all(r["change_type"] == "insert" for r in net)
     assert {r["path"]: r["content"] for r in net} == final
+
+
+def test_fuzz_with_schema_evolution_mid_span(tmp_path):
+    """Randomized cycles where later segments add a column: captured
+    and diff modes must still agree on every span, with pre-images
+    null-filled for columns they predate."""
+    rng = np.random.default_rng(23)
+    root = str(tmp_path / "evofuzz")
+    keys = [f"k{i}" for i in range(20)]
+    lsn = 0
+    for cycle in range(4):
+        n = int(rng.integers(4, 15))
+        ks = list(rng.choice(keys, size=n, replace=False))
+        ops, contents = [], []
+        for i, k in enumerate(ks):
+            if rng.random() < 0.25:
+                ops.append("delete"); contents.append(None)
+            else:
+                ops.append("update"); contents.append(f"{k}v{lsn+i}")
+        cols = {
+            "repo": ["r"] * n, "path": ks, "commit": ["c"] * n,
+            "content": pa.array(contents, pa.string()),
+            "lsn": pa.array([lsn + i + 1 for i in range(n)], pa.int64()),
+            "op": ops,
+        }
+        if cycle >= 2:   # additive evolution from cycle 3 on
+            cols["extra"] = pa.array(
+                [f"e{lsn + i}" for i in range(n)], pa.string())
+        lsn += n
+        ingest(root, rd.from_arrow(pa.table(cols)), num_partitions=4,
+               change_feed=True)
+    for a in range(0, 4):
+        for b in range(a + 1, 5):
+            cap = read_changes(root, a, b, mode="captured").take_all()
+            dif = read_changes(root, a, b, mode="diff").take_all()
+            key = lambda rows: sorted(
+                (r["path"], r["change_type"], r.get("content"),
+                 r.get("extra"), r.get("lsn")) for r in rows)
+            assert key(cap) == key(dif), (a, b)
+    # a pre-image from before the evolution must carry a null extra
+    rows = read_changes(root, 2, 3).take_all()
+    pre = [r for r in rows if r["change_type"] == "update_preimage"
+           and r.get("extra") is None]
+    assert pre, "expected at least one null-extra pre-image"
