@@ -168,6 +168,7 @@ def run_bench(headline_only: bool = False) -> dict:
     consume("left_join_order_revenue", Q.q_left_join)
     consume("median_by_flag", Q.q_median_by_flag)
     consume("mode_by_flag", Q.q_mode_by_flag)
+    consume("top_orders_per_priority", Q.q_top_orders_per_priority)
     consume("price_quantiles_by_flag", Q.q_price_quantiles_grouped)
     consume("corr_stats", Q.q_corr_stats)
 

@@ -719,3 +719,43 @@ def left_join_order_revenue(sf_dir: str, qty_threshold: float = 45.0,
     ds = refs_to_dataset(refs, out_schema)
     return ds.map_batches(lambda t: _round_cols(t, ["revenue"]),
                           batch_format="pyarrow")
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped TOP-K with full rows (`row_number() <= k` per group):
+    the top-k orders by totalprice per o_orderpriority.  Per-group
+    top-k is ASSOCIATIVE — the per-block partial keeps each group's
+    local top-k rows, and the SAME kernel folds partials in the fan-in
+    tree — so a query that looks like a global sort ships only
+    O(groups × k) rows per block and never shuffles.  Ties broken by
+    MIN o_orderkey (deterministic, gateable)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderpriority",
+                             "o_totalprice"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("o_orderpriority", "ascending"),
+                       ("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")])
+        g = t["o_orderpriority"]
+        n = t.num_rows
+        is_start = np.ones(n, dtype=bool)
+        eq = pc.equal(g.slice(0, n - 1), g.slice(1))
+        is_start[1:] = ~np.asarray(eq.combine_chunks().fill_null(False))
+        starts = np.nonzero(is_start)[0]
+        lens = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        return t.filter(pa.array(rank < k)).append_column(
+            "rk", pa.array((rank[rank < k] + 1), pa.int64()))
+
+    def combine(t: pa.Table) -> pa.Table:
+        return topk(t.drop_columns(["rk"]) if "rk" in t.column_names
+                    else t)
+
+    out = tree_aggregate(
+        ds.map_batches(lambda t: topk(t), batch_format="pyarrow"),
+        combine)
+    if out is None:
+        return pa.table({})
+    return out.sort_by([("o_orderpriority", "ascending"),
+                        ("rk", "ascending")])

@@ -156,6 +156,24 @@ FROM cum GROUP BY 1
 """
 
 
+def q_top_orders_per_priority(sf_dir: str) -> pa.Table:
+    """Grouped TOP-K rows (analytics.top_orders_per_priority):
+    per-group top-k is associative, so the per-block partial and the
+    fan-in combine are the SAME kernel — O(groups × k) rows per block,
+    no shuffle, deterministic tie-break."""
+    return analytics.top_orders_per_priority(sf_dir)
+
+
+TOP_ORDERS_ORACLE = """
+WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders)
+SELECT o_orderkey, o_orderpriority, o_totalprice, rk
+FROM r WHERE rk <= 3
+"""
+
+
 def q_mode_by_flag(sf_dir: str) -> pa.Table:
     """Per-group MODE (most frequent l_quantity, ties broken by MIN
     value — plain mode() is tie-arbitrary and ungateable): the same
@@ -3355,6 +3373,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "left_join_order_revenue": q_left_join,
         "median_by_flag": q_median_by_flag,
         "mode_by_flag": q_mode_by_flag,
+        "top_orders_per_priority": q_top_orders_per_priority,
         "cdc_scd2_state": cdc_scd2_state,
         "cdc_scd2_asof": cdc_scd2_asof,
         "cdc_time_travel": cdc_time_travel,
@@ -3445,6 +3464,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "window_frames", "revenue_by_region",
         "customers_without_orders", "left_join_order_revenue",
         "median_by_flag", "mode_by_flag",
+        "top_orders_per_priority",
         "cdc_scd2_state",
         "cdc_scd2_asof",
         "cdc_time_travel",
@@ -3493,6 +3513,7 @@ def build_oracles() -> dict[str, str]:
         "left_join_order_revenue": LEFT_JOIN_ORACLE,
         "median_by_flag": MEDIAN_BY_FLAG_ORACLE,
         "mode_by_flag": MODE_BY_FLAG_ORACLE,
+        "top_orders_per_priority": TOP_ORDERS_ORACLE,
         "cdc_scd2_state": CDC_SCD2_ORACLE,
         "cdc_scd2_asof": CDC_SCD2_ASOF_ORACLE,
         "cdc_time_travel": CDC_ORACLE,
